@@ -1,0 +1,159 @@
+"""Batch backfill pipeline (X7) — snapshot → state documents + diff log.
+
+Reference: the startup CommandLineRunner scans the globally-latest
+checkpoint per task_path and funnels each through the same
+merge/diff/upsert path as live events, sequentially on one thread
+(config/CdcSubscriberConfig.java:117-175). Here the whole backfill is ONE
+distributed plan:
+
+    writes ⋈ checkpoints → latest blob per (thread, task)      [2 shuffles]
+      → left join prior state on session_id                    [1 shuffle]
+      → groupBy(session).applyInPandas(state transition)       [co-partitioned]
+      → MERGE into state store + append diffs
+
+Per-key ordering (X8) is free: a session lives in exactly one partition of
+the ``applyInPandas`` stage, so the read-modify-write is serial per key
+without any locks.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.latest import ide_latest_blobs_per_task, latest_blobs_per_task
+from ..operators.merge import transition
+from ..schemas import CHECKPOINT_DIFFS_SCHEMA, DATA_STREAM_STATE_SCHEMA
+from ..state.store import ParquetAppendLog, ParquetStateStore
+
+# applyInPandas output: the full state row plus the (nullable) diff produced
+# by this batch, denormalized so one grouped pass feeds both sinks.
+_TRANSITION_OUTPUT = (
+    "session_id string, sequence_number int, cdc_content string, "
+    "ide_content string, metadata string, ctx string, "
+    "cdc_checkpoint_diffs string, ide_checkpoint_diffs string, "
+    "updated_ts_millis long, batch_diff string"
+)
+
+
+def state_row_to_doc(row: dict[str, Any]) -> dict[str, Any]:
+    """Inflate a persisted state-table row into the dict state document."""
+    return {
+        "session_id": row["session_id"],
+        "sequence_number": int(row["sequence_number"]),
+        "cdc_content": json.loads(row["cdc_content"] or "{}"),
+        "ide_content": json.loads(row["ide_content"] or "{}"),
+        "metadata": json.loads(row["metadata"] or "{}"),
+        "ctx": json.loads(row["ctx"] or "[]"),
+        "cdc_checkpoint_diffs": json.loads(row["cdc_checkpoint_diffs"] or "[]"),
+        "ide_checkpoint_diffs": json.loads(row["ide_checkpoint_diffs"] or "[]"),
+    }
+
+
+def doc_to_state_row(doc: dict[str, Any], updated_ts_millis: int) -> dict[str, Any]:
+    return {
+        "session_id": doc["session_id"],
+        "sequence_number": int(doc["sequence_number"]),
+        "cdc_content": json.dumps(doc["cdc_content"]),
+        "ide_content": json.dumps(doc["ide_content"]),
+        "metadata": json.dumps(doc.get("metadata") or {}),
+        "ctx": json.dumps(doc.get("ctx") or []),
+        "cdc_checkpoint_diffs": json.dumps(doc.get("cdc_checkpoint_diffs") or []),
+        "ide_checkpoint_diffs": json.dumps(doc.get("ide_checkpoint_diffs") or []),
+        "updated_ts_millis": updated_ts_millis,
+    }
+
+
+def make_transition_fn(source: str):
+    """Grouped state transition for ``applyInPandas`` — one group per
+    session; input columns: thread_id, task_id, content, ts_millis,
+    checkpoint_id, plus the prior state row columns (nullable)."""
+
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        session_id = key[0]
+        prior = None
+        first = pdf.iloc[0]
+        if pd.notna(first.get("sequence_number")):
+            raw = {
+                c: (first[c] if isinstance(first.get(c), str) else None)
+                for c in DATA_STREAM_STATE_SCHEMA.fieldNames()
+            }
+            raw["session_id"] = session_id
+            raw["sequence_number"] = int(first["sequence_number"])
+            prior = state_row_to_doc(raw)
+        items = [
+            {
+                "task_id": r.task_id,
+                "content": r.content,
+                "timestamp": int(r.ts_millis),
+                "thread_id": session_id,
+                "checkpoint_id": r.checkpoint_id,
+            }
+            for r in pdf.itertuples()
+            if pd.notna(r.task_id)
+        ]
+        now_ms = int(time.time() * 1000)
+        doc, diff = transition(prior, session_id, items, source=source)
+        out = doc_to_state_row(doc, now_ms)
+        out["batch_diff"] = json.dumps(diff) if diff is not None else None
+        return pd.DataFrame([out])
+
+    return fn
+
+
+def _run_transition(latest: DataFrame, state_df: DataFrame, source: str) -> DataFrame:
+    enriched = latest.withColumnRenamed("thread_id", "session_id").join(
+        state_df, "session_id", "left"
+    )
+    return (
+        enriched.groupBy("session_id")
+        .applyInPandas(make_transition_fn(source), schema=_TRANSITION_OUTPUT)
+    )
+
+
+def backfill(
+    spark: SparkSession,
+    writes: DataFrame | None,
+    checkpoints: DataFrame | None,
+    state_store: ParquetStateStore,
+    diff_log: ParquetAppendLog | None = None,
+    ide_checkpoints: DataFrame | None = None,
+) -> DataFrame:
+    """Run the backfill for the CDC stream (and the IDE stream when its
+    table is supplied — X10 dual fan-in writing disjoint columns). Returns
+    the updated state DataFrame."""
+    result = None
+    for source, latest in (
+        ("cdc", latest_blobs_per_task(writes, checkpoints) if writes is not None else None),
+        ("ide", ide_latest_blobs_per_task(ide_checkpoints) if ide_checkpoints is not None else None),
+    ):
+        if latest is None:
+            continue
+        state_df = state_store.read()
+        updated = _run_transition(latest, state_df, source)
+        updated = updated.cache()
+        updated.count()  # materialize before the store swap reads/overwrites
+
+        state_rows = updated.drop("batch_diff")
+        state_store.upsert(state_rows)
+
+        if diff_log is not None:
+            diffs = (
+                updated.filter(F.col("batch_diff").isNotNull())
+                .select(
+                    F.col("session_id"),
+                    F.get_json_object("batch_diff", "$.sequenceNumber").cast("int").alias("sequence_number"),
+                    F.lit(source).alias("source"),
+                    F.get_json_object("batch_diff", "$.diffData").alias("diff_data"),
+                    F.col("updated_ts_millis").alias("ts_millis"),
+                )
+            )
+            diff_log.append(diffs)
+        updated.unpersist()
+        result = state_store.read()
+    return result if result is not None else state_store.read()

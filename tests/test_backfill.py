@@ -1,0 +1,91 @@
+"""End-to-end batch backfill (X7): snapshot → state store + diff log, then
+an incremental second batch exercising staleness and idempotency."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from cdc_agents_data_stream_spark.plans.backfill import backfill
+from cdc_agents_data_stream_spark.state.store import ParquetAppendLog, ParquetStateStore
+from tests.checkpointgen import gen_checkpoint_tables
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    return tmp_path
+
+
+def _write_tables(spark, base, **gen_kwargs):
+    cps, writes = gen_checkpoint_tables(**gen_kwargs)
+    cps.to_parquet(base / "checkpoints.parquet")
+    writes.to_parquet(base / "checkpoint_writes.parquet")
+    return (
+        spark.read.parquet(str(base / "checkpoints.parquet")),
+        spark.read.parquet(str(base / "checkpoint_writes.parquet")),
+    )
+
+
+def test_backfill_creates_state_docs(spark, paths):
+    cps_df, writes_df = _write_tables(spark, paths, n_threads=2, n_ticks=4)
+    store = ParquetStateStore(spark, str(paths / "state"))
+    log = ParquetAppendLog(spark, str(paths / "diffs"))
+
+    state = backfill(spark, writes_df, cps_df, store, log)
+    rows = {r["session_id"]: r for r in state.collect()}
+    assert set(rows) == {"thread-0", "thread-1"}
+
+    doc = json.loads(rows["thread-0"]["cdc_content"])
+    assert set(doc) == {"0_task", "1_task", "2_task", "3_task__start__", "4_task"}
+    # latest tick absorbed: tick 3 repeats eff_tick=2 (idempotency probe)
+    # -> its blob carries 3 messages
+    msgs = json.loads(doc["0_task"][0]["content"])
+    assert len(msgs) == 3
+
+    diffs = log.read().collect()
+    assert all(d["source"] == "cdc" for d in diffs)
+    assert {d["session_id"] for d in diffs} == {"thread-0", "thread-1"}
+    assert all(d["sequence_number"] == 1 for d in diffs)
+
+
+def test_backfill_incremental_batch_bumps_seq(spark, paths):
+    cps_df, writes_df = _write_tables(spark, paths, n_threads=1, n_ticks=3, repeat_tick=None)
+    store = ParquetStateStore(spark, str(paths / "state"))
+    log = ParquetAppendLog(spark, str(paths / "diffs"))
+
+    backfill(spark, writes_df, cps_df, store, log)
+    s1 = {r["session_id"]: r for r in store.read().collect()}["thread-0"]
+    assert s1["sequence_number"] == 1
+
+    # second batch: 2 more ticks -> new latest content -> seq 2 and a diff
+    base2 = paths / "b2"
+    base2.mkdir()
+    cps2, writes2 = _write_tables(spark, base2, n_threads=1, n_ticks=5, repeat_tick=None)
+    backfill(spark, writes2, cps2, store, log)
+    s2 = {r["session_id"]: r for r in store.read().collect()}["thread-0"]
+    assert s2["sequence_number"] == 2
+
+    # replay of the SAME batch: no content change -> seq stays, no new diff
+    n_diffs = log.read().count()
+    backfill(spark, writes2, cps2, store, log)
+    s3 = {r["session_id"]: r for r in store.read().collect()}["thread-0"]
+    assert s3["sequence_number"] == 2
+    assert log.read().count() == n_diffs
+
+    # __start__ task accumulated history, others last-write-wins
+    content = json.loads(s3["cdc_content"])
+    assert len(content["3_task__start__"]) == 2  # one per distinct absorbed ts
+    assert len(content["0_task"]) == 1
+
+
+def test_diff_content_shape(spark, paths):
+    cps_df, writes_df = _write_tables(spark, paths, n_threads=1, n_ticks=2, repeat_tick=None)
+    store = ParquetStateStore(spark, str(paths / "state"))
+    log = ParquetAppendLog(spark, str(paths / "diffs"))
+    backfill(spark, writes_df, cps_df, store, log)
+    d = log.read().collect()[0]
+    diff_data = json.loads(d["diff_data"])
+    ch = diff_data["0_task"]["changes"][0]["change"]
+    assert ch["type"] == "insert_content"
+    assert ch["linesToAdd"]["start"] == 0
