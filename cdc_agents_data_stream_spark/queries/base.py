@@ -1,0 +1,48 @@
+"""Shared helpers for the declared, oracle-checkable queries.
+
+Every query is a ``(spark, sf_dir) -> DataFrame`` callable paired with an
+ANSI-SQL oracle string DuckDB runs on the same parquet tables. Cross-engine
+hash parity rules used throughout:
+
+- event/order timestamps are emitted as **epoch milliseconds BIGINT**
+  (``unix_millis`` / ``epoch_ms``) — parquet stores ns, Spark truncates to
+  µs, so raw timestamp values would differ;
+- money aggregates are computed in **exact DECIMAL arithmetic** and cast to
+  DOUBLE once at the end — float summation order is engine-dependent,
+  decimal sums are not;
+- ratios/averages are **rounded** to a fixed scale;
+- ranks / row numbers / counts are cast to **BIGINT** on both sides;
+- every computed column carries the **same alias** in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as a long
+        # (nanosAsLong). Normalize to a µs-precision timestamp. Oracles must
+        # order by epoch_us(ts) so both engines sort at µs precision.
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer DIV — ns values overflow double precision, so no `/`
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def ms(col_name: str):
+    """Epoch-millis BIGINT from a timestamp column; tolerates TIMESTAMP_NTZ
+    (session TZ is UTC, so the cast is an identity re-tag)."""
+    return F.unix_millis(F.col(col_name).cast("timestamp"))
+
+
+class Q:
+    """A declared query: Spark callable + optional DuckDB oracle SQL."""
+
+    def __init__(self, fn, oracle: str | None, doc: str = ""):
+        self.fn = fn
+        self.oracle = oracle
+        self.doc = doc

@@ -1,0 +1,19 @@
+"""Assemble the full declared-query registry for the driver contract."""
+
+from __future__ import annotations
+
+from .base import Q
+
+
+def all_queries() -> dict[str, Q]:
+    from . import relational
+
+    registry: dict[str, Q] = {}
+    registry.update(relational.QUERIES)
+    for mod_name in ("dedup_queries", "text_queries", "similarity_queries", "multimodal_queries"):
+        try:
+            mod = __import__(f"{__package__}.{mod_name}", fromlist=["QUERIES"])
+        except ImportError:
+            continue
+        registry.update(mod.QUERIES)
+    return registry

@@ -1,0 +1,418 @@
+"""Reference-parity relational operators declared over the driver tables.
+
+Each entry demonstrates one operator family from SURVEY.md §2 (citation in
+the docstring) re-expressed over the synthetic TPC-H-ish tables, with a
+DuckDB oracle. The TPC-H-style aggregation/join queries double as the bench
+headliners.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .base import Q, load, ms
+
+
+# --- W1: latest row per key (the reference's load-bearing dedup-to-latest;
+#     dao/CdcCheckpointDao.java:63-79) ----------------------------------------
+
+def latest_event_per_user(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "event_type",
+            "value",
+        )
+    )
+
+
+LATEST_EVENT_PER_USER_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, ts_ms, event_type, value FROM ranked WHERE rn = 1
+"""
+
+
+# --- A1/T4: grouped argmax via max_by (service/DataStreamService.java:134-140)
+
+def argmax_event_value(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_ms", F.unix_millis("ts"))
+    ordering = F.struct(F.col("ts_ms"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("value", ordering).alias("latest_value"),
+        F.max_by("event_type", ordering).alias("latest_type"),
+        F.max("ts_ms").alias("max_ts_ms"),
+    )
+
+
+ARGMAX_EVENT_VALUE_SQL = """
+WITH ranked AS (
+  SELECT user_id, value, event_type, epoch_ms(ts) AS ts_ms,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT r.user_id, r.value AS latest_value, r.event_type AS latest_type, m.max_ts_ms
+FROM ranked r
+JOIN (SELECT user_id, MAX(epoch_ms(ts)) AS max_ts_ms FROM events GROUP BY user_id) m
+  ON m.user_id = r.user_id
+WHERE r.rn = 1
+"""
+
+
+# --- F1-F3/C8/C9: predicate + JSON field projection + timestamp cast
+#     (dao/CdcCheckpointDao.java:67-76) ----------------------------------------
+
+def events_filter_json(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.unix_millis("ts").alias("ts_ms"),
+        "value",
+    )
+
+
+EVENTS_FILTER_JSON_SQL = """
+SELECT event_id, user_id, CAST(props->>'$.k' AS INT) AS k, epoch_ms(ts) AS ts_ms, value
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+# --- F4: DISTINCT projection (dao/CdcCheckpointDao.java:155-187) --------------
+
+def distinct_event_types(spark, sf_dir):
+    return load(spark, sf_dir, "events").select("event_type").distinct()
+
+
+DISTINCT_EVENT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+# --- J1: inner equi-join with filter pushdown (dao/CdcCheckpointDao.java:70-71)
+
+def orders_customer_join(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_name", "o_totalprice", ms("o_orderdate").alias("o_orderdate_ms")
+    )
+
+
+ORDERS_CUSTOMER_JOIN_SQL = """
+SELECT o_orderkey, c_name, o_totalprice, epoch_ms(o_orderdate) AS o_orderdate_ms
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+# --- J2/U1: full-outer keyset join + add/remove/modify classification
+#     (service/DiffService.java:87-121) ----------------------------------------
+
+_SPLIT_TS = "2024-03-01 00:00:00"
+
+
+def user_change_classify(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    first = ev.filter(F.col("ts") < F.lit(_SPLIT_TS)).groupBy("user_id").agg(
+        F.count("*").alias("cnt_before")
+    )
+    second = ev.filter(F.col("ts") >= F.lit(_SPLIT_TS)).groupBy("user_id").agg(
+        F.count("*").alias("cnt_after")
+    )
+    j = first.join(second, "user_id", "full_outer")
+    return j.select(
+        "user_id",
+        F.when(F.col("cnt_before").isNull(), "add")
+        .when(F.col("cnt_after").isNull(), "remove")
+        .otherwise("modify")
+        .alias("change_kind"),
+        F.coalesce("cnt_before", F.lit(0)).alias("cnt_before"),
+        F.coalesce("cnt_after", F.lit(0)).alias("cnt_after"),
+    )
+
+
+USER_CHANGE_CLASSIFY_SQL = f"""
+WITH first AS (
+  SELECT user_id, COUNT(*) AS cnt_before FROM events
+  WHERE ts < TIMESTAMP '{_SPLIT_TS}' GROUP BY user_id
+), second AS (
+  SELECT user_id, COUNT(*) AS cnt_after FROM events
+  WHERE ts >= TIMESTAMP '{_SPLIT_TS}' GROUP BY user_id
+)
+SELECT COALESCE(f.user_id, s.user_id) AS user_id,
+       CASE WHEN f.user_id IS NULL THEN 'add'
+            WHEN s.user_id IS NULL THEN 'remove'
+            ELSE 'modify' END AS change_kind,
+       COALESCE(f.cnt_before, 0) AS cnt_before,
+       COALESCE(s.cnt_after, 0) AS cnt_after
+FROM first f FULL OUTER JOIN second s ON f.user_id = s.user_id
+"""
+
+
+# --- A3/X3: per-key max + strictly-newer staleness predicate
+#     (dao/CheckpointDao.java:33-56) -------------------------------------------
+
+def fresh_events_after_signup(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    signup_max = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.max(F.unix_millis("ts")).alias("signup_ts_ms")
+    )
+    return (
+        ev.withColumn("ts_ms", F.unix_millis("ts"))
+        .join(signup_max, "user_id")
+        .filter(F.col("ts_ms") > F.col("signup_ts_ms"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("fresh_cnt"), F.max("ts_ms").alias("latest_ts_ms"))
+    )
+
+
+FRESH_EVENTS_AFTER_SIGNUP_SQL = """
+WITH signup_max AS (
+  SELECT user_id, MAX(epoch_ms(ts)) AS signup_ts_ms FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+)
+SELECT e.user_id, COUNT(*) AS fresh_cnt, MAX(epoch_ms(e.ts)) AS latest_ts_ms
+FROM events e JOIN signup_max s ON e.user_id = s.user_id
+WHERE epoch_ms(e.ts) > s.signup_ts_ms
+GROUP BY e.user_id
+"""
+
+
+# --- A4/A5: group + timestamp-ordered collect + no-separator concat
+#     (service/DiffService.java:130-138, 254-259) ------------------------------
+
+def user_event_type_concat(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.unix_millis("ts").alias("ts_ms"), "event_id", "event_type"))
+    )
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.transform(ordered, lambda s: s.event_type), "").alias("type_seq"),
+        F.count("*").alias("n_events"),
+    )
+
+
+USER_EVENT_TYPE_CONCAT_SQL = """
+SELECT user_id,
+       string_agg(event_type, '' ORDER BY epoch_ms(ts), event_id) AS type_seq,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+# --- T1: global top-1 by timestamp (dao/CdcCheckpointDao.java:139-140) --------
+
+def top1_global_event(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(1)
+        .select("event_id", "user_id", F.unix_millis("ts").alias("ts_ms"), "event_type")
+    )
+
+
+TOP1_GLOBAL_EVENT_SQL = """
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type
+FROM events ORDER BY epoch_us(ts) DESC, event_id DESC LIMIT 1
+"""
+
+
+# --- U1: union of keysets (service/DiffService.java:87) -----------------------
+
+def union_active_users(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "click").select("user_id")
+    return a.union(b).distinct()
+
+
+UNION_ACTIVE_USERS_SQL = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+UNION
+SELECT user_id FROM events WHERE event_type = 'click'
+"""
+
+
+# --- X6 analog: monotone per-key sequence numbers ------------------------------
+
+def user_event_sequence(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("long").alias("seq"),
+    )
+
+
+USER_EVENT_SEQUENCE_SQL = """
+SELECT user_id, event_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS seq
+FROM events
+"""
+
+
+# --- C-group scalar sampler (split/md5/concat_ws/contains/length) --------------
+
+def scalar_expr_sampler(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("token_cnt"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.md5(F.col("text")).alias("text_md5"),
+        F.concat_ws(":", "lang", "source").alias("lang_source"),
+        F.col("text").contains("spark").cast("int").alias("mentions_spark"),
+        F.length("text").cast("long").alias("char_len"),
+    )
+
+
+SCALAR_EXPR_SAMPLER_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS token_cnt,
+       string_split(text, ' ')[1] AS first_token,
+       md5(text) AS text_md5,
+       concat_ws(':', lang, source) AS lang_source,
+       CAST(contains(text, 'spark') AS INT) AS mentions_spark,
+       length(text) AS char_len
+FROM documents
+"""
+
+
+# --- TPC-H-style bench headliners ----------------------------------------------
+
+def tpch_q1(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def tpch_q3(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            ms("o_orderdate").alias("o_orderdate_ms"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+TPCH_Q3_SQL = """
+SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def tpch_q5_region_revenue(spark, sf_dir):
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "c_nationkey", "n_name", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+TPCH_Q5_REGION_REVENUE_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "latest_event_per_user": Q(latest_event_per_user, LATEST_EVENT_PER_USER_SQL, "W1 dedup-to-latest"),
+    "argmax_event_value": Q(argmax_event_value, ARGMAX_EVENT_VALUE_SQL, "A1/T4 grouped argmax"),
+    "events_filter_json": Q(events_filter_json, EVENTS_FILTER_JSON_SQL, "F1-F3/C8/C9"),
+    "distinct_event_types": Q(distinct_event_types, DISTINCT_EVENT_TYPES_SQL, "F4"),
+    "orders_customer_join": Q(orders_customer_join, ORDERS_CUSTOMER_JOIN_SQL, "J1"),
+    "user_change_classify": Q(user_change_classify, USER_CHANGE_CLASSIFY_SQL, "J2/U1 diff classify"),
+    "fresh_events_after_signup": Q(fresh_events_after_signup, FRESH_EVENTS_AFTER_SIGNUP_SQL, "A3/X3"),
+    "user_event_type_concat": Q(user_event_type_concat, USER_EVENT_TYPE_CONCAT_SQL, "A4/A5"),
+    "top1_global_event": Q(top1_global_event, TOP1_GLOBAL_EVENT_SQL, "T1"),
+    "union_active_users": Q(union_active_users, UNION_ACTIVE_USERS_SQL, "U1"),
+    "user_event_sequence": Q(user_event_sequence, USER_EVENT_SEQUENCE_SQL, "X6 analog"),
+    "scalar_expr_sampler": Q(scalar_expr_sampler, SCALAR_EXPR_SAMPLER_SQL, "C-group scalars"),
+    "tpch_q1": Q(tpch_q1, TPCH_Q1_SQL, "bench: pricing summary"),
+    "tpch_q3": Q(tpch_q3, TPCH_Q3_SQL, "bench: shipping priority"),
+    "tpch_q5_region_revenue": Q(tpch_q5_region_revenue, TPCH_Q5_REGION_REVENUE_SQL, "bench: 6-way join"),
+}

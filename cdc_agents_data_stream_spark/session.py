@@ -30,6 +30,9 @@ def get_spark(app_name: str = "cdc-agents-data-stream-spark", master: str | None
         .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has
+        # no nanos timestamp — read as long and normalize in queries.base.load
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Broadcast threshold: dims like region/nation/customer at test SFs
         # are tiny; at 100 TB the big fact tables never qualify, so this is
         # safe to keep generous.

@@ -1,0 +1,83 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs each declared query in Spark and its oracle SQL in DuckDB over the
+same parquet tables, then compares: row count, column-name set, and
+name-sorted/row-sorted values. Exact equality is required (parity rules in
+queries/base.py are designed for it); floats compare with a tiny absolute
+epsilon only to absorb engine-level summation-order noise we cannot
+control — report it if it triggers.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from cdc_agents_data_stream_spark.schemas import TABLE_NAMES
+
+FLOAT_EPS = 1e-9
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, float):
+        return ("f", round(v, 9))
+    if isinstance(v, int):
+        return ("i", int(v))
+    try:  # Decimal
+        from decimal import Decimal
+
+        if isinstance(v, Decimal):
+            return ("f", round(float(v), 9))
+    except ImportError:
+        pass
+    return v
+
+
+def compare(spark_df, con, oracle_sql: str, name: str) -> list[str]:
+    problems: list[str] = []
+    s_rows = spark_df.collect()
+    s_cols = sorted(spark_df.columns)
+    d = con.sql(oracle_sql)
+    d_cols_raw = list(d.columns)
+    d_rows = d.fetchall()
+    d_cols = sorted(d_cols_raw)
+
+    if s_cols != d_cols:
+        problems.append(f"{name}: columns differ spark={s_cols} duck={d_cols}")
+        return problems
+    if len(s_rows) != len(d_rows):
+        problems.append(f"{name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        return problems
+
+    def key(vals):
+        return tuple(repr(_norm(v)) for v in vals)
+
+    s_sorted = sorted([tuple(r[c] for c in s_cols) for r in s_rows], key=key)
+    idx = {c: d_cols_raw.index(c) for c in d_cols}
+    d_sorted = sorted([tuple(r[idx[c]] for c in d_cols) for r in d_rows], key=key)
+
+    for i, (sr, dr) in enumerate(zip(s_sorted, d_sorted)):
+        for c, sv, dv in zip(d_cols, sr, dr):
+            ns, nd = _norm(sv), _norm(dv)
+            if isinstance(ns, tuple) and isinstance(nd, tuple) and ns[0] in "fi" and nd[0] in "fi":
+                if not math.isclose(ns[1], nd[1], rel_tol=0, abs_tol=FLOAT_EPS):
+                    problems.append(f"{name}: row {i} col {c}: spark={sv!r} duck={dv!r}")
+                    if len(problems) > 5:
+                        return problems
+            elif ns != nd:
+                problems.append(f"{name}: row {i} col {c}: spark={sv!r} duck={dv!r}")
+                if len(problems) > 5:
+                    return problems
+    return problems
