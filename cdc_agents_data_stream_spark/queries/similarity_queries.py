@@ -1,0 +1,90 @@
+"""Declared similarity-search queries over ``embeddings`` with DuckDB
+oracles replicating the exact same algorithm (same plane literals, same
+cosine formula ``dot / (norm_a * norm_b)``)."""
+
+from __future__ import annotations
+
+from ..operators import similarity as S
+from .base import Q, load
+
+
+def _sql_list(vals) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(v, {_sql_list(p)}) >= 0 THEN {1 << j} ELSE 0 END)"
+    for j, p in enumerate(S.PLANES)
+)
+
+_BASE_CTE = """
+base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+  FROM embeddings
+)
+"""
+
+
+def ann_cosine_topk(spark, sf_dir):
+    return S.cosine_topk(load(spark, sf_dir, "embeddings"), query_ids_below=5, k=10)
+
+
+ANN_COSINE_TOPK_SQL = f"""
+WITH {_BASE_CTE},
+q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM base WHERE vec_id < 5),
+sims AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         list_dot_product(b.v, q.qv) / (b.norm * q.qnorm) AS sim
+  FROM base b CROSS JOIN q WHERE b.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim_r FROM ranked WHERE rank <= 10
+"""
+
+
+def ann_lsh_bucketed(spark, sf_dir):
+    return S.lsh_bucketed_topk(load(spark, sf_dir, "embeddings"), query_ids_below=5, k=5)
+
+
+ANN_LSH_BUCKETED_SQL = f"""
+WITH {_BASE_CTE},
+bucketed AS (SELECT vec_id, v, norm, ({_BUCKET_SQL}) AS bucket FROM base),
+q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, bucket AS qbucket
+      FROM bucketed WHERE vec_id < 5),
+sims AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         list_dot_product(b.v, q.qv) / (b.norm * q.qnorm) AS sim
+  FROM bucketed b JOIN q ON b.bucket = q.qbucket AND b.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim_r FROM ranked WHERE rank <= 5
+"""
+
+
+def embedding_neardup(spark, sf_dir):
+    return S.embedding_neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH {_BASE_CTE}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS sim_r
+FROM base a JOIN base b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.45
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": Q(ann_cosine_topk, ANN_COSINE_TOPK_SQL, "brute-force cosine top-k"),
+    "ann_lsh_bucketed": Q(ann_lsh_bucketed, ANN_LSH_BUCKETED_SQL, "hyperplane-LSH bucketed top-k"),
+    "embedding_neardup": Q(embedding_neardup, EMBEDDING_NEARDUP_SQL, "cosine near-dup pairs"),
+}

@@ -1,0 +1,102 @@
+"""Declared text-analysis queries over ``documents`` with DuckDB oracles."""
+
+from __future__ import annotations
+
+from ..operators import textops as T
+from .base import Q, load
+
+
+def _sql_set(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS[lang]) + "]"
+
+
+def text_token_stats(spark, sf_dir):
+    return T.token_stats(load(spark, sf_dir, "documents"))
+
+
+TEXT_TOKEN_STATS_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents)
+SELECT doc_id,
+       len(toks) AS token_cnt,
+       len(list_distinct(toks)) AS uniq_token_cnt,
+       ROUND(list_sum(list_transform(toks, x -> length(x))) / len(toks), 4) AS avg_token_len,
+       length(text) AS char_cnt
+FROM t
+"""
+
+
+def text_lang_id(spark, sf_dir):
+    return T.lang_id(load(spark, sf_dir, "documents"))
+
+
+TEXT_LANG_ID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang AS labeled_lang,
+         len(list_filter(string_split(text,' '), x -> list_contains({_sql_set('en')}, x))) AS hits_en,
+         len(list_filter(string_split(text,' '), x -> list_contains({_sql_set('es')}, x))) AS hits_es,
+         len(list_filter(string_split(text,' '), x -> list_contains({_sql_set('de')}, x))) AS hits_de,
+         len(list_filter(string_split(text,' '), x -> list_contains({_sql_set('fr')}, x))) AS hits_fr
+  FROM documents
+)
+SELECT doc_id, labeled_lang, hits_en, hits_es, hits_de, hits_fr,
+       CASE WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+            WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
+            WHEN hits_de >= hits_fr THEN 'de'
+            ELSE 'fr' END AS pred_lang
+FROM t
+"""
+
+
+def text_quality_score(spark, sf_dir):
+    return T.quality_score(load(spark, sf_dir, "documents"))
+
+
+TEXT_QUALITY_SCORE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         len(list_filter(string_split(text,' '), x -> list_contains({_sql_set('en')}, x))) AS stop_cnt,
+         length(regexp_replace(text, '[a-z ]', '', 'g')) AS non_alpha
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS token_cnt,
+       ROUND(stop_cnt / len(toks), 4) AS stopword_ratio,
+       ROUND(non_alpha / length(text), 4) AS punct_ratio,
+       CAST(len(toks) >= 10 AND len(toks) <= 2000 AND stop_cnt / len(toks) > 0.01 AS INT) AS quality_ok
+FROM t
+"""
+
+
+def doc_fingerprint(spark, sf_dir):
+    return T.fingerprints(load(spark, sf_dir, "documents"))
+
+
+DOC_FINGERPRINT_SQL = """
+WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS uniq FROM documents)
+SELECT doc_id,
+       md5(array_to_string(list_sort(uniq), ' ')) AS set_fingerprint,
+       list_min(list_transform(uniq, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS min_token_hash
+FROM t
+"""
+
+
+def token_count_bpe(spark, sf_dir):
+    return T.subword_token_count(load(spark, sf_dir, "documents"))
+
+
+TOKEN_COUNT_BPE_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS ws_token_cnt,
+       list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS subword_cnt
+FROM t
+"""
+
+
+QUERIES = {
+    "text_token_stats": Q(text_token_stats, TEXT_TOKEN_STATS_SQL, "token statistics"),
+    "text_lang_id": Q(text_lang_id, TEXT_LANG_ID_SQL, "stopword-voting language ID"),
+    "text_quality_score": Q(text_quality_score, TEXT_QUALITY_SCORE_SQL, "quality flags"),
+    "doc_fingerprint": Q(doc_fingerprint, DOC_FINGERPRINT_SQL, "set fingerprint + min-hash"),
+    "token_count_bpe": Q(token_count_bpe, TOKEN_COUNT_BPE_SQL, "BPE-ish token count"),
+}
