@@ -3,20 +3,25 @@
 The reference upserts the per-session document via JPA find-or-create +
 saveAndFlush (repository/CdcAgentsDataStreamRepository.java:16-29). The
 lake-native equivalent is MERGE INTO keyed on ``session_id``; on plain
-parquet (no Delta in this container) the merge is implemented as
-read + anti-join + union + atomic directory swap. On a real deployment the
-store would be a Delta/Iceberg table and ``upsert`` a single MERGE — the
-call sites would not change.
+parquet (no Delta in this container) the merge is implemented with a
+miniature table-format commit protocol:
 
-The swap is atomic at the directory level (write to temp, rename), so
-readers never observe a half-written store.
+- every ``upsert`` writes a NEW versioned directory ``v{N+1}`` (full
+  merged snapshot: old rows anti-joined against the update's keys, plus
+  the update rows);
+- a pointer file ``_VERSION`` is atomically replaced to commit;
+- the previous version is retained so concurrent readers that already
+  resolved the old pointer finish cleanly; only versions older than
+  (current - keep) are vacuumed.
+
+On a real deployment this class is replaced by a Delta/Iceberg table and
+``upsert`` becomes one ``MERGE INTO`` — call sites do not change.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -24,32 +29,58 @@ from ..schemas import DATA_STREAM_STATE_SCHEMA
 
 
 class ParquetStateStore:
+    KEEP_VERSIONS = 3
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        os.makedirs(self.path, exist_ok=True)
+
+    # -- commit protocol -------------------------------------------------------
+
+    def _pointer_file(self) -> str:
+        return os.path.join(self.path, "_VERSION")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._pointer_file()) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def _version_dir(self, v: int) -> str:
+        return os.path.join(self.path, f"v{v:08d}")
+
+    def _commit(self, v: int) -> None:
+        tmp = self._pointer_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, self._pointer_file())  # atomic on POSIX
+
+    def _vacuum(self, current: int) -> None:
+        for name in os.listdir(self.path):
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) <= current - self.KEEP_VERSIONS:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+
+    # -- public API ------------------------------------------------------------
 
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
-        )
+        return self.current_version() > 0
 
     def read(self) -> DataFrame:
-        if not self.exists():
+        v = self.current_version()
+        if v == 0:
             return self.spark.createDataFrame([], DATA_STREAM_STATE_SCHEMA)
-        return self.spark.read.parquet(self.path)
+        return self.spark.read.parquet(self._version_dir(v))
 
     def upsert(self, updates: DataFrame, key: str = "session_id") -> None:
         """MERGE: rows in ``updates`` replace same-key rows, others kept."""
         current = self.read()
         merged = current.join(updates.select(key), key, "left_anti").unionByName(updates)
-        tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = f"{self.path}.old-{uuid.uuid4().hex}"
-        if os.path.isdir(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        if os.path.isdir(old):
-            shutil.rmtree(old, ignore_errors=True)
+        v = self.current_version() + 1
+        merged.write.mode("overwrite").parquet(self._version_dir(v))
+        self._commit(v)
+        self._vacuum(v)
 
 
 class ParquetAppendLog:

@@ -88,4 +88,7 @@ def gen_checkpoint_tables(
                     "task_path": "noise",
                 }
             )
-    return pd.DataFrame(cps), pd.DataFrame(writes)
+    writes_pdf = pd.DataFrame(writes)
+    # match CHECKPOINT_WRITES_SCHEMA (idx is IntegerType)
+    writes_pdf["idx"] = writes_pdf["idx"].astype("int32")
+    return pd.DataFrame(cps), writes_pdf

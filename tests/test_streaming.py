@@ -1,0 +1,145 @@
+"""Streaming integration tests: the reference's cadence scenario
+(FIXTURES.md §6 — per tick one new checkpoint per task, state doc updates
+every tick) reproduced on Structured Streaming with file-drop micro-batches.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from cdc_agents_data_stream_spark.state.store import ParquetAppendLog, ParquetStateStore
+from cdc_agents_data_stream_spark.streaming.pipeline import (
+    run_foreachbatch_pipeline,
+    run_stateful_pipeline,
+)
+from tests.checkpointgen import gen_checkpoint_tables
+
+
+def _drop_tick(base, tick: int, n_threads: int = 1):
+    """Write one tick's (checkpoints, writes) increment as new files —
+    both sides append-only so the running query never sees a file mutate."""
+    cps, writes = gen_checkpoint_tables(n_threads=n_threads, n_ticks=tick + 1, repeat_tick=None)
+    cps_tick = cps[cps.checkpoint_id.str.contains(f"-{tick}-")]
+    writes_tick = writes[writes.checkpoint_id.str.contains(f"-{tick}-")]
+    cps_tick.to_parquet(base / "cps" / f"tick-{tick}.parquet")
+    writes_tick.to_parquet(base / "writes" / f"tick-{tick}.parquet")
+    return cps_tick, writes_tick
+
+
+def test_foreachbatch_cadence(spark, tmp_path):
+    """5 ticks dropped at a sub-second cadence -> the per-session state doc
+    absorbs every tick (sequence number advances to 5), mirroring the
+    reference's 500 ms / N-updates integration scenario."""
+    (tmp_path / "writes").mkdir()
+    (tmp_path / "cps").mkdir()
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    log = ParquetAppendLog(spark, str(tmp_path / "diffs"))
+
+    _drop_tick(tmp_path, 0)
+    query = run_foreachbatch_pipeline(
+        spark,
+        str(tmp_path / "writes"),
+        str(tmp_path / "cps"),
+        store,
+        log,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        trigger={"processingTime": "500 milliseconds"},
+        # one tick file per micro-batch -> one state transition per tick,
+        # matching the reference's per-NOTIFY-event cadence
+        max_files_per_trigger=1,
+    )
+    try:
+        n_ticks = 5
+        deadline = time.time() + 240
+        for tick in range(1, n_ticks):
+            _drop_tick(tmp_path, tick)
+            time.sleep(0.5)
+        # wait until all ticks absorbed
+        while time.time() < deadline:
+            rows = {r["session_id"]: r for r in store.read().collect()}
+            if rows and rows.get("thread-0", {})["sequence_number"] == n_ticks:
+                break
+            time.sleep(1.0)
+        rows = {r["session_id"]: r for r in store.read().collect()}
+        assert rows["thread-0"]["sequence_number"] == n_ticks
+        content = json.loads(rows["thread-0"]["cdc_content"])
+        # last-write-wins tasks hold exactly the newest blob (tick 5 -> 5 msgs)
+        assert len(content["0_task"]) == 1
+        assert len(json.loads(content["0_task"][0]["content"])) == n_ticks
+        # __start__ task accumulated one item per tick
+        assert len(content["3_task__start__"]) == n_ticks
+        # diff log: one diff per tick
+        diffs = log.read().collect()
+        assert sorted(d["sequence_number"] for d in diffs) == list(range(1, n_ticks + 1))
+    finally:
+        query.stop()
+
+
+def test_stateful_pipeline_available_now(spark, tmp_path):
+    """applyInPandasWithState path over pre-joined rows, availableNow."""
+    joined_dir = tmp_path / "joined"
+    joined_dir.mkdir()
+    import pandas as pd
+
+    rows = [
+        {
+            "session_id": "s1",
+            "task_id": t,
+            "content": f"line1\nline2-{t}",
+            "ts_millis": 1000,
+            "checkpoint_id": "cp1",
+        }
+        for t in ("a", "b")
+    ]
+    pd.DataFrame(rows).to_parquet(joined_dir / "batch0.parquet")
+
+    out_dir = tmp_path / "out"
+    query = run_stateful_pipeline(
+        spark,
+        str(joined_dir),
+        checkpoint_location=str(tmp_path / "ckpt2"),
+        trigger={"availableNow": True},
+        output_path=str(out_dir),
+    )
+    query.awaitTermination(240)
+
+    out = spark.read.parquet(str(out_dir)).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["session_id"] == "s1"
+    assert row["sequence_number"] == 1
+    doc = json.loads(row["state_json"])
+    assert set(doc["cdc_content"]) == {"a", "b"}
+    diff = json.loads(row["batch_diff"])
+    assert set(diff["diffData"]) == {"a", "b"}
+
+    # second increment: one task changes -> seq 2, diff only for that task
+    pd.DataFrame(
+        [
+            {
+                "session_id": "s1",
+                "task_id": "a",
+                "content": "line1\nline2-a\nline3",
+                "ts_millis": 2000,
+                "checkpoint_id": "cp2",
+            }
+        ]
+    ).to_parquet(joined_dir / "batch1.parquet")
+    query2 = run_stateful_pipeline(
+        spark,
+        str(joined_dir),
+        checkpoint_location=str(tmp_path / "ckpt2"),
+        trigger={"availableNow": True},
+        output_path=str(out_dir),
+    )
+    query2.awaitTermination(240)
+    out2 = sorted(spark.read.parquet(str(out_dir)).collect(), key=lambda r: r["sequence_number"])
+    assert [r["sequence_number"] for r in out2] == [1, 2]
+    diff2 = json.loads(out2[1]["batch_diff"])
+    assert set(diff2["diffData"]) == {"a"}
+    ch = diff2["diffData"]["a"]["changes"][0]["change"]
+    assert ch["type"] == "insert_content"
+    assert ch["lines"] == ["line3"]
