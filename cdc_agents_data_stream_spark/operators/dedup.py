@@ -56,7 +56,18 @@ def _text_md5_int(col):
 
 
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3, id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    The input is hash-repartitioned by ``id_col`` FIRST: a small parquet
+    scan arrives in few (often 1) partitions, which would serialize the
+    CPU-heavy explode+md5 across one core; the shuffle moves only the raw
+    doc bytes, and because it is hash(doc_id) the later per-doc
+    aggregations (minhash ``groupBy(doc_id)``) reuse the exchange instead
+    of shuffling the much larger exploded shingle stream. The partition
+    count is EXPLICIT: a bare ``repartition(col)`` is an AQE-coalescible
+    exchange, and on a small scan AQE merges it back to ~1 partition,
+    silently serializing the kernel again (measured 8s -> 2s at sf0.1)."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     toks = F.split(F.col(text_col), " ")
     # guard: Spark's sequence(1, x) DESCENDS when x < 1, so short docs need
     # an explicit empty-gram branch
@@ -85,15 +96,29 @@ def _pair_jaccard(sh: DataFrame, candidates: DataFrame | None = None) -> DataFra
     """Exact Jaccard over a shingle index; optionally restricted to
     candidate (doc_a, doc_b) pairs."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    if candidates is None:
+        # full inverted-index self-join: O(sum per-shingle count^2) — only
+        # viable when no candidate filter exists (exact-Jaccard variant)
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        # candidate-restricted intersection: expand only candidate docs'
+        # shingles (LSH keeps |candidates| tiny relative to |pairs|), so the
+        # heavy all-pairs shingle join never materializes. The candidate
+        # side is broadcast-sized by construction; AQE picks broadcast.
+        a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b_sh = sh.select(F.col("doc_id").alias("b_doc"), F.col("shingle").alias("b_shingle"))
+        inter = (
+            candidates.join(a_sh, "doc_a")
+            .join(b_sh, (F.col("doc_b") == F.col("b_doc")) & (F.col("shingle") == F.col("b_shingle")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
@@ -118,29 +143,48 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, i, sig): the i-th minhash of each doc's shingle set —
-    computed as ONE grouped aggregation after a 32-way hash fan-out."""
+    """(doc_id, sig_0..sig_31): all 32 minhashes in ONE wide aggregation.
+
+    One shuffle keyed by doc_id, 32 ``min`` aggregates evaluated over the
+    same shingle hash — partial (map-side) aggregation applies to every
+    column, and there is no row fan-out. This replaced an explode(32)-based
+    tall layout that multiplied the shingle stream 32× through the shuffle
+    and needed a second shuffle to re-assemble bands; at sf0.1 the wide plan
+    cut the LSH query ~3×, and at 100 TB the shuffled bytes are ~32× lower.
+    """
     h0 = (_text_md5_int(F.col("shingle")) % MERSENNE_P).alias("h0")
-    perms = F.array(
+    return sh.select("doc_id", h0).groupBy("doc_id").agg(
         *[
-            F.struct(F.lit(i).alias("i"), F.lit(HASH_A[i]).alias("a"), F.lit(HASH_B[i]).alias("b"))
+            F.min((F.lit(HASH_A[i]) * F.col("h0") + F.lit(HASH_B[i])) % MERSENNE_P).alias(f"sig_{i}")
             for i in range(N_HASHES)
         ]
-    )
-    fanned = sh.select("doc_id", h0).select(
-        "doc_id", "h0", F.explode(perms).alias("p")
-    )
-    return fanned.groupBy("doc_id", F.col("p.i").alias("i")).agg(
-        F.min((F.col("p.a") * F.col("h0") + F.col("p.b")) % MERSENNE_P).alias("sig")
     )
 
 
 def minhash_band_buckets(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band, bucket): md5 over the band's ordered signature slice."""
-    banded = sigs.withColumn("band", (F.col("i") / BAND_SIZE).cast("int"))
-    ordered = F.array_sort(F.collect_list(F.struct("i", "sig")))
-    return banded.groupBy("doc_id", "band").agg(
-        F.md5(F.concat_ws(",", F.transform(ordered, lambda s: s.sig.cast("string")))).alias("bucket")
+    """(doc_id, band, bucket): md5 over each band's ordered signature slice,
+    derived from the wide signature row by pure projection (no shuffle);
+    the explode only multiplies by n_bands (8), after aggregation."""
+    n_bands = N_HASHES // BAND_SIZE
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"sig_{band * BAND_SIZE + j}").cast("string")
+                            for j in range(BAND_SIZE)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for band in range(n_bands)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
 
@@ -163,12 +207,24 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _pair_jaccard(sh, candidates).filter(F.col("jaccard") >= threshold)
+    # re-shingle ONLY candidate docs for the exact-Jaccard verify: the
+    # candidate doc set is tiny after banding, so the verify branch reads a
+    # semi-joined sliver of the corpus instead of recomputing the full
+    # shingle index a second time (the exact sizes/intersections only ever
+    # involve candidate docs, so the restriction is lossless)
+    cand_docs = candidates.select(
+        F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+    ).distinct()
+    sh_cand = shingles(df.join(cand_docs, id_col, "left_semi"), text_col, n, id_col)
+    return _pair_jaccard(sh_cand, candidates).filter(F.col("jaccard") >= threshold)
 
 
 def simhash_values(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """(doc_id, simhash): sign-aggregated token-hash bits (token occurrences
     weighted, not distinct)."""
+    # no repartition here: unlike the minhash path, the per-bit groupBy keys
+    # on (doc_id, j) so a doc_id exchange is not reusable, and A/B at sf0.1
+    # showed the extra shuffle costs more than the parallelism buys
     toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     h = toks.select("doc_id", _text_md5_int(F.col("tok")).alias("h0"))
     bitted = h.select(

@@ -60,9 +60,21 @@ def _fake_dims(digest_hex: str) -> tuple[int, int, int]:
     return width, height, n_frames
 
 
-def decode_stub_meta(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Arrow-batched decode stage (mapInPandas) with the stub decoder."""
-    src = df.select(F.col(id_col), F.encode(F.col(text_col), "UTF-8").alias("payload"))
+def decode_stub_meta(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", repartition_to: int | None = None
+) -> DataFrame:
+    """Arrow-batched decode stage (mapInPandas) with the stub decoder.
+
+    mapInPandas inherits the input partitioning; when a heavyweight real
+    decoder (PIL/ffmpeg) sits behind a narrow scan, pass ``repartition_to``
+    (e.g. ``sc.defaultParallelism``) to spread the decode across cores. The
+    default leaves partitioning alone: at scale the scan already has
+    thousands of partitions, and for the cheap stub decoder an extra
+    shuffle costs more than it saves (measured at sf0.1)."""
+    src = df
+    if repartition_to:
+        src = src.repartition(repartition_to)
+    src = src.select(F.col(id_col), F.encode(F.col(text_col), "UTF-8").alias("payload"))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
