@@ -69,10 +69,12 @@ def doc_to_state_row(doc: dict[str, Any], updated_ts_millis: int) -> dict[str, A
     }
 
 
-def make_transition_fn(source: str):
+def make_transition_fn(source: str, ctx_providers=None):
     """Grouped state transition for ``applyInPandas`` — one group per
     session; input columns: thread_id, task_id, content, ts_millis,
-    checkpoint_id, plus the prior state row columns (nullable)."""
+    checkpoint_id, plus the prior state row columns (nullable).
+    ``ctx_providers`` (UD5) run inside the group — distributed per
+    session, consume-once side inputs stay serialized per key (X8/X9)."""
 
     def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         session_id = key[0]
@@ -98,7 +100,7 @@ def make_transition_fn(source: str):
             if pd.notna(r.task_id)
         ]
         now_ms = int(time.time() * 1000)
-        doc, diff = transition(prior, session_id, items, source=source)
+        doc, diff = transition(prior, session_id, items, source=source, ctx_providers=ctx_providers)
         out = doc_to_state_row(doc, now_ms)
         out["batch_diff"] = json.dumps(diff) if diff is not None else None
         return pd.DataFrame([out])
@@ -106,13 +108,13 @@ def make_transition_fn(source: str):
     return fn
 
 
-def _run_transition(latest: DataFrame, state_df: DataFrame, source: str) -> DataFrame:
+def _run_transition(latest: DataFrame, state_df: DataFrame, source: str, ctx_providers=None) -> DataFrame:
     enriched = latest.withColumnRenamed("thread_id", "session_id").join(
         state_df, "session_id", "left"
     )
     return (
         enriched.groupBy("session_id")
-        .applyInPandas(make_transition_fn(source), schema=_TRANSITION_OUTPUT)
+        .applyInPandas(make_transition_fn(source, ctx_providers), schema=_TRANSITION_OUTPUT)
     )
 
 
@@ -123,6 +125,7 @@ def backfill(
     state_store: ParquetStateStore,
     diff_log: ParquetAppendLog | None = None,
     ide_checkpoints: DataFrame | None = None,
+    ctx_providers=None,
 ) -> DataFrame:
     """Run the backfill for the CDC stream (and the IDE stream when its
     table is supplied — X10 dual fan-in writing disjoint columns). Returns
@@ -135,7 +138,7 @@ def backfill(
         if latest is None:
             continue
         state_df = state_store.read()
-        updated = _run_transition(latest, state_df, source)
+        updated = _run_transition(latest, state_df, source, ctx_providers)
         updated = updated.cache()
         updated.count()  # materialize before the store swap reads/overwrites
 

@@ -68,6 +68,7 @@ def run_foreachbatch_pipeline(
     source: str = "cdc",
     trigger: dict[str, Any] | None = None,
     max_files_per_trigger: int | None = None,
+    ctx_providers=None,
 ):
     """Production-shaped path: stream writes, re-join the (slow-changing)
     checkpoint pointer table per batch, MERGE per-session state docs.
@@ -86,7 +87,7 @@ def run_foreachbatch_pipeline(
         checkpoints = spark.read.parquet(checkpoints_path)
         latest = latest_blobs_per_task(batch_df, checkpoints)
         state_df = state_store.read()
-        updated = _run_transition(latest, state_df, source).cache()
+        updated = _run_transition(latest, state_df, source, ctx_providers).cache()
         try:
             updated.count()
             state_store.upsert(updated.drop("batch_diff"))
@@ -119,45 +120,52 @@ _OUTPUT_SCHEMA = (
 )
 
 
-def _stateful_update(key, pdfs, state: GroupState):
-    session_id = key[0]
-    prior: dict[str, Any] | None = None
-    if state.exists:
-        (state_json,) = state.get
-        prior = json.loads(state_json)
-    items = []
-    for pdf in pdfs:
-        for r in pdf.itertuples():
-            items.append(
+def make_stateful_update(ctx_providers=None):
+    """Build the keyed-state update function; ``ctx_providers`` (UD5) run
+    inside the per-session group, so consume-once side inputs (X9) stay
+    serialized per key exactly like the batch path."""
+
+    def _stateful_update(key, pdfs, state: GroupState):
+        session_id = key[0]
+        prior: dict[str, Any] | None = None
+        if state.exists:
+            (state_json,) = state.get
+            prior = json.loads(state_json)
+        items = []
+        for pdf in pdfs:
+            for r in pdf.itertuples():
+                items.append(
+                    {
+                        "task_id": r.task_id,
+                        "content": r.content,
+                        "timestamp": int(r.ts_millis),
+                        "thread_id": session_id,
+                        "checkpoint_id": r.checkpoint_id,
+                    }
+                )
+        if not items:
+            return
+        doc, diff = transition(prior, session_id, items, source="cdc", ctx_providers=ctx_providers)
+        state.update((json.dumps(doc),))
+        yield pd.DataFrame(
+            [
                 {
-                    "task_id": r.task_id,
-                    "content": r.content,
-                    "timestamp": int(r.ts_millis),
-                    "thread_id": session_id,
-                    "checkpoint_id": r.checkpoint_id,
+                    "session_id": session_id,
+                    "sequence_number": int(doc["sequence_number"]),
+                    "state_json": json.dumps(doc),
+                    "batch_diff": json.dumps(diff) if diff is not None else None,
                 }
-            )
-    if not items:
-        return
-    doc, diff = transition(prior, session_id, items, source="cdc")
-    state.update((json.dumps(doc),))
-    yield pd.DataFrame(
-        [
-            {
-                "session_id": session_id,
-                "sequence_number": int(doc["sequence_number"]),
-                "state_json": json.dumps(doc),
-                "batch_diff": json.dumps(diff) if diff is not None else None,
-            }
-        ]
-    )
+            ]
+        )
+
+    return _stateful_update
 
 
-def stateful_updates(joined_stream: DataFrame) -> DataFrame:
+def stateful_updates(joined_stream: DataFrame, ctx_providers=None) -> DataFrame:
     """groupBy(session).applyInPandasWithState over pre-joined checkpoint
     rows (session_id, task_id, content, ts_millis, checkpoint_id)."""
     return joined_stream.groupBy("session_id").applyInPandasWithState(
-        _stateful_update,
+        make_stateful_update(ctx_providers),
         outputStructType=_OUTPUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
@@ -172,6 +180,7 @@ def run_stateful_pipeline(
     query_name: str = "cdc_stateful",
     trigger: dict[str, Any] | None = None,
     output_path: str | None = None,
+    ctx_providers=None,
 ):
     """Stream pre-joined checkpoint rows through Spark-managed keyed state.
 
@@ -184,7 +193,7 @@ def run_stateful_pipeline(
         "ts_millis long, checkpoint_id string"
     )
     stream = spark.readStream.schema(schema).parquet(joined_dir)
-    out = stateful_updates(stream)
+    out = stateful_updates(stream, ctx_providers)
     writer = out.writeStream.queryName(query_name).option(
         "checkpointLocation", checkpoint_location
     )

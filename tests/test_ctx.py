@@ -85,3 +85,41 @@ def test_git_scanner_finds_this_repo():
     enabled = make_environment_provider("/root/repo", max_depth=1)
     item = enabled({"session_id": "sY"})
     assert item["repositories"][0]["path"] == "/root/repo"
+
+
+def test_backfill_with_ctx_providers_distributed(spark, tmp_path):
+    """UD5 through the applyInPandas path: providers execute inside the
+    per-session group and the enriched doc lands in the state store."""
+    import json
+
+    from cdc_agents_data_stream_spark.plans.backfill import backfill
+    from cdc_agents_data_stream_spark.state.store import ParquetAppendLog, ParquetStateStore
+    from tests.checkpointgen import gen_checkpoint_tables
+
+    cps, writes = gen_checkpoint_tables(n_threads=2, n_ticks=2)
+    cps.to_parquet(tmp_path / "cps.parquet")
+    writes.to_parquet(tmp_path / "writes.parquet")
+    runner = tmp_path / "reports"
+    for t in ("thread-0", "thread-1"):
+        (runner / t).mkdir(parents=True)
+        (runner / t / "junit.xml").write_text(f"<suite for='{t}'/>")
+
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    log = ParquetAppendLog(spark, str(tmp_path / "diffs"))
+    providers = [make_test_report_provider([str(runner)]), environment_provider]
+    state = backfill(
+        spark,
+        spark.read.parquet(str(tmp_path / "writes.parquet")),
+        spark.read.parquet(str(tmp_path / "cps.parquet")),
+        store,
+        log,
+        ctx_providers=providers,
+    )
+    rows = {r["session_id"]: r for r in state.collect()}
+    for t in ("thread-0", "thread-1"):
+        ctx = json.loads(rows[t]["ctx"])
+        assert [c["type"] for c in ctx] == ["test-report", "environment"]
+        assert ctx[0]["testReports"] == {f"{t}:junit.xml": f"<suite for='{t}'/>"}
+        assert ctx[0]["sequenceNumber"] == 1
+    # side input consumed exactly once
+    assert os.listdir(runner / "thread-0") == []
