@@ -39,6 +39,113 @@ BENCH_QUERIES = [
 ]
 
 
+def bench_streaming_cadence(spark, n_ticks: int = 20) -> float:
+    """The reference's only measured figure: a sustained
+    insert -> notify -> latest-per-task -> merge -> diff -> upsert loop at
+    2 batches/s with 5 tasks per tick for 20 consecutive state updates
+    (BASELINE.md). Here: 20 one-tick micro-batches through the foreachBatch
+    pipeline (join + argmax + state transition + MERGE + diff append),
+    end-to-end seconds for all 20 (baseline equivalent: 10 s)."""
+    import shutil
+    import tempfile
+
+    from cdc_agents_data_stream_spark.state.store import ParquetAppendLog, ParquetStateStore
+    from cdc_agents_data_stream_spark.streaming.pipeline import run_foreachbatch_pipeline
+    from tests.checkpointgen import gen_checkpoint_tables
+
+    base = tempfile.mkdtemp(prefix="bench-stream-")
+    # size shuffle partitions to per-batch volume (a handful of rows per
+    # tick); restored afterwards so the relational queries keep theirs
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        cps, writes = gen_checkpoint_tables(n_threads=1, n_ticks=n_ticks, repeat_tick=None)
+        os.makedirs(f"{base}/writes")
+        os.makedirs(f"{base}/cps")
+        cps.to_parquet(f"{base}/cps/all.parquet")
+        # checkpoint_id = cp-{thread}-{tick}-{hex}: slice on the exact tick
+        # field (a substring match would leak other ticks into the file)
+        tick_of = writes.checkpoint_id.str.split("-").str[2].astype(int)
+        for tick in range(n_ticks):
+            writes[tick_of == tick].to_parquet(f"{base}/writes/tick-{tick}.parquet")
+        store = ParquetStateStore(spark, f"{base}/state")
+        log = ParquetAppendLog(spark, f"{base}/diffs")
+        t0 = time.perf_counter()
+        query = run_foreachbatch_pipeline(
+            spark,
+            f"{base}/writes",
+            f"{base}/cps",
+            store,
+            log,
+            checkpoint_location=f"{base}/ckpt",
+            max_files_per_trigger=1,
+        )
+        try:
+            import pyarrow.parquet as pq
+
+            def current_seq() -> int:
+                # poll with pyarrow so the wait loop schedules no Spark
+                # jobs that would compete with the micro-batches
+                v = store.current_version()
+                if v == 0:
+                    return 0
+                try:
+                    t = pq.read_table(store._version_dir(v), columns=["sequence_number"])
+                    return max(t.column(0).to_pylist() or [0])
+                except (OSError, ValueError):
+                    return 0
+
+            deadline = time.perf_counter() + 300
+            while time.perf_counter() < deadline:
+                if current_seq() >= n_ticks:
+                    break
+                time.sleep(0.2)
+            else:
+                print("# streaming cadence timed out", file=sys.stderr)
+        finally:
+            query.stop()
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def bench_backfill_throughput(spark, n_sessions: int = 100, n_ticks: int = 5) -> float:
+    """Throughput counterpart to the cadence metric: absorb the FULL
+    checkpoint history of ``n_sessions`` sessions in one batch backfill
+    (join + argmax + keyed transition + MERGE + diff log). The reference
+    processes sessions sequentially over JDBC at its 2-ticks/s cadence, so
+    the equivalent work there is ~(n_sessions * n_ticks / 2) seconds
+    (250 s at the defaults); one Spark batch does it in a handful of jobs
+    regardless of session count — this is the number that scales to a
+    cluster."""
+    import shutil
+    import tempfile
+
+    from cdc_agents_data_stream_spark.plans.backfill import backfill
+    from cdc_agents_data_stream_spark.state.store import ParquetAppendLog, ParquetStateStore
+    from tests.checkpointgen import gen_checkpoint_tables
+
+    base = tempfile.mkdtemp(prefix="bench-backfill-")
+    try:
+        cps, writes = gen_checkpoint_tables(n_threads=n_sessions, n_ticks=n_ticks, repeat_tick=None)
+        cps.to_parquet(f"{base}/cps.parquet")
+        writes.to_parquet(f"{base}/writes.parquet")
+        store = ParquetStateStore(spark, f"{base}/state")
+        log = ParquetAppendLog(spark, f"{base}/diffs")
+        writes_df = spark.read.parquet(f"{base}/writes.parquet")
+        cps_df = spark.read.parquet(f"{base}/cps.parquet")
+        t0 = time.perf_counter()
+        state = backfill(spark, writes_df, cps_df, store, log)
+        n = state.count()
+        elapsed = round(time.perf_counter() - t0, 3)
+        if n != n_sessions:
+            print(f"# backfill produced {n} state docs, expected {n_sessions}", file=sys.stderr)
+        return elapsed
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     from cdc_agents_data_stream_spark.queries.registry import all_queries
     from cdc_agents_data_stream_spark.session import get_spark
@@ -70,6 +177,12 @@ def main() -> None:
         n = q.fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    bench_streaming_cadence(spark, n_ticks=2)  # warm the streaming plans
+    timings["cdc_stream_20_ticks"] = bench_streaming_cadence(spark)
+    print(f"# cdc_stream_20_ticks: {timings['cdc_stream_20_ticks']}s", file=sys.stderr)
+    timings["cdc_backfill_100_sessions"] = bench_backfill_throughput(spark)
+    print(f"# cdc_backfill_100_sessions: {timings['cdc_backfill_100_sessions']}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

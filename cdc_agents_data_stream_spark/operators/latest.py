@@ -32,16 +32,28 @@ from ..sources.checkpoints import message_writes, with_event_time
 _ORD = lambda: F.struct(F.col("ts_millis"), F.col("checkpoint_id"))  # noqa: E731
 
 
-def joined_writes(writes: DataFrame, checkpoints: DataFrame, broadcast_checkpoints: bool = False) -> DataFrame:
+def joined_writes(
+    writes: DataFrame,
+    checkpoints: DataFrame,
+    broadcast_checkpoints: bool = False,
+    broadcast_writes: bool = False,
+) -> DataFrame:
     """J1: pull event time out of the checkpoints jsonb for each write row
     (dao/CdcCheckpointDao.java:70-71). Projects only the columns downstream
-    operators need so the parquet scan is pruned."""
+    operators need so the parquet scan is pruned.
+
+    Broadcast whichever side is known-small: in streaming, the per-batch
+    write slice (``broadcast_writes``) — the full checkpoint pointer table
+    then never shuffles; in batch with a small pointer dim, the checkpoints
+    side."""
     cp = with_event_time(checkpoints).select("checkpoint_id", "checkpoint_ts", "ts_millis")
     if broadcast_checkpoints:
         cp = F.broadcast(cp)
     w = message_writes(writes).select(
         "thread_id", "checkpoint_id", "task_id", "task_path", "blob"
     )
+    if broadcast_writes:
+        w = F.broadcast(w)
     return w.join(cp, "checkpoint_id", "inner")
 
 
@@ -72,12 +84,14 @@ def latest_checkpoint_for(writes: DataFrame, checkpoints: DataFrame, thread_id: 
     )
 
 
-def latest_blobs_per_task(writes: DataFrame, checkpoints: DataFrame) -> DataFrame:
+def latest_blobs_per_task(
+    writes: DataFrame, checkpoints: DataFrame, broadcast_writes: bool = False
+) -> DataFrame:
     """A1/T1: latest blob per (thread_id, task_path), decoded to UTF-8
     content (dao/CdcCheckpointDao.java:127-152 + C1 decode,
     service/DiffService.java:99). One join + one grouped argmax for ALL
     sessions at once — the unit the state transition consumes."""
-    j = joined_writes(writes, checkpoints)
+    j = joined_writes(writes, checkpoints, broadcast_writes=broadcast_writes)
     blob_ord = F.struct(F.col("ts_millis"), F.col("checkpoint_id"))
     return (
         j.groupBy("thread_id", "task_path")

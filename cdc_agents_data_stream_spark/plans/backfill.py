@@ -108,7 +108,19 @@ def make_transition_fn(source: str, ctx_providers=None):
     return fn
 
 
-def _run_transition(latest: DataFrame, state_df: DataFrame, source: str, ctx_providers=None) -> DataFrame:
+def _run_transition(
+    latest: DataFrame,
+    state_df: DataFrame,
+    source: str,
+    ctx_providers=None,
+    broadcast_state: bool = False,
+) -> DataFrame:
+    """``broadcast_state=True`` is the streaming-batch shape: the slice of
+    state joined per micro-batch is bounded by the batch's session count
+    (and in production the store read is pre-filtered to those sessions),
+    so the outer side broadcasts and the big shuffle disappears."""
+    if broadcast_state:
+        state_df = F.broadcast(state_df)
     enriched = latest.withColumnRenamed("thread_id", "session_id").join(
         state_df, "session_id", "left"
     )

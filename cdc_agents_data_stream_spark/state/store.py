@@ -74,9 +74,17 @@ class ParquetStateStore:
         return self.spark.read.parquet(self._version_dir(v))
 
     def upsert(self, updates: DataFrame, key: str = "session_id") -> None:
-        """MERGE: rows in ``updates`` replace same-key rows, others kept."""
+        """MERGE: rows in ``updates`` replace same-key rows, others kept.
+        The update keyset is broadcast into the anti-join — per-batch
+        updates touch few sessions relative to the full store, so the
+        store side never shuffles (same shape Delta's MERGE uses for a
+        small source)."""
         current = self.read()
-        merged = current.join(updates.select(key), key, "left_anti").unionByName(updates)
+        from pyspark.sql import functions as F
+
+        merged = current.join(
+            F.broadcast(updates.select(key)), key, "left_anti"
+        ).unionByName(updates)
         v = self.current_version() + 1
         merged.write.mode("overwrite").parquet(self._version_dir(v))
         self._commit(v)

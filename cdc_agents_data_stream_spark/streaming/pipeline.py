@@ -85,9 +85,13 @@ def run_foreachbatch_pipeline(
         if batch_df.isEmpty():
             return
         checkpoints = spark.read.parquet(checkpoints_path)
-        latest = latest_blobs_per_task(batch_df, checkpoints)
+        # the per-batch write slice is small: broadcast it against the
+        # (unbounded) pointer table, and broadcast the touched state slice
+        latest = latest_blobs_per_task(batch_df, checkpoints, broadcast_writes=True)
         state_df = state_store.read()
-        updated = _run_transition(latest, state_df, source, ctx_providers).cache()
+        updated = _run_transition(
+            latest, state_df, source, ctx_providers, broadcast_state=True
+        ).cache()
         try:
             updated.count()
             state_store.upsert(updated.drop("batch_diff"))

@@ -22,8 +22,9 @@ def _drop_tick(base, tick: int, n_threads: int = 1):
     """Write one tick's (checkpoints, writes) increment as new files —
     both sides append-only so the running query never sees a file mutate."""
     cps, writes = gen_checkpoint_tables(n_threads=n_threads, n_ticks=tick + 1, repeat_tick=None)
-    cps_tick = cps[cps.checkpoint_id.str.contains(f"-{tick}-")]
-    writes_tick = writes[writes.checkpoint_id.str.contains(f"-{tick}-")]
+    # checkpoint_id = cp-{thread}-{tick}-{hex}: match the exact tick field
+    cps_tick = cps[cps.checkpoint_id.str.split("-").str[2].astype(int) == tick]
+    writes_tick = writes[writes.checkpoint_id.str.split("-").str[2].astype(int) == tick]
     cps_tick.to_parquet(base / "cps" / f"tick-{tick}.parquet")
     writes_tick.to_parquet(base / "writes" / f"tick-{tick}.parquet")
     return cps_tick, writes_tick
