@@ -126,6 +126,95 @@ def lsh_bucketed_topk(
     )
 
 
+CENTROID_MOD = 37  # deterministic coarse quantizer: every 37th vector
+
+
+def ivf_index(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF coarse index: (centroids, assignments).
+
+    Real IVF trains centroids with k-means; for an oracle-reproducible
+    build the coarse quantizer is a deterministic sample (every
+    ``CENTROID_MOD``-th vector) — the *plumbing* (assign → probe → rerank)
+    is identical, and a production build swaps the sample for trained
+    centroids without touching the query path.
+
+    Assignment is one broadcast join corpus × centroids + grouped argmax:
+    at 100 TB the centroid table is tiny (thousands of rows) so the corpus
+    never shuffles for the assignment; ties break on the smaller
+    centroid_id (both engines agree).
+    """
+    base = with_norm(emb, vec_col).select(F.col(id_col), "vec", "norm")
+    cents = base.filter(F.col(id_col) % CENTROID_MOD == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    sim = _dot(F.col("vec"), F.col("cvec")) / (F.col("norm") * F.col("cnorm"))
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .select(F.col(id_col), "vec", "norm", "centroid_id", sim.alias("csim"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.col("centroid_id"), F.struct(F.col("csim"), -F.col("centroid_id"))
+            ).alias("cluster"),
+            F.first("vec").alias("vec"),
+            F.first("norm").alias("norm"),
+        )
+    )
+    return cents, assigned
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids_below: int = 5,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: probe the ``nprobe`` nearest centroid
+    lists per query, rerank only those lists' vectors by exact cosine.
+
+    Plan shape at scale: centroids broadcast twice (assignment + probe
+    selection); the only shuffle keyed on data volume is the
+    cluster-equi-join between probes and the assigned corpus, which
+    replaces the brute-force cross join with a join Catalyst hash-
+    partitions on ``cluster``."""
+    cents, assigned = ivf_index(emb, id_col, vec_col)
+    q = assigned.filter(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    qsim = _dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qcsim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qvec", "qnorm", "centroid_id", qsim.alias("qcsim"))
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qvec", "qnorm", F.col("centroid_id").alias("cluster"))
+    )
+    sims = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (_dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim_r"))
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

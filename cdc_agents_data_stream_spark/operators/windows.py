@@ -1,0 +1,64 @@
+"""Event-time tumbling windows + watermark wrapper.
+
+The reference has no windowed aggregation (SURVEY §2.9: "no
+tumbling/sliding/session windows, no watermark mechanism") — its only
+event-time construct is the manual staleness predicate X3. A lake-scale
+engine needs the real thing: bucketed event-time rollups in batch, and the
+same plan under a watermark in streaming so state is bounded and late data
+is dropped by the engine rather than by hand-written timestamp guards.
+
+``F.window`` buckets align to the epoch origin, matching DuckDB/Postgres
+``time_bucket`` for the oracle. Aggregates follow the cross-engine hash
+rules (exact decimal sums, bigint counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling event-time rollup: count + exact-decimal sum per
+    (window, keys). One shuffle on (window, keys) with map-side partial
+    aggregation; at scale, partition the lake table by a date column so
+    the window grouping reads pruned partitions."""
+    win = F.window(F.col(ts_col), window)
+    return (
+        df.groupBy(win.alias("w"), *keys)
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            # cast tolerates TIMESTAMP_NTZ inputs (session TZ is UTC, so the
+            # re-tag is an identity)
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias("window_start_ms"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def watermarked_tumbling_agg(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    delay: str = "30 minutes",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """The same rollup under a watermark: Spark finalizes a window once
+    event time passes ``window end + delay``, emits it (append mode), and
+    drops later-arriving rows for it — the engine-level version of the
+    reference's manual X3 staleness drop, with bounded state."""
+    return tumbling_agg(
+        stream.withWatermark(ts_col, delay), ts_col, window, keys, value_col
+    )

@@ -10,7 +10,15 @@ def all_queries() -> dict[str, Q]:
 
     registry: dict[str, Q] = {}
     registry.update(relational.QUERIES)
-    for mod_name in ("dedup_queries", "text_queries", "similarity_queries", "multimodal_queries", "message_queries"):
+    for mod_name in (
+        "dedup_queries",
+        "text_queries",
+        "similarity_queries",
+        "multimodal_queries",
+        "message_queries",
+        "asof_queries",
+        "window_queries",
+    ):
         try:
             mod = __import__(f"{__package__}.{mod_name}", fromlist=["QUERIES"])
         except ImportError:

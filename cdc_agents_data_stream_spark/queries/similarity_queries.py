@@ -88,3 +88,50 @@ QUERIES = {
     "ann_lsh_bucketed": Q(ann_lsh_bucketed, ANN_LSH_BUCKETED_SQL, "hyperplane-LSH bucketed top-k"),
     "embedding_neardup": Q(embedding_neardup, EMBEDDING_NEARDUP_SQL, "cosine near-dup pairs"),
 }
+
+
+def ann_ivf_probe(spark, sf_dir):
+    return S.ivf_topk(load(spark, sf_dir, "embeddings"), query_ids_below=5, k=5, nprobe=2)
+
+
+ANN_IVF_PROBE_SQL = f"""
+WITH {_BASE_CTE},
+cents AS (
+  SELECT vec_id AS centroid_id, v AS cvec, norm AS cnorm FROM base
+  WHERE vec_id % {S.CENTROID_MOD} = 0
+),
+assigned AS (
+  SELECT vec_id, v, norm, centroid_id AS cluster FROM (
+    SELECT b.vec_id, b.v, b.norm, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.v, c.cvec) / (b.norm * c.cnorm) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM base b CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM assigned WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, qv, qnorm, centroid_id AS cluster FROM (
+    SELECT q.query_id, q.qv, q.qnorm, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, c.cvec) / (q.qnorm * c.cnorm) DESC,
+                      c.centroid_id ASC) AS probe_rank
+    FROM q CROSS JOIN cents c
+  ) WHERE probe_rank <= 2
+),
+sims AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(a.v, p.qv) / (a.norm * p.qnorm) AS sim
+  FROM assigned a JOIN probes p ON a.cluster = p.cluster AND a.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim_r FROM ranked WHERE rank <= 5
+"""
+
+QUERIES["ann_ivf_probe"] = Q(ann_ivf_probe, ANN_IVF_PROBE_SQL, "IVF probe-rerank ANN")
