@@ -47,6 +47,35 @@ def tumbling_agg(
     )
 
 
+def session_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    keys: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Gap-based sessionization: consecutive events of a key belong to one
+    session while the inter-event gap is <= ``gap`` (inclusive — verified
+    against Spark's merge semantics; an event exactly ``gap`` after the
+    previous one still merges). Emits per-session start/last timestamps
+    and the event count.
+
+    ``F.session_window`` is Spark's native implementation — in streaming
+    it composes with ``withWatermark`` for bounded state; the oracle
+    reproduces it with the gaps-and-islands pattern (lag + running sum).
+    """
+    win = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(win.alias("w"), *keys)
+        .agg(F.count("*").cast("bigint").alias("n_events"), F.max(ts_col).alias("_last"))
+        .select(
+            *keys,
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias("session_start_ms"),
+            F.unix_millis(F.col("_last").cast("timestamp")).alias("session_last_ms"),
+            "n_events",
+        )
+    )
+
+
 def watermarked_tumbling_agg(
     stream: DataFrame,
     ts_col: str = "ts",

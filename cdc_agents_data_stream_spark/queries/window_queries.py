@@ -21,6 +21,67 @@ GROUP BY 1, 2
 """
 
 
+def user_sessionization(spark, sf_dir):
+    from ..operators.windows import session_agg
+
+    return session_agg(load(spark, sf_dir, "events"), "ts", "30 minutes", ("user_id",))
+
+
+USER_SESSIONIZATION_SQL = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+marked AS (
+  SELECT user_id, ts_ms,
+         CASE WHEN LAG(ts_ms) OVER w IS NULL
+                OR ts_ms - LAG(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+),
+sessioned AS (
+  SELECT user_id, ts_ms,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_last_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessioned GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "events_hourly_rollup": Q(events_hourly_rollup, EVENTS_HOURLY_ROLLUP_SQL, "tumbling window"),
+    "user_sessionization": Q(user_sessionization, USER_SESSIONIZATION_SQL, "session window"),
 }
+
+
+def skew_salted_join(spark, sf_dir):
+    """events.event_type has ~5 values over the whole table — maximal key
+    skew. The salted join spreads each hot key over 8 sub-keys; the result
+    (and hence the oracle hash) is identical to the plain join."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "type_code",
+            F.row_number().over(Window.orderBy("event_type")).cast("bigint"),
+        )
+    )
+    return salted_join(ev, dim, on="event_type", n_salts=8)
+
+
+SKEW_SALTED_JOIN_SQL = """
+WITH dim AS (
+  SELECT event_type,
+         CAST(ROW_NUMBER() OVER (ORDER BY event_type) AS BIGINT) AS type_code
+  FROM (SELECT DISTINCT event_type FROM events)
+)
+SELECT e.event_id, e.event_type, d.type_code
+FROM events e JOIN dim d ON e.event_type = d.event_type
+"""
+
+QUERIES["skew_salted_join"] = Q(skew_salted_join, SKEW_SALTED_JOIN_SQL, "salted skew join")

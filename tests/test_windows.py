@@ -82,3 +82,25 @@ def test_batch_and_stream_agree(spark, tmp_path):
         exp[key][0] += 1
         exp[key][1] += v
     assert got == {k: (n, s) for k, (n, s) in exp.items()}
+
+
+def test_session_agg_gap_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from cdc_agents_data_stream_spark.operators.windows import session_agg
+
+    sec = 1000
+    df = spark.createDataFrame(
+        [("u", 0), ("u", 1 * sec), ("u", 2 * sec), ("u", 3 * sec + 1), ("v", 0)],
+        "user_id string, ms long",
+    ).withColumn("ts", F.timestamp_millis(F.col("ms")))
+    rows = sorted(
+        session_agg(df, "ts", "1 second", ("user_id",)).collect(),
+        key=lambda r: (r["user_id"], r["session_start_ms"]),
+    )
+    # u: events at 0,1s,2s merge (inclusive gap); 3s+1ms starts a new session
+    assert [(r["user_id"], r["session_start_ms"], r["n_events"]) for r in rows] == [
+        ("u", 0, 3),
+        ("u", 3001, 1),
+        ("v", 0, 1),
+    ]
