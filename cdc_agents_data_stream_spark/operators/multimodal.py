@@ -104,3 +104,44 @@ def decode_image_real(payload: bytes):  # pragma: no cover - stub
             "use decode_stub_meta for plumbing tests"
         ) from exc
     raise NotImplementedError("real decode path not wired in this build")
+
+
+FEATURE_DIM = 8
+FEATURE_SCHEMA = f"doc_id long, feature array<double>"
+
+
+def feature_extract_stub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched feature extraction (mapInPandas): payload ->
+    fixed-dim embedding. The stub derives ``FEATURE_DIM`` floats in [0,1)
+    from consecutive md5 bytes (deterministic, SQL-reproducible); a real
+    deployment swaps the body for an image/audio encoder and keeps the
+    exact schema and batch shape."""
+    src = df.select(F.col(id_col), F.encode(F.col(text_col), "UTF-8").alias("payload"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                d = hashlib.md5(bytes(p)).hexdigest()
+                feats.append([int(d[2 * j : 2 * j + 2], 16) / 256.0 for j in range(FEATURE_DIM)])
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "feature": feats})
+
+    return src.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_stub(
+    df: DataFrame, every: int = 4, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame sampling plumbing: decode metadata -> one row per sampled
+    frame index (0, every, 2*every, ... < n_frames). The explode happens
+    AFTER decode so only (doc_id, n_frames) fans out, never the payload
+    bytes; a real sampler would rejoin the payload by doc_id for just the
+    sampled frames."""
+    meta = decode_stub_meta(df, text_col, id_col)
+    return meta.select(
+        "doc_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every)).cast("array<int>")
+        ).alias("frame_idx"),
+    )

@@ -40,3 +40,43 @@ QUERIES = {
     "multimodal_binary_meta": Q(multimodal_binary_meta, MULTIMODAL_BINARY_META_SQL, "binary payload metadata"),
     "multimodal_decode_stub": Q(multimodal_decode_stub, MULTIMODAL_DECODE_STUB_SQL, "mapInPandas stub decode"),
 }
+
+
+def multimodal_feature_extract(spark, sf_dir):
+    """Feature vectors are arrays; for a stable cross-engine hash the query
+    emits each dimension as its own rounded column."""
+    from pyspark.sql import functions as F
+
+    feats = M.feature_extract_stub(load(spark, sf_dir, "documents"))
+    return feats.select(
+        "doc_id",
+        *[F.round(F.element_at("feature", j + 1), 6).alias(f"f{j}") for j in range(M.FEATURE_DIM)],
+    )
+
+
+MULTIMODAL_FEATURE_EXTRACT_SQL = f"""
+SELECT doc_id,
+       {", ".join(f"ROUND(CAST('0x' || substr(md5(text), {2*j+1}, 2) AS INT) / 256.0, 6) AS f{j}" for j in range(M.FEATURE_DIM))}
+FROM documents
+"""
+
+
+def multimodal_frame_sample(spark, sf_dir):
+    return M.frame_sample_stub(load(spark, sf_dir, "documents"), every=4)
+
+
+MULTIMODAL_FRAME_SAMPLE_SQL = """
+WITH meta AS (
+  SELECT doc_id, CAST(1 + CAST('0x' || substr(md5(text), 5, 2) AS INT) % 16 AS INT) AS n_frames
+  FROM documents
+)
+SELECT doc_id, n_frames, CAST(UNNEST(range(0, n_frames, 4)) AS INT) AS frame_idx
+FROM meta
+"""
+
+QUERIES["multimodal_feature_extract"] = Q(
+    multimodal_feature_extract, MULTIMODAL_FEATURE_EXTRACT_SQL, "feature extraction stub"
+)
+QUERIES["multimodal_frame_sample"] = Q(
+    multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL, "frame sampling"
+)

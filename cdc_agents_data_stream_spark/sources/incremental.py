@@ -1,0 +1,74 @@
+"""Incremental polling reader with durable offsets (custom source, S1).
+
+The reference consumes the ``checkpoint_writes`` table incrementally via
+Postgres LISTEN/NOTIFY (subscriber/AgentsPostgresSubscriber.java:28-49).
+When neither a CDC feed (Kafka+Debezium) nor a listable file source is
+available — e.g. a plain JDBC database — the Spark-idiomatic replacement
+is an offset-tracked poller: each ``poll()`` reads only rows beyond the
+last committed offset, and the offset is a lexicographic
+``(ts, id)`` pair so late-arriving rows with equal timestamps are not
+skipped (SURVEY §7.3 "small custom reader: offset = max (ts,
+checkpoint_id) seen").
+
+Delivery is at-least-once at the reader (a crash between ``poll`` and
+``commit`` re-reads the batch); the downstream state MERGE is idempotent
+under replay (X3 staleness gate + keyed upsert), so the pipeline effect
+is exactly-once — the same contract Structured Streaming's
+checkpoint+idempotent-sink pattern gives.
+
+The predicate is a plain column comparison, so Catalyst pushes it into
+the scan (JDBC ``WHERE`` / parquet row-group pruning); with a
+monotone-ish ts column the scan cost per poll is proportional to new
+data, not table size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class IncrementalReader:
+    def __init__(self, offset_path: str, ts_col: str, id_col: str):
+        self.offset_path = offset_path
+        self.ts_col = ts_col
+        self.id_col = id_col
+        self._pending: tuple[int, str] | None = None
+
+    # -- offset management ----------------------------------------------------
+
+    def committed_offset(self) -> tuple[int, str]:
+        try:
+            with open(self.offset_path) as fh:
+                o = json.load(fh)
+            return int(o["ts"]), str(o["id"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return (-(2**62), "")
+
+    def commit(self) -> None:
+        """Durably advance to the offset observed by the last ``poll``."""
+        if self._pending is None:
+            return
+        tmp = self.offset_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"ts": self._pending[0], "id": self._pending[1]}, fh)
+        os.replace(tmp, self.offset_path)
+        self._pending = None
+
+    # -- reading ---------------------------------------------------------------
+
+    def poll(self, table: DataFrame) -> DataFrame:
+        """Rows strictly beyond the committed ``(ts, id)`` offset. Records
+        the batch's max offset for the next ``commit()``."""
+        ts, last_id = self.committed_offset()
+        ts_c, id_c = F.col(self.ts_col), F.col(self.id_col)
+        batch = table.filter((ts_c > ts) | ((ts_c == ts) & (id_c > last_id)))
+        row = batch.agg(
+            F.max_by(F.struct(ts_c.alias("ts"), id_c.alias("id")), F.struct(ts_c, id_c)).alias("o")
+        ).collect()[0]["o"]
+        if row is not None:
+            self._pending = (row["ts"], row["id"])
+        return batch

@@ -107,3 +107,26 @@ class ParquetAppendLog:
 
             return self.spark.createDataFrame([], schema or CHECKPOINT_DIFFS_SCHEMA)
         return self.spark.read.parquet(self.path)
+
+    def file_count(self) -> int:
+        if not os.path.isdir(self.path):
+            return 0
+        return sum(1 for f in os.listdir(self.path) if f.endswith(".parquet"))
+
+    def compact(self, target_files: int = 4, min_files: int = 32) -> bool:
+        """Small-file compaction: each micro-batch appends a few tiny
+        parquet files; once ``min_files`` accumulate, rewrite the log into
+        ``target_files`` files (sorted by (session, seq) so range scans
+        prune). The rewrite goes to a temp dir and swaps in atomically —
+        the same pattern a Delta OPTIMIZE job runs on a schedule. Returns
+        True when a compaction happened."""
+        if self.file_count() < min_files:
+            return False
+        df = self.read().sortWithinPartitions("session_id", "sequence_number")
+        tmp = self.path + ".compact-tmp"
+        df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+        old = self.path + ".compact-old"
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        return True

@@ -1,0 +1,84 @@
+"""Incremental polling reader: offset advance, equal-ts tie handling,
+crash recovery (uncommitted poll re-reads)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from cdc_agents_data_stream_spark.sources.incremental import IncrementalReader
+
+
+def _append(base, name, rows):
+    pd.DataFrame(rows, columns=["ts_millis", "checkpoint_id", "payload"]).to_parquet(
+        base / f"{name}.parquet"
+    )
+
+
+def test_poll_commit_cycle(spark, tmp_path):
+    table_dir = tmp_path / "tbl"
+    table_dir.mkdir()
+    _append(table_dir, "a", [(100, "c1", "x"), (200, "c2", "y")])
+    rd = IncrementalReader(str(tmp_path / "offset.json"), "ts_millis", "checkpoint_id")
+
+    t = lambda: spark.read.parquet(str(table_dir))
+    b1 = rd.poll(t())
+    assert {r["checkpoint_id"] for r in b1.collect()} == {"c1", "c2"}
+    rd.commit()
+
+    # equal-ts, larger-id row must still be picked up
+    _append(table_dir, "b", [(200, "c3", "z"), (300, "c4", "w")])
+    b2 = rd.poll(t())
+    assert {r["checkpoint_id"] for r in b2.collect()} == {"c3", "c4"}
+    rd.commit()
+
+    assert rd.poll(t()).count() == 0
+
+
+def test_uncommitted_poll_replays(spark, tmp_path):
+    table_dir = tmp_path / "tbl"
+    table_dir.mkdir()
+    _append(table_dir, "a", [(100, "c1", "x")])
+    path = str(tmp_path / "offset.json")
+    rd = IncrementalReader(path, "ts_millis", "checkpoint_id")
+    t = lambda: spark.read.parquet(str(table_dir))
+    assert rd.poll(t()).count() == 1
+    # no commit -> a fresh reader (post-crash) re-reads the batch
+    rd2 = IncrementalReader(path, "ts_millis", "checkpoint_id")
+    assert rd2.poll(t()).count() == 1
+    rd2.commit()
+    assert IncrementalReader(path, "ts_millis", "checkpoint_id").poll(t()).count() == 0
+
+
+def test_pushdown_reaches_scan(spark, tmp_path):
+    table_dir = tmp_path / "tbl"
+    table_dir.mkdir()
+    _append(table_dir, "a", [(100, "c1", "x")])
+    rd = IncrementalReader(str(tmp_path / "offset.json"), "ts_millis", "checkpoint_id")
+    rd.poll(spark.read.parquet(str(table_dir)))
+    rd.commit()
+    batch = rd.poll(spark.read.parquet(str(table_dir)))
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "ts_millis" in plan.split("PushedFilters")[1][:200]
+
+
+def test_append_log_compaction(spark, tmp_path):
+    import pandas as pd
+
+    from cdc_agents_data_stream_spark.state.store import ParquetAppendLog
+
+    log = ParquetAppendLog(spark, str(tmp_path / "log"))
+    for i in range(40):
+        log.append(
+            spark.createDataFrame(
+                [(f"s{i % 3}", i, "cdc", "{}", 1000 + i)],
+                "session_id string, sequence_number int, source string, diff_data string, ts_millis long",
+            ).coalesce(1)
+        )
+    assert log.file_count() >= 40
+    assert log.compact(target_files=4) is True
+    assert log.file_count() <= 4
+    # content preserved
+    assert log.read().count() == 40
+    assert log.read().selectExpr("max(sequence_number)").collect()[0][0] == 39
+    # below threshold -> no-op
+    assert log.compact() is False
