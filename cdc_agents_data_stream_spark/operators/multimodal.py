@@ -145,3 +145,24 @@ def frame_sample_stub(
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every)).cast("array<int>")
         ).alias("frame_idx"),
     )
+
+
+def resize_stub(
+    df: DataFrame, max_dim: int = 32, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Resize plumbing: decoded dims -> aspect-preserving bounded dims.
+    The arithmetic is integer-only JVM expressions layered on the decode
+    stage (a real resizer would also rewrite the payload inside the same
+    mapInPandas pass; the dimension math is what downstream schemas see).
+    No upscaling: frames already within ``max_dim`` keep their size."""
+    meta = decode_stub_meta(df, text_col, id_col)
+    m = F.greatest(F.col("width"), F.col("height"))
+    scale_w = F.greatest(F.lit(1), F.expr(f"(width * {max_dim}) DIV greatest(width, height)"))
+    scale_h = F.greatest(F.lit(1), F.expr(f"(height * {max_dim}) DIV greatest(width, height)"))
+    return meta.select(
+        "doc_id",
+        "width",
+        "height",
+        F.when(m <= max_dim, F.col("width")).otherwise(scale_w).cast("int").alias("out_width"),
+        F.when(m <= max_dim, F.col("height")).otherwise(scale_h).cast("int").alias("out_height"),
+    )

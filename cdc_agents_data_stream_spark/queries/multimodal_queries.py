@@ -80,3 +80,25 @@ QUERIES["multimodal_feature_extract"] = Q(
 QUERIES["multimodal_frame_sample"] = Q(
     multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL, "frame sampling"
 )
+
+
+def multimodal_resize(spark, sf_dir):
+    return M.resize_stub(load(spark, sf_dir, "documents"), max_dim=32)
+
+
+MULTIMODAL_RESIZE_SQL = """
+WITH meta AS (
+  SELECT doc_id,
+         CAST(1 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64 AS INT) AS width,
+         CAST(1 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 64 AS INT) AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CAST(CASE WHEN greatest(width, height) <= 32 THEN width
+                 ELSE greatest(1, (width * 32) // greatest(width, height)) END AS INT) AS out_width,
+       CAST(CASE WHEN greatest(width, height) <= 32 THEN height
+                 ELSE greatest(1, (height * 32) // greatest(width, height)) END AS INT) AS out_height
+FROM meta
+"""
+
+QUERIES["multimodal_resize"] = Q(multimodal_resize, MULTIMODAL_RESIZE_SQL, "resize dims stage")

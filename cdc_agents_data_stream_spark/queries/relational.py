@@ -416,3 +416,46 @@ QUERIES: dict[str, Q] = {
     "tpch_q3": Q(tpch_q3, TPCH_Q3_SQL, "bench: shipping priority"),
     "tpch_q5_region_revenue": Q(tpch_q5_region_revenue, TPCH_Q5_REGION_REVENUE_SQL, "bench: 6-way join"),
 }
+
+
+# --- beyond-reference aggregates: grouping sets + exact percentiles ----------
+
+def orders_status_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (the reference has none — SURVEY §2.4); totals
+    and subtotals in one pass."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
+
+
+ORDERS_STATUS_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def event_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the linear-interpolation definition)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 5).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 5).alias("p90"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+EVENT_VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 5) AS p50,
+       ROUND(quantile_cont(value, 0.9), 5) AS p90,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+QUERIES["orders_status_rollup"] = Q(orders_status_rollup, ORDERS_STATUS_ROLLUP_SQL, "grouping sets")
+QUERIES["event_value_percentiles"] = Q(event_value_percentiles, EVENT_VALUE_PERCENTILES_SQL, "exact percentiles")
