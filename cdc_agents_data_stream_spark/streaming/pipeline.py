@@ -120,17 +120,41 @@ def run_foreachbatch_pipeline(
 
 _STATE_SCHEMA = "state_json string"
 _OUTPUT_SCHEMA = (
-    "session_id string, sequence_number int, state_json string, batch_diff string"
+    "session_id string, sequence_number int, state_json string, batch_diff string, "
+    "evicted boolean"
 )
 
 
-def make_stateful_update(ctx_providers=None):
+def make_stateful_update(ctx_providers=None, ttl_ms: int | None = None):
     """Build the keyed-state update function; ``ctx_providers`` (UD5) run
     inside the per-session group, so consume-once side inputs (X9) stay
-    serialized per key exactly like the batch path."""
+    serialized per key exactly like the batch path.
+
+    ``ttl_ms`` bounds state for idle sessions: each update re-arms a
+    processing-time timeout; when it fires, the session's final state is
+    emitted once more (flagged ``evicted``) and removed from the store.
+    The durable copy lives in the MERGE-ed state table, so a session that
+    wakes after eviction is re-seeded from the lake, not lost — state
+    size tracks ACTIVE sessions, not all sessions ever seen."""
 
     def _stateful_update(key, pdfs, state: GroupState):
         session_id = key[0]
+        if ttl_ms is not None and state.hasTimedOut:
+            (state_json,) = state.get
+            doc = json.loads(state_json)
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "session_id": session_id,
+                        "sequence_number": int(doc["sequence_number"]),
+                        "state_json": state_json,
+                        "batch_diff": None,
+                        "evicted": True,
+                    }
+                ]
+            )
+            return
         prior: dict[str, Any] | None = None
         if state.exists:
             (state_json,) = state.get
@@ -151,6 +175,8 @@ def make_stateful_update(ctx_providers=None):
             return
         doc, diff = transition(prior, session_id, items, source="cdc", ctx_providers=ctx_providers)
         state.update((json.dumps(doc),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
             [
                 {
@@ -158,6 +184,7 @@ def make_stateful_update(ctx_providers=None):
                     "sequence_number": int(doc["sequence_number"]),
                     "state_json": json.dumps(doc),
                     "batch_diff": json.dumps(diff) if diff is not None else None,
+                    "evicted": False,
                 }
             ]
         )
@@ -165,15 +192,19 @@ def make_stateful_update(ctx_providers=None):
     return _stateful_update
 
 
-def stateful_updates(joined_stream: DataFrame, ctx_providers=None) -> DataFrame:
+def stateful_updates(joined_stream: DataFrame, ctx_providers=None, ttl_ms: int | None = None) -> DataFrame:
     """groupBy(session).applyInPandasWithState over pre-joined checkpoint
     rows (session_id, task_id, content, ts_millis, checkpoint_id)."""
     return joined_stream.groupBy("session_id").applyInPandasWithState(
-        make_stateful_update(ctx_providers),
+        make_stateful_update(ctx_providers, ttl_ms),
         outputStructType=_OUTPUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -185,6 +216,7 @@ def run_stateful_pipeline(
     trigger: dict[str, Any] | None = None,
     output_path: str | None = None,
     ctx_providers=None,
+    ttl_ms: int | None = None,
 ):
     """Stream pre-joined checkpoint rows through Spark-managed keyed state.
 
@@ -197,7 +229,7 @@ def run_stateful_pipeline(
         "ts_millis long, checkpoint_id string"
     )
     stream = spark.readStream.schema(schema).parquet(joined_dir)
-    out = stateful_updates(stream, ctx_providers)
+    out = stateful_updates(stream, ctx_providers, ttl_ms)
     writer = out.writeStream.queryName(query_name).option(
         "checkpointLocation", checkpoint_location
     )
