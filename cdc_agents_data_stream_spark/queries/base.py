@@ -22,11 +22,17 @@ from pyspark.sql import functions as F
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) in parquet, which vanilla Spark
+        # rejects outright (PARQUET_TYPE_ILLEGAL). nanosAsLong is a
+        # runtime-settable SQL conf, so set it here — the contract must work
+        # on ANY caller-supplied session, not only ones built by session.py.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as a long
-        # (nanosAsLong). Normalize to a µs-precision timestamp. Oracles must
-        # order by epoch_us(ts) so both engines sort at µs precision.
+        # With nanosAsLong Spark reads ts as a bigint of epoch-nanoseconds.
+        # Normalize to a µs-precision timestamp. Oracles must order by
+        # epoch_us(ts) so both engines sort at µs precision.
         if dict(df.dtypes).get("ts") == "bigint":
             # integer DIV — ns values overflow double precision, so no `/`
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

@@ -88,7 +88,7 @@ TOKEN_COUNT_BPE_SQL = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 SELECT doc_id,
        len(toks) AS ws_token_cnt,
-       list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS subword_cnt
+       CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS subword_cnt
 FROM t
 """
 

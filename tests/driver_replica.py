@@ -1,0 +1,57 @@
+"""Replicate the driver's correctness harness: vanilla SparkSession, every
+declared query vs its DuckDB oracle, type-strict value comparison.
+
+Run: python tests/driver_replica.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as e
+    from tests.oracle_harness import compare, duck_con
+
+    # Vanilla session — no engine config, like the driver builds.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-replica")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    con = duck_con(sf_dir)
+    qs, oracles = e.queries(), e.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        try:
+            df = fn(spark, sf_dir)
+            if name in oracles:
+                problems = compare(df, con, oracles[name], name)
+                if problems:
+                    failed.append(name)
+                    print(f"FAIL {name}")
+                    for p in problems[:3]:
+                        print("   ", p)
+                else:
+                    print(f"ok   {name}")
+            else:
+                n = df.count()
+                print(f"ok   {name} (rows-only: {n})")
+        except Exception:
+            failed.append(name)
+            print(f"ERR  {name}")
+            traceback.print_exc(limit=3)
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} green; failed: {failed}")
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))

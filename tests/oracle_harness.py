@@ -71,7 +71,14 @@ def compare(spark_df, con, oracle_sql: str, name: str) -> list[str]:
     for i, (sr, dr) in enumerate(zip(s_sorted, d_sorted)):
         for c, sv, dv in zip(d_cols, sr, dr):
             ns, nd = _norm(sv), _norm(dv)
-            if isinstance(ns, tuple) and isinstance(nd, tuple) and ns[0] in "fi" and nd[0] in "fi":
+            # Type-strict: an int on one side vs a float on the other is a
+            # mismatch — the driver's value hash is computed on raw typed
+            # values, so BIGINT vs DOUBLE hash-differs even when equal.
+            if isinstance(ns, tuple) and isinstance(nd, tuple) and ns[0] != nd[0]:
+                problems.append(f"{name}: row {i} col {c}: type spark={sv!r} duck={dv!r}")
+                if len(problems) > 5:
+                    return problems
+            elif isinstance(ns, tuple) and isinstance(nd, tuple) and ns[0] == "f" and nd[0] == "f":
                 if not math.isclose(ns[1], nd[1], rel_tol=0, abs_tol=FLOAT_EPS):
                     problems.append(f"{name}: row {i} col {c}: spark={sv!r} duck={dv!r}")
                     if len(problems) > 5:
