@@ -103,11 +103,16 @@ def transition(
     diffs_key = f"{source}_checkpoint_diffs"
     state = copy.deepcopy(state) if state is not None else new_state(session_id)
 
-    # A1: argmax per task by timestamp.
+    # A1: argmax per task by (timestamp, checkpoint_id) — same deterministic
+    # tie-break as the DataFrame-side max_by in operators/latest.py, so
+    # feeding unreduced rows through here matches the windowed reduction.
     newest_per_task: dict[str, dict[str, Any]] = {}
     for item in new_items:
         cur = newest_per_task.get(item["task_id"])
-        if cur is None or item["timestamp"] > cur["timestamp"]:
+        if cur is None or (item["timestamp"], item.get("checkpoint_id") or "") > (
+            cur["timestamp"],
+            cur.get("checkpoint_id") or "",
+        ):
             newest_per_task[item["task_id"]] = item
 
     prev_content = state[content_key]

@@ -40,6 +40,11 @@ def get_spark(app_name: str = "cdc-agents-data-stream-spark", master: str | None
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Spark 4.1's streaming-checkpoint checksum manager deadlocks in
+        # ChecksumCheckpointFileManager.awaitResult when a stateful query's
+        # state-store delta files are committed/aborted on local[...] (its
+        # async checksum pool starves); stateful queries hang without this.
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     )
     if master is not None:
         builder = builder.master(master)

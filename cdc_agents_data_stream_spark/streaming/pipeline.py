@@ -34,6 +34,8 @@ diffs go to the append-only log, not into state.
 from __future__ import annotations
 
 import json
+import time
+from datetime import datetime, timezone
 from typing import Any
 
 import pandas as pd
@@ -41,7 +43,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..operators.latest import latest_blobs_per_task
 from ..operators.merge import transition
 from ..plans.backfill import _run_transition, doc_to_state_row, state_row_to_doc
 from ..schemas import CHECKPOINT_WRITES_SCHEMA
@@ -58,6 +59,20 @@ def read_writes_stream(spark: SparkSession, writes_dir: str, max_files_per_trigg
     return reader.parquet(writes_dir)
 
 
+def _parse_ts_millis(s: str | None) -> int | None:
+    """Python twin of ``to_timestamp(...)`` + ``unix_millis`` on a UTC
+    session: ISO/space-separated timestamp text → epoch millis."""
+    if not s:
+        return None
+    try:
+        dt = datetime.fromisoformat(s)
+    except ValueError:
+        return None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
 def run_foreachbatch_pipeline(
     spark: SparkSession,
     writes_dir: str,
@@ -69,32 +84,154 @@ def run_foreachbatch_pipeline(
     trigger: dict[str, Any] | None = None,
     max_files_per_trigger: int | None = None,
     ctx_providers=None,
+    small_batch_max_rows: int = 500,
 ):
-    """Production-shaped path: stream writes, re-join the (slow-changing)
-    checkpoint pointer table per batch, MERGE per-session state docs.
+    """Production-shaped path: stream writes, join the (slow-changing)
+    checkpoint pointer table, MERGE per-session state docs.
 
     ``max_files_per_trigger`` bounds how much of the backlog one micro-batch
     absorbs. Left unset, a slow batch absorbs every tick that arrived in the
     meantime and the latest-per-task reduction collapses them into ONE state
     transition (the reference's staleness-drop semantics X3 applied across
     the collapsed ticks); set to 1 to mirror the reference's one-transition-
-    per-NOTIFY-event cadence exactly."""
-    stream = read_writes_stream(spark, writes_dir, max_files_per_trigger)
+    per-NOTIFY-event cadence exactly.
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+    Exactly-once: diffs are appended BEFORE the state commit, keyed by
+    (session_id, sequence_number, source). A crash between the two replays
+    the batch against the uncommitted state, recomputes the identical diff,
+    and appends it again — ``diff_log.read(dedup=True)`` collapses the
+    replica. (Diff-after-state would instead LOSE the diff: on replay the
+    transition sees the update already absorbed and emits None.)
+
+    Two execution paths per micro-batch, chosen by measured batch size —
+    the same transition kernel, state bucket layout, and commit protocol
+    serve both, so they interleave freely on one store:
+
+    - **small batch** (≤ ``small_batch_max_rows`` rows — the reference's
+      cadence is 5 rows/tick): the rows are collected once and the whole
+      join → latest-per-task → transition → MERGE → diff append runs
+      driver-side on pyarrow. Spark job launch costs a fixed ~0.2 s on the
+      test host regardless of data size, so a 5-row tick through the
+      distributed plan pays ~7 job launches of pure overhead; the fast
+      path pays ONE (the collect). This is how the 2-batches/s reference
+      cadence is matched.
+    - **large batch** (backlog absorption, backfill-scale): the
+      distributed plan — broadcast the write slice against the cached
+      pointer table, bucket-pruned state read, grouped Arrow transition,
+      bucketed MERGE. This is the path that scales to 1000 executors; the
+      threshold only decides who pays the per-job overhead.
+
+    The checkpoint pointer lookup is cached across batches in both paths
+    (driver dict keyed by checkpoint_id / cached DataFrame)."""
+    stream = read_writes_stream(spark, writes_dir, max_files_per_trigger)
+    cps_df_cache: list[DataFrame] = []
+    cps_ts_cache: dict[str, int | None] = {}
+
+    def _cps_ts_lookup(ids: set[str]) -> dict[str, int]:
+        """checkpoint_id -> event-time millis from the pointer table's
+        jsonb ($.ts), via a pyarrow predicate-pushdown read of only the
+        missing ids (row groups prune on checkpoint_id)."""
+        missing = [i for i in ids if i not in cps_ts_cache]
+        if missing:
+            import pyarrow.dataset as ds
+
+            tbl = ds.dataset(checkpoints_path, format="parquet").to_table(
+                columns=["checkpoint_id", "checkpoint"],
+                filter=ds.field("checkpoint_id").isin(missing),
+            )
+            for cid, cp in zip(
+                tbl.column("checkpoint_id").to_pylist(), tbl.column("checkpoint").to_pylist()
+            ):
+                try:
+                    ts = json.loads(cp).get("ts") if cp else None
+                except (ValueError, TypeError):
+                    ts = None
+                cps_ts_cache[cid] = _parse_ts_millis(ts)
+            for cid in missing:
+                cps_ts_cache.setdefault(cid, None)
+        return {i: cps_ts_cache[i] for i in ids if cps_ts_cache.get(i) is not None}
+
+    def _process_small(rows: list[dict], now_ms: int) -> None:
+        msg = [
+            r
+            for r in rows
+            if r["channel"] == "messages" and r["type"] == "list" and r["blob"]
+        ]
+        if not msg:
             return
-        checkpoints = spark.read.parquet(checkpoints_path)
-        # the per-batch write slice is small: broadcast it against the
-        # (unbounded) pointer table, and broadcast the touched state slice
-        latest = latest_blobs_per_task(batch_df, checkpoints, broadcast_writes=True)
-        state_df = state_store.read()
+        ts_by_cp = _cps_ts_lookup({r["checkpoint_id"] for r in msg})
+        by_session: dict[str, list[dict]] = {}
+        for r in msg:
+            ts = ts_by_cp.get(r["checkpoint_id"])
+            if ts is None:
+                continue  # no pointer row yet — same as the inner join
+            by_session.setdefault(r["thread_id"], []).append(
+                {
+                    "task_id": r["task_path"],
+                    "content": bytes(r["blob"]).decode("utf-8"),
+                    "timestamp": ts,
+                    "thread_id": r["thread_id"],
+                    "checkpoint_id": r["checkpoint_id"],
+                }
+            )
+        if not by_session:
+            return
+        prior_rows = state_store.read_docs(list(by_session))
+        state_rows, diff_rows = [], []
+        for sid, items in by_session.items():
+            prior = state_row_to_doc(prior_rows[sid]) if sid in prior_rows else None
+            doc, diff = transition(
+                prior, sid, items, source=source, ctx_providers=ctx_providers
+            )
+            state_rows.append(doc_to_state_row(doc, now_ms))
+            if diff is not None:
+                diff_rows.append(
+                    {
+                        "session_id": sid,
+                        "sequence_number": int(diff["sequenceNumber"]),
+                        "source": source,
+                        "diff_data": json.dumps(diff["diffData"], separators=(",", ":")),
+                        "ts_millis": now_ms,
+                    }
+                )
+        diff_log.append_rows(diff_rows)
+        state_store.upsert_rows(state_rows)
+
+    def _process_large(batch_df: DataFrame) -> None:
+        if not cps_df_cache:
+            from ..sources.checkpoints import with_event_time
+
+            cp = (
+                with_event_time(spark.read.parquet(checkpoints_path))
+                .select("checkpoint_id", "ts_millis")
+                .cache()
+            )
+            cp.count()
+            cps_df_cache.append(cp)
+        checkpoints = cps_df_cache[0]
+        from ..sources.checkpoints import message_writes
+
+        # broadcast the batch slice against the (unbounded, cached) pointer
+        # table; no window argmax here — the grouped transition reduces to
+        # latest-per-task itself with the same tie-break
+        w = message_writes(batch_df).select(
+            "thread_id", "checkpoint_id", F.col("task_path").alias("task_id"), "blob"
+        )
+        latest = (
+            F.broadcast(w)
+            .join(checkpoints, "checkpoint_id", "inner")
+            .withColumn("content", F.decode(F.col("blob"), "UTF-8"))
+            .drop("blob")
+        )
+        # bucket-pruned state read: only the buckets this batch's sessions
+        # hash to are scanned (broadcast below keeps the join shuffle-free)
+        state_df = state_store.read(
+            keys=w.select(F.col("thread_id").alias("session_id")), key="session_id"
+        )
         updated = _run_transition(
             latest, state_df, source, ctx_providers, broadcast_state=True
         ).cache()
         try:
-            updated.count()
-            state_store.upsert(updated.drop("batch_diff"))
             diffs = updated.filter(F.col("batch_diff").isNotNull()).select(
                 F.col("session_id"),
                 F.get_json_object("batch_diff", "$.sequenceNumber").cast("int").alias("sequence_number"),
@@ -103,8 +240,20 @@ def run_foreachbatch_pipeline(
                 F.col("updated_ts_millis").alias("ts_millis"),
             )
             diff_log.append(diffs)
+            state_store.upsert(updated.drop("batch_diff"))
         finally:
             updated.unpersist()
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # one probe job doubles as the emptiness check and the fast-path
+        # collect; a large batch reads at most threshold+1 rows here
+        probe = batch_df.limit(small_batch_max_rows + 1).collect()
+        if not probe:
+            return
+        if len(probe) <= small_batch_max_rows:
+            _process_small([r.asDict() for r in probe], int(time.time() * 1000))
+        else:
+            _process_large(batch_df)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
@@ -223,6 +372,12 @@ def run_stateful_pipeline(
     ``joined_dir`` holds parquet rows with (session_id, task_id, content,
     ts_millis, checkpoint_id) — the shape ``latest_blobs_per_task``
     produces (a Kafka source would arrive pre-joined the same way).
+
+    CAUTION: with ``ttl_ms`` set the query uses ProcessingTimeTimeout, and
+    a ProcessingTimeTimeout query under ``trigger={'availableNow': True}``
+    NEVER terminates on Spark 4.1 — the engine keeps scheduling batches in
+    case a timer fires, so ``awaitTermination`` blocks forever. Run TTL
+    queries with a continuous trigger and stop them explicitly.
     """
     schema = (
         "session_id string, task_id string, content string, "

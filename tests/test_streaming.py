@@ -18,6 +18,17 @@ from cdc_agents_data_stream_spark.streaming.pipeline import (
 from tests.checkpointgen import gen_checkpoint_tables
 
 
+@pytest.fixture(autouse=True)
+def _small_shuffle(spark):
+    """Streaming tests run many micro-batches over a handful of rows; 32
+    shuffle/state partitions multiply every batch's task count for nothing.
+    Runtime conf is picked up at query start, so set it per-test."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _drop_tick(base, tick: int, n_threads: int = 1):
     """Write one tick's (checkpoints, writes) increment as new files —
     both sides append-only so the running query never sees a file mutate."""
@@ -148,59 +159,71 @@ def test_stateful_pipeline_available_now(spark, tmp_path):
 
 def test_stateful_ttl_evicts_idle_sessions(spark, tmp_path):
     """Processing-time TTL: an idle session's state is emitted once with
-    evicted=True and removed; a later event re-seeds from scratch."""
+    evicted=True and removed; a later event re-seeds from scratch.
+
+    One continuously-running query (a ProcessingTimeTimeout query under
+    availableNow never terminates — see run_stateful_pipeline docstring);
+    file drops advance the stream, output-polling advances the test."""
     import pandas as pd
 
     joined_dir = tmp_path / "joined"
     joined_dir.mkdir()
     out_dir = tmp_path / "out"
 
-    runs = [0]
-
-    def run():
-        runs[0] += 1
-        q = run_stateful_pipeline(
-            spark,
-            str(joined_dir),
-            checkpoint_location=str(tmp_path / "ckpt"),
-            query_name=f"ttl_run_{runs[0]}",
-            trigger={"availableNow": True},
-            output_path=str(out_dir),
-            ttl_ms=500,
-        )
+    def rows():
         try:
-            q.awaitTermination(240)
-        finally:
-            q.stop()
+            return spark.read.parquet(str(out_dir)).collect()
+        except Exception:  # sink dir not committed yet
+            return []
+
+    def wait_for(pred, what: str, deadline_s: float = 120.0):
+        deadline = time.time() + deadline_s
+        while time.time() < deadline:
+            r = rows()
+            if pred(r):
+                return r
+            time.sleep(0.5)
+        raise AssertionError(f"timed out waiting for {what}; rows={rows()}")
 
     pd.DataFrame(
         [{"session_id": "s1", "task_id": "a", "content": "x", "ts_millis": 1000, "checkpoint_id": "c1"}]
     ).to_parquet(joined_dir / "b0.parquet")
-    run()
-
-    time.sleep(1.5)  # let the 500ms TTL lapse in processing time
-    # next batch carries a DIFFERENT session; s1 gets no data -> timeout fires
-    pd.DataFrame(
-        [{"session_id": "s2", "task_id": "a", "content": "y", "ts_millis": 2000, "checkpoint_id": "c2"}]
-    ).to_parquet(joined_dir / "b1.parquet")
-    run()
-
-    rows = spark.read.parquet(str(out_dir)).collect()
-    # s1 must be evicted: its final state re-emitted once, flagged, seq intact.
-    # (s2 may ALSO time out within the same run — micro-batch latency easily
-    # exceeds a 500ms TTL — so we assert s1's eviction, not the full set.)
-    s1_evicted = [r for r in rows if r["evicted"] and r["session_id"] == "s1"]
-    assert len(s1_evicted) == 1
-    assert s1_evicted[0]["sequence_number"] == 1
-    assert json.loads(s1_evicted[0]["state_json"])["sequence_number"] == 1
-
-    # s1 wakes after eviction: Spark state is gone, so seq restarts at 1
-    pd.DataFrame(
-        [{"session_id": "s1", "task_id": "a", "content": "z", "ts_millis": 3000, "checkpoint_id": "c3"}]
-    ).to_parquet(joined_dir / "b2.parquet")
-    run()
-    s1_rows = sorted(
-        (r for r in spark.read.parquet(str(out_dir)).collect() if r["session_id"] == "s1" and not r["evicted"]),
-        key=lambda r: r["checkpoint_id"] if r["batch_diff"] else "",
+    query = run_stateful_pipeline(
+        spark,
+        str(joined_dir),
+        checkpoint_location=str(tmp_path / "ckpt"),
+        query_name="ttl_run",
+        output_path=str(out_dir),
+        ttl_ms=500,
     )
-    assert [r["sequence_number"] for r in s1_rows] == [1, 1]
+    try:
+        wait_for(
+            lambda r: any(x["session_id"] == "s1" and not x["evicted"] for x in r),
+            "s1 initial state",
+        )
+        # s1 now idle; its 500ms timer fires in a subsequent (possibly
+        # empty) micro-batch. A different session keeps the stream busy.
+        pd.DataFrame(
+            [{"session_id": "s2", "task_id": "a", "content": "y", "ts_millis": 2000, "checkpoint_id": "c2"}]
+        ).to_parquet(joined_dir / "b1.parquet")
+        r = wait_for(
+            lambda r: any(x["session_id"] == "s1" and x["evicted"] for x in r),
+            "s1 eviction",
+        )
+        s1_evicted = [x for x in r if x["evicted"] and x["session_id"] == "s1"]
+        assert len(s1_evicted) == 1
+        assert s1_evicted[0]["sequence_number"] == 1
+        assert json.loads(s1_evicted[0]["state_json"])["sequence_number"] == 1
+
+        # s1 wakes after eviction: Spark state is gone, so seq restarts at 1
+        pd.DataFrame(
+            [{"session_id": "s1", "task_id": "a", "content": "z", "ts_millis": 3000, "checkpoint_id": "c3"}]
+        ).to_parquet(joined_dir / "b2.parquet")
+        r = wait_for(
+            lambda r: sum(1 for x in r if x["session_id"] == "s1" and not x["evicted"]) == 2,
+            "s1 re-seed",
+        )
+        seqs = [x["sequence_number"] for x in r if x["session_id"] == "s1" and not x["evicted"]]
+        assert seqs == [1, 1]
+    finally:
+        query.stop()
