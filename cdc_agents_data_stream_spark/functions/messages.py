@@ -93,6 +93,15 @@ def message_list(json_col: Column) -> Column:
     return F.from_json(json_col, T.ArrayType(T.StringType()))
 
 
+def with_message_id(df: DataFrame, msg_col: str = "message", id_col: str = "msg_id") -> DataFrame:
+    """C11: assign a UUID where the decoded message lacks an ``id``
+    (model/BaseMessage.java:169 generates one on access). ``uuid()`` is
+    JVM-side and per-row — no Python in the path."""
+    return df.withColumn(
+        id_col, F.coalesce(F.col(f"{msg_col}.id"), F.expr("uuid()"))
+    )
+
+
 def parse_trigger(json_col: Column) -> Column:
     """S2: NOTIFY payload ``{"thread_id","checkpoint_id"}`` -> struct.
     Malformed payloads parse to a null struct (the reference returns

@@ -41,6 +41,12 @@ from ..functions.diffkernel import diff_task_maps
 
 START_KEY_MARKER = "__start__"
 
+# ``__start__`` keys accumulate history instead of LWW-replacing — by design
+# unbounded in the reference (DataStreamService.java:72-93). A state document
+# must stay micro-batch-sized, so the history is capped: oldest entries are
+# trimmed beyond this many items (the diff log retains the full history).
+START_HISTORY_MAX = 1024
+
 
 def new_state(session_id: str) -> dict[str, Any]:
     return {
@@ -76,6 +82,8 @@ def merge_item(content_map: dict[str, list[dict[str, Any]]], task_id: str, item:
     elif START_KEY_MARKER in task_id:
         if all(it["timestamp"] != item["timestamp"] for it in existing):
             existing.append(item)
+            if len(existing) > START_HISTORY_MAX:
+                del existing[: len(existing) - START_HISTORY_MAX]
     else:
         existing.clear()
         existing.append(item)

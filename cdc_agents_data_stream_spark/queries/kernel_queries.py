@@ -1,0 +1,283 @@
+"""Oracle-checked queries exercising the diff/merge/state kernel and the
+checkpoint-blob message path — the heart of the reference
+(service/DiffService.java:47-126, service/DataStreamService.java:61-93,
+dao/CdcCheckpointDao.java:72) — via the construct-then-process pattern:
+deterministic inputs are built from ``events`` rows, the kernel under test
+runs distributed (mapInPandas / applyInPandas), and the oracle computes
+the analytically-known outcome, so a kernel regression breaks the hash.
+
+Coverage: UD1/UD2 (Myers line diff op shapes), X2 (LWW + ``__start__``
+accumulate), X3 (staleness drop), X6 (monotone sequence numbers), F1 +
+UD4 + message-list explode (blob → typed messages end-to-end), C11 (UUID
+assignment for id-less messages, model/BaseMessage.java:169).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..functions.diffkernel import REMOVE, REPLACE, diff_lines
+from ..functions.messages import (
+    MESSAGE_TYPES,
+    message_list,
+    parse_messages,
+    with_message_id,
+)
+from ..operators.merge import transition
+from ..sources.checkpoints import message_writes
+from .base import Q, load
+
+
+# --- UD1/UD2: line-diff op shapes --------------------------------------------
+
+def line_diff_ops(spark, sf_dir):
+    """Each event constructs a before/after pair whose single diff op is
+    analytically known: case ``event_id % 3`` selects insert / remove /
+    replace, ``event_id % 4 + 1`` sets the hunk size. The kernel
+    (functions/diffkernel.py::diff_lines, service/DiffService.java:194-220)
+    must emit exactly that op with those coordinates."""
+    ev = load(spark, sf_dir, "events").select("event_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                k = eid % 4 + 1
+                case = eid % 3
+                if case == 0:
+                    before = ["l1", "l2"]
+                    after = ["l1", "l2"] + [f"x{eid}-{i}" for i in range(k)]
+                elif case == 1:
+                    before = ["l1"] + [f"m{eid}-{i}" for i in range(k)] + ["l9"]
+                    after = ["l1", "l9"]
+                else:
+                    before = ["l1"] + [f"a{eid}-{i}" for i in range(k)] + ["l9"]
+                    after = ["l1"] + [f"b{eid}-{i}" for i in range(k)] + ["l9"]
+                ops = diff_lines(before, after)
+                op = ops[0]
+                if op["type"] == REPLACE:
+                    start = op["toRemove"]["linesRemoved"]["start"]
+                    cnt = op["toAddContent"]["linesToAdd"]["end"]
+                elif op["type"] == REMOVE:
+                    start = op["linesRemoved"]["start"]
+                    cnt = op["linesRemoved"]["end"]
+                else:
+                    start = op["linesToAdd"]["start"]
+                    cnt = op["linesToAdd"]["end"]
+                out.append((eid, len(ops), op["type"], start, cnt))
+            yield pd.DataFrame(
+                out, columns=["event_id", "n_ops", "op_type", "start_pos", "cnt"]
+            )
+
+    return ev.mapInPandas(
+        gen,
+        schema="event_id long, n_ops long, op_type string, start_pos long, cnt long",
+    )
+
+
+LINE_DIFF_OPS_SQL = """
+SELECT event_id,
+       CAST(1 AS BIGINT) AS n_ops,
+       CASE event_id % 3 WHEN 0 THEN 'insert_content'
+                         WHEN 1 THEN 'remove_content'
+                         ELSE 'replace_content' END AS op_type,
+       CAST(CASE WHEN event_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS start_pos,
+       CAST(event_id % 4 + 1 AS BIGINT) AS cnt
+FROM events
+"""
+
+
+# --- X2/X3/X6: two-batch merge-policy scenario -------------------------------
+
+def merge_transition_seq(spark, sf_dir):
+    """Per user (= session), run the state transition twice over a
+    constructed two-batch task stream and expose the policy outcomes:
+
+    - batch 1: task ``t`` (ts 2), ``s__start__`` (ts 2)          → seq 1
+    - batch 2: task ``t`` ts 1 (STALE → dropped, X3), task ``u`` ts 3,
+      ``s__start__`` ts 4 (accumulates, X2)                      → seq 2
+
+    Expected: seq 2 (X6 monotone), ``t`` kept batch-1 content (LWW +
+    staleness), ``u`` absorbed, ``__start__`` history length 2, one diff
+    doc per absorbing batch. Contents embed max(event_id) per user so the
+    oracle is tied to real data."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id")
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        uid = int(key[0])
+        sid = str(uid)
+        max_ev = int(pdf["event_id"].max())
+
+        def item(task, content, ts, cp):
+            return {
+                "task_id": task,
+                "content": content,
+                "timestamp": ts,
+                "thread_id": sid,
+                "checkpoint_id": cp,
+            }
+
+        s1, _ = transition(
+            None,
+            sid,
+            [item("t", f"a-{max_ev}", 2, "b1-t"), item("s__start__", "s1", 2, "b1-s")],
+        )
+        s2, _ = transition(
+            s1,
+            sid,
+            [
+                item("t", "STALE", 1, "b2-t"),
+                item("u", f"c-{max_ev}", 3, "b2-u"),
+                item("s__start__", "s2", 4, "b2-s"),
+            ],
+        )
+        c = s2["cdc_content"]
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": uid,
+                    "seq": s2["sequence_number"],
+                    "t_content": c["t"][0]["content"],
+                    "u_content": c["u"][0]["content"],
+                    "n_start": len(c["s__start__"]),
+                    "n_diffs": len(s2["cdc_checkpoint_diffs"]),
+                }
+            ]
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        fn,
+        schema=(
+            "user_id long, seq long, t_content string, u_content string, "
+            "n_start long, n_diffs long"
+        ),
+    )
+
+
+MERGE_TRANSITION_SEQ_SQL = """
+SELECT user_id,
+       CAST(2 AS BIGINT) AS seq,
+       'a-' || CAST(max(event_id) AS VARCHAR) AS t_content,
+       'c-' || CAST(max(event_id) AS VARCHAR) AS u_content,
+       CAST(2 AS BIGINT) AS n_start,
+       CAST(2 AS BIGINT) AS n_diffs
+FROM events
+GROUP BY user_id
+"""
+
+
+# --- F1 + UD4 + message_list: checkpoint blob → typed messages ---------------
+
+def checkpoint_blob_messages(spark, sf_dir):
+    """End-to-end blob path: construct checkpoint-write rows whose binary
+    blob is a JSON *list* of agent messages (``event_id % 3 + 1`` messages,
+    types cycling over the five sealed subtypes; every 7th event carries a
+    non-message channel the F1 filter must drop), then run the production
+    chain: channel/type filter → UTF-8 decode → ``message_list`` explode →
+    polymorphic parse → per-type aggregate
+    (dao/CdcCheckpointDao.java:72,138; model/BaseMessage.java:28-91)."""
+    ev = load(spark, sf_dir, "events")
+    n = (F.col("event_id") % 3 + 1).cast("int")
+    type_of = lambda i: F.element_at(  # noqa: E731
+        F.array(*[F.lit(t) for t in MESSAGE_TYPES]),
+        ((F.col("event_id") + i) % 5 + 1).cast("int"),
+    )
+    msgs = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.format_string(
+            '{"type": "%s", "content": "m-%d-%d"}', type_of(i), F.col("event_id"), i
+        ),
+    )
+    blob = F.concat(F.lit("["), F.array_join(msgs, ","), F.lit("]"))
+    channel = F.when(F.col("event_id") % 7 == 0, F.lit("values")).otherwise(
+        F.lit("messages")
+    )
+    writes = ev.select(
+        "event_id",
+        channel.alias("channel"),
+        F.lit("list").alias("type"),
+        blob.cast("binary").alias("blob"),
+    )
+    exploded = message_writes(writes).select(
+        "event_id",
+        F.explode(message_list(F.decode(F.col("blob"), "UTF-8"))).alias("msg_json"),
+    )
+    parsed = parse_messages(exploded, "msg_json")
+    return parsed.groupBy(F.col("message.type").alias("msg_type")).agg(
+        F.count("*").cast("bigint").alias("n_msgs"),
+        F.sum(F.size("message.content")).cast("bigint").alias("n_content"),
+    )
+
+
+CHECKPOINT_BLOB_MESSAGES_SQL = """
+WITH m AS (
+  SELECT e.event_id, g.i
+  FROM events e, UNNEST(range(0, e.event_id % 3 + 1)) AS g(i)
+  WHERE e.event_id % 7 <> 0
+)
+SELECT CASE (event_id + i) % 5 WHEN 0 THEN 'ai' WHEN 1 THEN 'human'
+                               WHEN 2 THEN 'system' WHEN 3 THEN 'function'
+                               ELSE 'tool' END AS msg_type,
+       COUNT(*) AS n_msgs,
+       COUNT(*) AS n_content
+FROM m
+GROUP BY 1
+"""
+
+
+# --- C11: UUID assignment for id-less messages -------------------------------
+
+def message_uuid_assign(spark, sf_dir):
+    """C11 (model/BaseMessage.java:169): messages missing an ``id`` get a
+    generated UUID. Even events carry a fixed id that must be preserved;
+    odd events get ``uuid()``. UUIDs are non-deterministic, so the oracle
+    checks the invariants: every row has an id, fixed ids survive, all ids
+    are distinct, generated ids are well-formed UUIDs."""
+    ev = load(spark, sf_dir, "events")
+    msg_json = F.when(
+        F.col("event_id") % 2 == 0,
+        F.format_string('{"type": "ai", "id": "fixed-%d", "content": "x"}', F.col("event_id")),
+    ).otherwise(F.lit('{"type": "ai", "content": "x"}'))
+    parsed = parse_messages(ev.select("event_id", msg_json.alias("mj")), "mj")
+    with_ids = with_message_id(parsed)
+    return with_ids.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("msg_id").isNotNull().cast("int")).cast("bigint").alias("n_with_id"),
+        F.countDistinct("msg_id").cast("bigint").alias("n_distinct"),
+        F.sum(F.col("msg_id").startswith("fixed-").cast("int")).cast("bigint").alias("n_fixed"),
+        F.sum(
+            F.col("msg_id")
+            .rlike("^([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}|fixed-[0-9]+)$")
+            .cast("int")
+        )
+        .cast("bigint")
+        .alias("n_wellformed"),
+    )
+
+
+MESSAGE_UUID_ASSIGN_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_with_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fixed,
+       CAST(COUNT(*) AS BIGINT) AS n_wellformed
+FROM events
+"""
+
+
+QUERIES = {
+    "line_diff_ops": Q(line_diff_ops, LINE_DIFF_OPS_SQL, "UD1/UD2 diff op shapes"),
+    "merge_transition_seq": Q(
+        merge_transition_seq, MERGE_TRANSITION_SEQ_SQL, "X2/X3/X6 merge policy"
+    ),
+    "checkpoint_blob_messages": Q(
+        checkpoint_blob_messages,
+        CHECKPOINT_BLOB_MESSAGES_SQL,
+        "F1+UD4 blob → typed messages",
+    ),
+    "message_uuid_assign": Q(
+        message_uuid_assign, MESSAGE_UUID_ASSIGN_SQL, "C11 UUID assignment"
+    ),
+}

@@ -16,6 +16,7 @@ def all_queries() -> dict[str, Q]:
         "similarity_queries",
         "multimodal_queries",
         "message_queries",
+        "kernel_queries",
         "asof_queries",
         "window_queries",
     ):

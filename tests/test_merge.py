@@ -103,3 +103,19 @@ def test_ctx_provider_stamped_with_seq():
     state, _ = transition(None, "s1", [item("t1", "a", 1)], ctx_providers=[provider])
     assert state["ctx"][0]["sequenceNumber"] == 1
     assert state["ctx"][0]["type"] == "test-report"
+
+
+def test_start_history_capped(monkeypatch):
+    # X2 accumulate keys are capped so state documents stay bounded
+    # (merge.START_HISTORY_MAX); oldest entries trim first, diffs keep all.
+    from cdc_agents_data_stream_spark.operators import merge as M
+
+    monkeypatch.setattr(M, "START_HISTORY_MAX", 16)
+    state = None
+    n = 16 + 5
+    for ts in range(1, n + 1):
+        state, _ = transition(state, "s1", [item("t__start__", f"v{ts}", ts)])
+    hist = state["cdc_content"]["t__start__"]
+    assert len(hist) == 16
+    assert hist[0]["content"] == f"v{n - 16 + 1}"
+    assert hist[-1]["content"] == f"v{n}"
