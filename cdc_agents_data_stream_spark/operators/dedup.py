@@ -19,9 +19,9 @@ Scale notes (100 TB design point):
   bounds candidate pairs, and the exact-Jaccard verify only touches
   candidates. All hashes derive from md5 hex, so an external engine can
   reproduce them bit-for-bit (the DuckDB oracle does).
-- ``simhash_bits`` is one explode(32 bits)+aggregate; the pairing here is a
-  cross join for oracle parity at test SF — at 100 TB, pair on band keys
-  (e.g. 4× 16-bit prefixes under 4 rotations) instead.
+- ``simhash_pairs`` pairs on pigeonhole blocks (``max_hamming + 1`` exact
+  block keys): a lossless candidate equi-join — identical output to the
+  cross join it replaced, at hash-join cost.
 """
 
 from __future__ import annotations
@@ -245,22 +245,54 @@ def simhash_values(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 
 def simhash_pairs(
-    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    Cross join for oracle parity at test SF; at 100 TB pair on band keys
-    (rotate-and-prefix buckets) before the Hamming check.
-    """
-    sv = simhash_values(df, text_col, id_col)
-    a = sv.alias("a")
-    b = sv.alias("b")
+    Pigeonhole banding: split the ``bits``-bit simhash into
+    ``max_hamming + 1`` blocks — any pair within the Hamming budget MUST
+    agree exactly on at least one block, so an equi-join on (block_idx,
+    block_value) generates every qualifying pair (LOSSLESS candidate set,
+    unlike probabilistic LSH) and the exact Hamming check then discards
+    the false positives. The O(n²) cross join becomes a hash join Catalyst
+    partitions on the block key; block values spread near-uniformly, and a
+    degenerate hot block (e.g. a constant-prefix corpus) is exactly the
+    skew AQE's skew-join splitting handles."""
+    sv = simhash_values(df, text_col, id_col, bits)
+    n_blocks = max_hamming + 1
+    block_bits = bits // n_blocks
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.expr(
+                    f"(simhash >> {i * block_bits}) & "
+                    # the last block absorbs the remainder bits
+                    f"{(1 << (bits - i * block_bits if i == n_blocks - 1 else block_bits)) - 1}"
+                ).alias("val"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    keyed = sv.select("doc_id", "simhash", F.explode(blocks).alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long").alias("hamming"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can agree on several blocks
     )

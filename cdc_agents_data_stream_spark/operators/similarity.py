@@ -215,19 +215,69 @@ def ivf_topk(
     )
 
 
+# 4 bands × 2 planes: candidates must share one band exactly. Band size
+# tunes the LSH trade — for sim s, per-plane agreement is 1 - arccos(s)/π,
+# band collision is that to the band_size power, OR-ed over bands. At the
+# declared threshold (0.45 → ~0.65/plane) 4×2 gives ~0.89 recall vs ~0.33
+# for 2×4; fewer/larger bands tighten the candidate set at higher
+# thresholds (0.9 → ~0.86/plane: 2×4 already ~0.74 recall).
+N_BANDS = 4
+
+
+def plane_band_sig(vec_col, band: int, band_size: int = N_PLANES // N_BANDS):
+    """Integer signature of one band's plane-sign bits."""
+    sig = F.lit(0)
+    for j in range(band * band_size, (band + 1) * band_size):
+        lits = F.array(*[F.lit(v) for v in PLANES[j]])
+        sig = sig + F.when(_dot(vec_col, lits) >= 0, F.lit(1 << (j % band_size))).otherwise(0)
+    return sig.cast("int")
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Near-duplicate vector pairs by cosine >= threshold.
+    """Near-duplicate vector pairs by cosine >= threshold, restricted to
+    hyperplane-band candidates (same trade as ``minhash_lsh_pairs``).
 
-    Cross join at test SF (oracle parity); at scale, restrict to LSH-bucket
-    candidates first (same trade as minhash_lsh_pairs).
-    """
+    The 8 plane-sign bits split into ``N_BANDS`` bands; a pair is a
+    candidate iff some band's signature matches exactly, turning the O(n²)
+    cross join into an equi-join on (band, signature) that Catalyst
+    hash-partitions. Near-identical vectors agree on almost every plane
+    sign, so band collisions catch them w.h.p.; like any LSH scheme the
+    recall is < 1 by construction (a deliberate ANN trade, mirrored
+    exactly by the DuckDB oracle)."""
     base = with_norm(emb, vec_col).select(F.col(id_col), "vec", "norm")
-    a = base.select(F.col(id_col).alias("vec_a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
-    b = base.select(F.col(id_col).alias("vec_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                plane_band_sig(F.col("vec"), band).alias("sig"),
+            )
+            for band in range(N_BANDS)
+        ]
+    )
+    keyed = base.select(F.col(id_col), F.explode(bands).alias("bs")).select(
+        F.col(id_col), F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"), F.col(f"b.{id_col}").alias("vec_b")
+        )
+        .distinct()
+    )
+    va = base.select(F.col(id_col).alias("vec_a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
+    vb = base.select(F.col(id_col).alias("vec_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        candidates.join(va, "vec_a")
+        .join(vb, "vec_b")
         .select(
             "vec_a",
             "vec_b",

@@ -74,11 +74,27 @@ def embedding_neardup(spark, sf_dir):
     return S.embedding_neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+def _band_sig_sql(band: int) -> str:
+    size = S.N_PLANES // S.N_BANDS
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_sql_list(S.PLANES[j])}) >= 0 THEN {1 << (j % size)} ELSE 0 END)"
+        for j in range(band * size, (band + 1) * size)
+    )
+
+
+_BAND_COLS = ", ".join(f"({_band_sig_sql(b)}) AS b{b}" for b in range(S.N_BANDS))
+_BAND_MATCH = " OR ".join(f"a.b{b} = b.b{b}" for b in range(S.N_BANDS))
+
 EMBEDDING_NEARDUP_SQL = f"""
-WITH {_BASE_CTE}
+WITH {_BASE_CTE},
+banded AS (
+  SELECT vec_id, v, norm, {_BAND_COLS}
+  FROM base
+)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS sim_r
-FROM base a JOIN base b ON a.vec_id < b.vec_id
+FROM banded a JOIN banded b
+  ON a.vec_id < b.vec_id AND ({_BAND_MATCH})
 WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.45
 """
 

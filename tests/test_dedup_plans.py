@@ -1,0 +1,63 @@
+"""Plan-shape and equivalence tests for the banded near-dup candidate
+filters: the O(n²) cross joins must be gone from the physical plans, and
+the simhash pigeonhole banding must be output-identical to brute force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_agents_data_stream_spark.operators.dedup import simhash_pairs, simhash_values
+from cdc_agents_data_stream_spark.operators.similarity import embedding_neardup_pairs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_simhash_pairs_plan_has_no_cross_join(docs):
+    plan = _physical_plan(simhash_pairs(docs, max_hamming=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_neardup_plan_has_no_cross_join(emb):
+    plan = _physical_plan(embedding_neardup_pairs(emb, threshold=0.45))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_banding_is_lossless(docs, spark):
+    """Pigeonhole guarantee: banded candidates reproduce the brute-force
+    pair set exactly (Hamming <= k pairs must share one of k+1 blocks)."""
+    sv = simhash_values(docs)
+    a, b = sv.alias("a"), sv.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    expected = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in brute.collect()}
+    actual = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert actual == expected
