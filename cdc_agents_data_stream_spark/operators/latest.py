@@ -58,17 +58,48 @@ def joined_writes(
 
 
 def latest_checkpoints(writes: DataFrame, checkpoints: DataFrame) -> DataFrame:
-    """W1/T2: globally-latest checkpoint pointer per ``task_path``
+    """W1/T2: latest checkpoint pointer per ``task_path``
     (dao/CdcCheckpointDao.java:93-124 ``queryLatestCheckpoints``).
 
-    The reference ranks with ROW_NUMBER per thread and LIMIT 1 per
-    task_path; the fused Spark plan is a single grouped argmax.
+    SEMANTIC DEVIATION (deliberate): this picks the globally max-timestamp
+    row per task_path. The reference instead ranks each row by recency
+    WITHIN ITS OWN THREAD (ROW_NUMBER per thread over all task_paths) and
+    picks the min-rank row per task_path — when a task_path spans threads
+    those disagree: a thread whose LAST write is task T beats a thread
+    that wrote T earlier but stayed busy since, even if T's timestamp
+    there is older. The global argmax is the better freshness contract
+    and one aggregation instead of a full window; the reference's exact
+    selection is available as ``latest_checkpoints_reference_rank``.
     """
     j = joined_writes(writes, checkpoints)
     return j.groupBy("task_path").agg(
         F.max_by(F.col("thread_id"), _ORD()).alias("thread_id"),
         F.max_by(F.col("checkpoint_id"), _ORD()).alias("checkpoint_id"),
         F.max(F.col("ts_millis")).alias("ts_millis"),
+    )
+
+
+def latest_checkpoints_reference_rank(writes: DataFrame, checkpoints: DataFrame) -> DataFrame:
+    """Bit-parity variant of ``queryLatestCheckpoints``
+    (dao/CdcCheckpointDao.java:93-124): ROW_NUMBER per thread_id ordered by
+    event time DESC (across ALL task_paths of the thread), then per
+    task_path keep the min-rank row. Where the reference's ORDER BY rn
+    LIMIT 1 is nondeterministic on rank ties across threads (and on equal
+    timestamps within a thread), this breaks ties on (ts DESC,
+    checkpoint_id) — documented determinism, not a semantics change."""
+    from pyspark.sql.window import Window
+
+    j = joined_writes(writes, checkpoints)
+    w = Window.partitionBy("thread_id").orderBy(
+        F.col("ts_millis").desc(), F.col("checkpoint_id").desc()
+    )
+    ranked = j.withColumn("rn", F.row_number().over(w))
+    pick = F.struct(-F.col("rn"), F.col("ts_millis"), F.col("checkpoint_id"))
+    return ranked.groupBy("task_path").agg(
+        F.max_by(F.col("thread_id"), pick).alias("thread_id"),
+        F.max_by(F.col("checkpoint_id"), pick).alias("checkpoint_id"),
+        F.max_by(F.col("ts_millis"), pick).alias("ts_millis"),
+        F.min(F.col("rn")).cast("long").alias("rn"),
     )
 
 

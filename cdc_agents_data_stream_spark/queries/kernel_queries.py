@@ -267,8 +267,52 @@ FROM events
 """
 
 
+# --- W1 reference-parity: rank-then-min-rn selection -------------------------
+
+def latest_event_rank_parity(spark, sf_dir):
+    """The reference's exact ``queryLatestCheckpoints`` selection
+    (dao/CdcCheckpointDao.java:93-124; operator twin
+    operators/latest.py::latest_checkpoints_reference_rank) mapped onto
+    events: user_id as thread, event_type as task_path. Rows rank by
+    recency within their user; each event_type keeps its min-rank row."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us.desc(), F.col("event_id").desc())
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn("ts_us", us)
+    pick = F.struct(-F.col("rn"), F.col("ts_us"), F.col("event_id"))
+    return ranked.groupBy("event_type").agg(
+        F.max_by(F.col("user_id"), pick).alias("user_id"),
+        F.max_by(F.col("event_id"), pick).alias("event_id"),
+        F.max_by(F.col("ts_us"), pick).alias("ts_us"),
+        F.min("rn").cast("long").alias("rn"),
+    )
+
+
+LATEST_EVENT_RANK_PARITY_SQL = """
+WITH ranked AS (
+  SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+), sel AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY rn ASC, ts_us DESC, event_id DESC) AS sel_rn
+  FROM ranked
+)
+SELECT event_type, user_id, event_id, ts_us, CAST(rn AS BIGINT) AS rn
+FROM sel WHERE sel_rn = 1
+"""
+
+
 QUERIES = {
     "line_diff_ops": Q(line_diff_ops, LINE_DIFF_OPS_SQL, "UD1/UD2 diff op shapes"),
+    "latest_event_rank_parity": Q(
+        latest_event_rank_parity,
+        LATEST_EVENT_RANK_PARITY_SQL,
+        "W1 reference rank-then-min-rn parity",
+    ),
     "merge_transition_seq": Q(
         merge_transition_seq, MERGE_TRANSITION_SEQ_SQL, "X2/X3/X6 merge policy"
     ),

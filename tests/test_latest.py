@@ -88,3 +88,59 @@ def test_plan_has_pushed_filters_and_no_extra_shuffle(tables):
     assert "PushedFilters" in plan
     # exactly: join shuffle(s) + one aggregate shuffle; no sort-based window
     assert "Window" not in plan
+
+
+def test_reference_rank_selection_differs_cross_thread(spark):
+    """Pin the documented deviation (dao/CdcCheckpointDao.java:93-124):
+    when a task_path spans threads, the reference's rank-then-min-rn picks
+    the thread whose LAST write was that task, even if another thread
+    wrote it with a newer timestamp earlier in its own stream."""
+    import json as _json
+    import pandas as pd
+    from cdc_agents_data_stream_spark.operators.latest import (
+        latest_checkpoints_reference_rank,
+    )
+
+    def cp(cid, ts):
+        return {
+            "thread_id": cid.split(":")[0],
+            "checkpoint_ns": "",
+            "checkpoint_id": cid,
+            "parent_checkpoint_id": None,
+            "type": None,
+            "checkpoint": _json.dumps({"ts": f"2026-01-01 00:00:{ts:02d}.000000"}),
+            "metadata": "{}",
+        }
+
+    def wr(cid, task):
+        return {
+            "thread_id": cid.split(":")[0],
+            "checkpoint_ns": "",
+            "checkpoint_id": cid,
+            "task_id": task,
+            "idx": 0,
+            "channel": "messages",
+            "type": "list",
+            "blob": b"[]",
+            "task_path": task,
+        }
+
+    # thread A: writes T at :10, then OTHER at :20  -> T has rn=2 in A
+    # thread B: writes T at :05 (its only write)    -> T has rn=1 in B
+    cps = pd.DataFrame([cp("A:1", 10), cp("A:2", 20), cp("B:1", 5)])
+    writes = pd.DataFrame([wr("A:1", "T"), wr("A:2", "OTHER"), wr("B:1", "T")])
+    writes["idx"] = writes["idx"].astype("int32")
+    cps_df = spark.createDataFrame(cps)
+    writes_df = spark.createDataFrame(writes)
+
+    global_pick = {
+        r["task_path"]: r["thread_id"]
+        for r in latest_checkpoints(writes_df, cps_df).collect()
+    }
+    ref_pick = {
+        r["task_path"]: (r["thread_id"], r["rn"])
+        for r in latest_checkpoints_reference_rank(writes_df, cps_df).collect()
+    }
+    assert global_pick["T"] == "A"  # newest timestamp wins
+    assert ref_pick["T"] == ("B", 1)  # reference: min per-thread rank wins
+    assert ref_pick["OTHER"] == ("A", 1)
