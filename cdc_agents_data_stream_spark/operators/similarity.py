@@ -126,31 +126,16 @@ def lsh_bucketed_topk(
     )
 
 
-CENTROID_MOD = 37  # deterministic coarse quantizer: every 37th vector
+CENTROID_MOD = 37  # deterministic k-means init: every 37th vector
 
 
-def ivf_index(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"):
-    """IVF coarse index: (centroids, assignments).
-
-    Real IVF trains centroids with k-means; for an oracle-reproducible
-    build the coarse quantizer is a deterministic sample (every
-    ``CENTROID_MOD``-th vector) — the *plumbing* (assign → probe → rerank)
-    is identical, and a production build swaps the sample for trained
-    centroids without touching the query path.
-
-    Assignment is one broadcast join corpus × centroids + grouped argmax:
-    at 100 TB the centroid table is tiny (thousands of rows) so the corpus
-    never shuffles for the assignment; ties break on the smaller
-    centroid_id (both engines agree).
-    """
-    base = with_norm(emb, vec_col).select(F.col(id_col), "vec", "norm")
-    cents = base.filter(F.col(id_col) % CENTROID_MOD == 0).select(
-        F.col(id_col).alias("centroid_id"),
-        F.col("vec").alias("cvec"),
-        F.col("norm").alias("cnorm"),
-    )
+def _assign(base: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-centroid assignment: one broadcast join corpus × centroids +
+    grouped argmax. At 100 TB the centroid table is tiny (thousands of
+    rows) so the corpus never shuffles; ties break on the smaller
+    centroid_id (both engines agree)."""
     sim = _dot(F.col("vec"), F.col("cvec")) / (F.col("norm") * F.col("cnorm"))
-    assigned = (
+    return (
         base.crossJoin(F.broadcast(cents))
         .select(F.col(id_col), "vec", "norm", "centroid_id", sim.alias("csim"))
         .groupBy(id_col)
@@ -162,6 +147,60 @@ def ivf_index(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
             F.first("norm").alias("norm"),
         )
     )
+
+
+def kmeans_centroids(base: DataFrame, iters: int, id_col: str) -> DataFrame:
+    """Spherical k-means (Lloyd) on DataFrame ops: deterministic init
+    (every ``CENTROID_MOD``-th vector), cosine assignment, element-wise
+    mean per cluster as the new centroid.
+
+    The mean is computed via posexplode → (cluster, pos) partial-aggregated
+    avg → re-assembled array: the 64× scalar fan-out shuffles only
+    (cluster, pos, double) triples with map-side combine. Components round
+    to 6 decimals so float summation order (engine/partition dependent)
+    cannot leak into the result — the DuckDB oracle reproduces training
+    bit-for-bit. At 100 TB, train on a sample (standard IVF practice) and
+    broadcast the result; assignment of the full corpus stays one
+    broadcast-join pass."""
+    cents = base.filter(F.col(id_col) % CENTROID_MOD == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    for _ in range(iters):
+        assigned = _assign(base, cents, id_col)
+        means = (
+            assigned.select("cluster", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+        )
+        newc = means.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda x: F.round(x["m"], 6),
+            ).alias("cvec")
+        )
+        cents = newc.select(
+            F.col("cluster").alias("centroid_id"),
+            F.col("cvec"),
+            F.sqrt(_dot(F.col("cvec"), F.col("cvec"))).alias("cnorm"),
+        )
+    return cents
+
+
+def ivf_index(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", train_iters: int = 0
+):
+    """IVF coarse index: (centroids, assignments).
+
+    ``train_iters=0`` keeps the deterministic-sample quantizer (the
+    cheapest oracle-reproducible build); ``train_iters>0`` runs that many
+    spherical k-means Lloyd iterations (``kmeans_centroids``) before the
+    final assignment — same probe/rerank path either way.
+    """
+    base = with_norm(emb, vec_col).select(F.col(id_col), "vec", "norm")
+    cents = kmeans_centroids(base, train_iters, id_col)
+    assigned = _assign(base, cents, id_col)
     return cents, assigned
 
 
@@ -172,6 +211,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k: probe the ``nprobe`` nearest centroid
     lists per query, rerank only those lists' vectors by exact cosine.
@@ -181,7 +221,7 @@ def ivf_topk(
     cluster-equi-join between probes and the assigned corpus, which
     replaces the brute-force cross join with a join Catalyst hash-
     partitions on ``cluster``."""
-    cents, assigned = ivf_index(emb, id_col, vec_col)
+    cents, assigned = ivf_index(emb, id_col, vec_col, train_iters)
     q = assigned.filter(F.col(id_col) < query_ids_below).select(
         F.col(id_col).alias("query_id"),
         F.col("vec").alias("qvec"),

@@ -151,3 +151,85 @@ SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim_r FROM ranked WHERE ran
 """
 
 QUERIES["ann_ivf_probe"] = Q(ann_ivf_probe, ANN_IVF_PROBE_SQL, "IVF probe-rerank ANN")
+
+
+def ann_ivf_kmeans(spark, sf_dir):
+    """IVF with a TRAINED coarse quantizer: 2 spherical k-means Lloyd
+    iterations (deterministic init, 6-decimal-rounded means) before the
+    probe-rerank. The oracle reproduces the training loop exactly."""
+    return S.ivf_topk(
+        load(spark, sf_dir, "embeddings"), query_ids_below=5, k=5, nprobe=2, train_iters=2
+    )
+
+
+def _kmeans_iter_sql(k: int, dim: int = 64) -> str:
+    """One Lloyd iteration: assignment under cents{k-1} -> cents{k}."""
+    return f"""
+a{k} AS (
+  SELECT vec_id, v, norm, centroid_id AS cluster FROM (
+    SELECT b.vec_id, b.v, b.norm, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.v, c.cvec) / (b.norm * c.cnorm) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM base b CROSS JOIN cents{k - 1} c
+  ) WHERE rn = 1
+),
+m{k} AS (
+  SELECT cluster, g.i AS pos, ROUND(AVG(v[g.i + 1]), 6) AS mval
+  FROM a{k}, UNNEST(range(0, {dim})) AS g(i)
+  GROUP BY cluster, g.i
+),
+cents{k} AS (
+  SELECT centroid_id, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnorm FROM (
+    SELECT cluster AS centroid_id, list(mval ORDER BY pos) AS cvec
+    FROM m{k} GROUP BY cluster
+  )
+)"""
+
+
+ANN_IVF_KMEANS_SQL = f"""
+WITH {_BASE_CTE},
+cents0 AS (
+  SELECT vec_id AS centroid_id, v AS cvec, norm AS cnorm FROM base
+  WHERE vec_id % {S.CENTROID_MOD} = 0
+),
+{_kmeans_iter_sql(1)},
+{_kmeans_iter_sql(2)},
+assigned AS (
+  SELECT vec_id, v, norm, centroid_id AS cluster FROM (
+    SELECT b.vec_id, b.v, b.norm, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.v, c.cvec) / (b.norm * c.cnorm) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM base b CROSS JOIN cents2 c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM assigned WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, qv, qnorm, centroid_id AS cluster FROM (
+    SELECT q.query_id, q.qv, q.qnorm, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, c.cvec) / (q.qnorm * c.cnorm) DESC,
+                      c.centroid_id ASC) AS probe_rank
+    FROM q CROSS JOIN cents2 c
+  ) WHERE probe_rank <= 2
+),
+sims AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(a.v, p.qv) / (a.norm * p.qnorm) AS sim
+  FROM assigned a JOIN probes p ON a.cluster = p.cluster AND a.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim_r FROM ranked WHERE rank <= 5
+"""
+
+QUERIES["ann_ivf_kmeans"] = Q(
+    ann_ivf_kmeans, ANN_IVF_KMEANS_SQL, "IVF ANN with trained k-means quantizer"
+)
