@@ -135,11 +135,27 @@ def _pair_jaccard(sh: DataFrame, candidates: DataFrame | None = None) -> DataFra
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, threshold: float = 0.8, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exact: bool = False,
 ) -> DataFrame:
-    """Near-dup pairs by exact n-gram Jaccard via an inverted shingle index."""
-    sh = shingles(df, text_col, n, id_col)
-    return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
+    """Near-dup pairs by n-gram Jaccard.
+
+    Default (``exact=False``): MinHash-LSH band buckets generate the
+    candidate pairs and the exact Jaccard verifies them — the shape that
+    survives 100 TB (the banding bounds the self-join; at J >= 0.8 the
+    8-band/4-hash scheme's recall is ~1 - (1 - 0.8^4)^8 ≈ 0.99).
+
+    ``exact=True`` runs the full inverted-index self-join: exact recall,
+    O(sum per-shingle count²) — the oracle-parity variant, only for
+    corpora small enough that hot shingles cannot explode the join."""
+    if exact:
+        sh = shingles(df, text_col, n, id_col)
+        return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
+    return minhash_lsh_pairs(df, threshold, n, text_col, id_col)
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:

@@ -38,7 +38,10 @@ FROM documents GROUP BY md5(text)
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
-    return D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+    # exact=True: this is the oracle-parity variant (the DuckDB oracle
+    # computes full-recall Jaccard); the operator's DEFAULT routes through
+    # the LSH candidate filter, which is the declared dedup_minhash_lsh path
+    return D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8, exact=True)
 
 
 DEDUP_NGRAM_JACCARD_SQL = f"""
