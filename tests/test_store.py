@@ -1,0 +1,165 @@
+"""Unit tests for the bucketed manifest state store: Spark-path and
+pyarrow-path writes interleave on one layout, reads bucket-prune, vacuum
+retains what live manifests reference, and the streaming pipeline's fast
+and distributed paths produce identical state/diffs."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from cdc_agents_data_stream_spark.state.store import (
+    ParquetAppendLog,
+    ParquetStateStore,
+    bucket_of,
+)
+
+
+def _row(sid: str, seq: int = 1):
+    return {
+        "session_id": sid,
+        "sequence_number": seq,
+        "cdc_content": "{}",
+        "ide_content": "{}",
+        "metadata": "{}",
+        "ctx": "[]",
+        "cdc_checkpoint_diffs": "[]",
+        "ide_checkpoint_diffs": "[]",
+        "updated_ts_millis": 1000 + seq,
+    }
+
+
+def test_bucket_hash_matches_spark(spark, tmp_path):
+    """The Python md5-bucket must equal the Spark expression's bucket for
+    the same keys — the two write paths address one layout."""
+    store = ParquetStateStore(spark, str(tmp_path / "s"), n_buckets=16)
+    keys = [f"session-{i}" for i in range(50)]
+    df = spark.createDataFrame([(k,) for k in keys], "session_id string")
+    got = {
+        r["session_id"]: r["b"]
+        for r in df.select("session_id", store._bucket_expr("session_id").alias("b")).collect()
+    }
+    for k in keys:
+        assert got[k] == bucket_of(k, 16)
+
+
+def test_spark_and_pyarrow_upserts_interleave(spark, tmp_path):
+    store = ParquetStateStore(spark, str(tmp_path / "s"), n_buckets=8)
+    # v1 via Spark
+    store.upsert(spark.createDataFrame([_row("a", 1), _row("b", 1)]))
+    # v2 via pyarrow: update a, insert c
+    store.upsert_rows([_row("a", 2), _row("c", 1)])
+    # v3 via Spark again: update c
+    store.upsert(spark.createDataFrame([_row("c", 3)]))
+
+    rows = {r["session_id"]: r["sequence_number"] for r in store.read().collect()}
+    assert rows == {"a": 2, "b": 1, "c": 3}
+    # pyarrow point reads see the same state
+    docs = store.read_docs(["a", "b", "c"])
+    assert {k: v["sequence_number"] for k, v in docs.items()} == {"a": 2, "b": 1, "c": 3}
+    assert store.max_sequence_number() == 3
+
+
+def test_read_bucket_pruning(spark, tmp_path):
+    store = ParquetStateStore(spark, str(tmp_path / "s"), n_buckets=8)
+    rows = [_row(f"s{i}") for i in range(20)]
+    store.upsert_rows(rows)
+    keys = spark.createDataFrame([("s0",), ("s7",)], "session_id string")
+    pruned = store.read(keys=keys)
+    # the pruned read scans only the wanted buckets: every returned row
+    # hashes into one of them, and the lookup keys are all present
+    want = {bucket_of("s0", 8), bucket_of("s7", 8)}
+    got = {r["session_id"] for r in pruned.collect()}
+    assert {"s0", "s7"} <= got
+    assert all(bucket_of(s, 8) in want for s in got)
+
+
+def test_vacuum_keeps_buckets_referenced_by_live_manifests(spark, tmp_path):
+    store = ParquetStateStore(spark, str(tmp_path / "s"), n_buckets=4)
+    # session "x" lands in one bucket at v1 and is never touched again
+    store.upsert_rows([_row("x", 1)])
+    v1_dir = store._version_dir(1)
+    # churn other sessions well past KEEP_VERSIONS
+    for i in range(store.KEEP_VERSIONS + 3):
+        sid = f"churn-{i}"
+        if bucket_of(sid, 4) == bucket_of("x", 4):
+            sid = sid + "-alt"  # keep x's bucket untouched
+        if bucket_of(sid, 4) != bucket_of("x", 4):
+            store.upsert_rows([_row(sid, i + 1)])
+    # x's v1 bucket file must survive vacuum (current manifest points at it)
+    assert os.path.isdir(v1_dir)
+    assert store.read_docs(["x"])["x"]["sequence_number"] == 1
+    # manifests older than the retention window are gone
+    v = store.current_version()
+    assert not os.path.exists(store._manifest_file(max(1, v - store.KEEP_VERSIONS)))
+
+
+def test_append_log_rows_and_dedup(spark, tmp_path):
+    log = ParquetAppendLog(spark, str(tmp_path / "log"))
+    d = {"session_id": "s", "sequence_number": 1, "source": "cdc", "diff_data": "{}", "ts_millis": 5}
+    log.append_rows([d])
+    log.append_rows([d])  # replayed batch
+    assert log.read().count() == 2
+    assert log.read(dedup=True).count() == 1
+
+
+@pytest.mark.parametrize("force_distributed", [False, True])
+def test_pipeline_paths_equivalent(spark, tmp_path, force_distributed):
+    """The driver fast path and the distributed path must produce the same
+    final state and diff log for the same input ticks."""
+    from cdc_agents_data_stream_spark.streaming.pipeline import run_foreachbatch_pipeline
+    from tests.checkpointgen import gen_checkpoint_tables
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        base = tmp_path / ("dist" if force_distributed else "fast")
+        (base / "writes").mkdir(parents=True)
+        (base / "cps").mkdir()
+        n_ticks = 3
+        cps, writes = gen_checkpoint_tables(n_threads=2, n_ticks=n_ticks, repeat_tick=None)
+        cps.to_parquet(base / "cps" / "all.parquet")
+        tick_of = writes.checkpoint_id.str.split("-").str[2].astype(int)
+        for tick in range(n_ticks):
+            writes[tick_of == tick].to_parquet(base / "writes" / f"tick-{tick}.parquet")
+        store = ParquetStateStore(spark, str(base / "state"))
+        log = ParquetAppendLog(spark, str(base / "diffs"))
+        query = run_foreachbatch_pipeline(
+            spark,
+            str(base / "writes"),
+            str(base / "cps"),
+            store,
+            log,
+            checkpoint_location=str(base / "ckpt"),
+            max_files_per_trigger=1,
+            # 0 forces every batch down the distributed path
+            small_batch_max_rows=0 if force_distributed else 500,
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+
+        state = {}
+        for r in store.read().collect():
+            content = json.loads(r["cdc_content"])
+            state[r["session_id"]] = (
+                r["sequence_number"],
+                {t: [it["content"] for it in items] for t, items in sorted(content.items())},
+            )
+        diffs = sorted(
+            (r["session_id"], r["sequence_number"], json.loads(r["diff_data"] or "{}").keys())
+            for r in log.read(dedup=True).collect()
+        )
+        key = "dist" if force_distributed else "fast"
+        _RESULTS[key] = (state, [(s, q, sorted(k)) for s, q, k in diffs])
+        if len(_RESULTS) == 2:
+            assert _RESULTS["fast"] == _RESULTS["dist"]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+_RESULTS: dict = {}
