@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "text_quality_score",
     "multimodal_decode_stub",
+    "training_prep_pipeline",
+    "merge_transition_seq",
 ]
 
 

@@ -93,8 +93,66 @@ FROM t
 """
 
 
+def training_prep_pipeline(spark, sf_dir):
+    """Composite end-to-end training-data prep, the shape a 100 TB corpus
+    job runs: exact-dedup keeper selection → quality gate → per-language
+    corpus stats, composed as ONE declarative plan (dedup agg + semi-join
+    + quality exprs + final agg; Catalyst fuses the scalar work into the
+    scans). The headline ratio derives from integer sums, so float
+    summation order cannot break cross-engine parity."""
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup as D
+
+    docs = load(spark, sf_dir, "documents")
+    keepers = D.exact_dup_groups(docs).select(F.col("keeper_doc_id").alias("doc_id"))
+    kept = docs.join(keepers, "doc_id", "left_semi")
+    q = T.quality_score(kept)
+    stop_set = F.array(*[F.lit(w) for w in T.STOPWORDS["en"]])
+    toks = F.split(F.col("text"), " ")
+    stop_cnt = F.size(F.filter(toks, lambda t: F.array_contains(stop_set, t)))
+    enriched = q.join(
+        kept.select("doc_id", "lang", stop_cnt.cast("long").alias("stop_cnt")), "doc_id"
+    )
+    return (
+        enriched.filter(F.col("quality_ok") == 1)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("token_cnt").cast("bigint").alias("total_tokens"),
+            F.sum("stop_cnt").cast("bigint").alias("total_stopwords"),
+            F.round(F.sum("stop_cnt") / F.sum("token_cnt"), 6).alias("stopword_ratio"),
+        )
+    )
+
+
+TRAINING_PREP_PIPELINE_SQL = f"""
+WITH keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+kept AS (SELECT d.* FROM documents d JOIN keepers k USING (doc_id)),
+q AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS token_cnt,
+         len(list_filter(string_split(text, ' '), x -> list_contains({_sql_set('en')}, x))) AS stop_cnt
+  FROM kept
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(token_cnt) AS BIGINT) AS total_tokens,
+       CAST(SUM(stop_cnt) AS BIGINT) AS total_stopwords,
+       ROUND(CAST(SUM(stop_cnt) AS DOUBLE) / SUM(token_cnt), 6) AS stopword_ratio
+FROM q
+WHERE token_cnt BETWEEN 10 AND 2000 AND stop_cnt / CAST(token_cnt AS DOUBLE) > 0.01
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "text_token_stats": Q(text_token_stats, TEXT_TOKEN_STATS_SQL, "token statistics"),
+    "training_prep_pipeline": Q(
+        training_prep_pipeline, TRAINING_PREP_PIPELINE_SQL, "dedup+quality+stats composite"
+    ),
     "text_lang_id": Q(text_lang_id, TEXT_LANG_ID_SQL, "stopword-voting language ID"),
     "text_quality_score": Q(text_quality_score, TEXT_QUALITY_SCORE_SQL, "quality flags"),
     "doc_fingerprint": Q(doc_fingerprint, DOC_FINGERPRINT_SQL, "set fingerprint + min-hash"),
