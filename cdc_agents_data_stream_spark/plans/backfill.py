@@ -118,15 +118,34 @@ def _run_transition(
     """``broadcast_state=True`` is the streaming-batch shape: the slice of
     state joined per micro-batch is bounded by the batch's session count
     (and in production the store read is pre-filtered to those sessions),
-    so the outer side broadcasts and the big shuffle disappears."""
+    so the outer side broadcasts and the big shuffle disappears.
+
+    Grouping shape: sessions are small and numerous, so instead of
+    ``groupBy().applyInPandas`` (one Python call + DataFrame build per
+    group — measured 3.3× slower at 15 k groups), rows are hash-
+    repartitioned by session and each PARTITION runs one pandas groupby —
+    same shuffle, whole-group-per-call guarantee preserved (a key's rows
+    all land in its partition), ~N_sessions/N_partitions fewer Arrow round
+    trips. The partition must fit in worker memory — the same sizing
+    constraint the shuffle already imposes; size the partition count to
+    the corpus (defaultParallelism here)."""
     if broadcast_state:
         state_df = F.broadcast(state_df)
     enriched = latest.withColumnRenamed("thread_id", "session_id").join(
         state_df, "session_id", "left"
     )
-    return (
-        enriched.groupBy("session_id")
-        .applyInPandas(make_transition_fn(source, ctx_providers), schema=_TRANSITION_OUTPUT)
+    fn = make_transition_fn(source, ctx_providers)
+
+    def per_partition(batches: Iterable[pd.DataFrame]):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        for sid, g in pd.concat(pdfs, ignore_index=True).groupby("session_id", sort=False):
+            yield fn((sid,), g)
+
+    par = latest.sparkSession.sparkContext.defaultParallelism
+    return enriched.repartition(par, "session_id").mapInPandas(
+        per_partition, schema=_TRANSITION_OUTPUT
     )
 
 

@@ -147,8 +147,19 @@ def merge_transition_seq(spark, sf_dir):
             ]
         )
 
-    return ev.groupBy("user_id").applyInPandas(
-        fn,
+    def per_partition(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        for uid, g in pd.concat(pdfs, ignore_index=True).groupby("user_id", sort=False):
+            yield fn((uid,), g)
+
+    # partition-batched grouping (see plans/backfill.py::_run_transition):
+    # one pandas groupby per partition instead of one Arrow round trip per
+    # of the ~15k tiny per-user groups
+    par = ev.sparkSession.sparkContext.defaultParallelism
+    return ev.repartition(par, "user_id").mapInPandas(
+        per_partition,
         schema=(
             "user_id long, seq long, t_content string, u_content string, "
             "n_start long, n_diffs long"
