@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from ..functions.diffkernel import REMOVE, REPLACE, diff_lines
+from ..functions.jsoncanon import canonicalize_lines
 from ..functions.messages import (
     MESSAGE_TYPES,
     message_list,
@@ -179,6 +180,124 @@ GROUP BY user_id
 """
 
 
+# --- UD3/C6: JSON canonicalization --------------------------------------------
+
+def json_canonicalize(spark, sf_dir):
+    """The diff kernel's canonicalizer (functions/jsoncanon.py::
+    canonicalize_lines; reference service/DiffService.java:227-240): JSON
+    content re-prints in Jackson's default pretty style — one object entry
+    per line, two-space indent, ``"key" : value``, single-line arrays —
+    and non-JSON content falls back to the Java ``String.split`` line
+    split (trailing empties dropped). ``event_id % 3`` selects a flat
+    object / nested object / non-JSON case whose canonical form the
+    oracle spells out verbatim."""
+    ev = load(spark, sf_dir, "events").select("event_id")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                case = eid % 3
+                if case == 0:
+                    content = f'{{"z": {eid}, "a": [1, 2], "m": "s-{eid}"}}'
+                elif case == 1:
+                    content = f'{{"n": {{"k": "v-{eid}"}}}}'
+                else:
+                    content = f"line1-{eid}\nline2\n\n\n"
+                lines = canonicalize_lines(content)
+                out.append((eid, len(lines), "\n".join(lines)))
+            yield pd.DataFrame(out, columns=["event_id", "n_lines", "canon"])
+
+    return ev.mapInPandas(gen, schema="event_id long, n_lines long, canon string")
+
+
+JSON_CANONICALIZE_SQL = """
+SELECT event_id,
+       CAST(CASE event_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 5 ELSE 2 END AS BIGINT) AS n_lines,
+       CASE event_id % 3
+         WHEN 0 THEN '{' || chr(10)
+              || '  "z" : ' || CAST(event_id AS VARCHAR) || ',' || chr(10)
+              || '  "a" : [ 1, 2 ],' || chr(10)
+              || '  "m" : "s-' || CAST(event_id AS VARCHAR) || '"' || chr(10)
+              || '}'
+         WHEN 1 THEN '{' || chr(10)
+              || '  "n" : {' || chr(10)
+              || '    "k" : "v-' || CAST(event_id AS VARCHAR) || '"' || chr(10)
+              || '  }' || chr(10)
+              || '}'
+         ELSE 'line1-' || CAST(event_id AS VARCHAR) || chr(10) || 'line2'
+       END AS canon
+FROM events
+"""
+
+
+# --- F6/X5: empty-diff suppression across incremental transitions -------------
+
+def merge_empty_diff_suppress(spark, sf_dir):
+    """Three-transition replay per user: absorb content, replay the SAME
+    content at a newer timestamp (LWW replaces the item but the canonical
+    diff is empty → NO diff doc, seq does NOT advance —
+    functions/diffkernel.py empty-diff suppression; the reference persists
+    state but appends no diff, service/DiffService.java:108-126), then a
+    real change (diff + seq advance). Expected per user: seq 2, 2 diff
+    docs, final content from batch 3."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id")
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        uid = int(key[0])
+        sid = str(uid)
+        max_ev = int(pdf["event_id"].max())
+
+        def item(content, ts, cp):
+            return {
+                "task_id": "t",
+                "content": content,
+                "timestamp": ts,
+                "thread_id": sid,
+                "checkpoint_id": cp,
+            }
+
+        s1, d1 = transition(None, sid, [item(f"A-{max_ev}", 1, "c1")])
+        s2, d2 = transition(s1, sid, [item(f"A-{max_ev}", 2, "c2")])  # no-op replay
+        s3, d3 = transition(s2, sid, [item(f"B-{max_ev}", 3, "c3")])
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": uid,
+                    "seq": s3["sequence_number"],
+                    "n_diffs": len(s3["cdc_checkpoint_diffs"]),
+                    "replay_suppressed": int(d2 is None and s2["sequence_number"] == 1),
+                    "t_content": s3["cdc_content"]["t"][0]["content"],
+                }
+            ]
+        )
+
+    def per_partition(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        for uid, g in pd.concat(pdfs, ignore_index=True).groupby("user_id", sort=False):
+            yield fn((uid,), g)
+
+    par = ev.sparkSession.sparkContext.defaultParallelism
+    return ev.repartition(par, "user_id").mapInPandas(
+        per_partition,
+        schema="user_id long, seq long, n_diffs long, replay_suppressed int, t_content string",
+    )
+
+
+MERGE_EMPTY_DIFF_SUPPRESS_SQL = """
+SELECT user_id,
+       CAST(2 AS BIGINT) AS seq,
+       CAST(2 AS BIGINT) AS n_diffs,
+       CAST(1 AS INT) AS replay_suppressed,
+       'B-' || CAST(max(event_id) AS VARCHAR) AS t_content
+FROM events
+GROUP BY user_id
+"""
+
+
 # --- F1 + UD4 + message_list: checkpoint blob → typed messages ---------------
 
 def checkpoint_blob_messages(spark, sf_dir):
@@ -319,6 +438,14 @@ FROM sel WHERE sel_rn = 1
 
 QUERIES = {
     "line_diff_ops": Q(line_diff_ops, LINE_DIFF_OPS_SQL, "UD1/UD2 diff op shapes"),
+    "json_canonicalize": Q(
+        json_canonicalize, JSON_CANONICALIZE_SQL, "UD3/C6 Jackson-style canonicalization"
+    ),
+    "merge_empty_diff_suppress": Q(
+        merge_empty_diff_suppress,
+        MERGE_EMPTY_DIFF_SUPPRESS_SQL,
+        "F6/X5 empty-diff suppression",
+    ),
     "latest_event_rank_parity": Q(
         latest_event_rank_parity,
         LATEST_EVENT_RANK_PARITY_SQL,

@@ -17,6 +17,7 @@ def all_queries() -> dict[str, Q]:
         "multimodal_queries",
         "message_queries",
         "kernel_queries",
+        "source_queries",
         "asof_queries",
         "window_queries",
     ):

@@ -457,5 +457,31 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """
 
+def user_event_map_collect(spark, sf_dir):
+    """A7 map-collect (subscriber/ctx/TestReportContextProvider.java:105:
+    collect ``{key: value}`` per session): per user, the event_type→count
+    map, serialized as a sorted ``type:count`` CSV so the map compares
+    deterministically across engines (map column types don't hash-compare
+    portably)."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    return per_type.groupBy("user_id").agg(
+        F.concat_ws(
+            ",",
+            F.array_sort(F.collect_list(F.format_string("%s:%d", F.col("event_type"), F.col("n")))),
+        ).alias("type_counts")
+    )
+
+
+USER_EVENT_MAP_COLLECT_SQL = """
+WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2)
+SELECT user_id,
+       string_agg(event_type || ':' || CAST(n AS VARCHAR), ','
+                  ORDER BY event_type || ':' || CAST(n AS VARCHAR)) AS type_counts
+FROM c GROUP BY user_id
+"""
+
+
 QUERIES["orders_status_rollup"] = Q(orders_status_rollup, ORDERS_STATUS_ROLLUP_SQL, "grouping sets")
 QUERIES["event_value_percentiles"] = Q(event_value_percentiles, EVENT_VALUE_PERCENTILES_SQL, "exact percentiles")
+QUERIES["user_event_map_collect"] = Q(user_event_map_collect, USER_EVENT_MAP_COLLECT_SQL, "A7 map-collect per user")

@@ -1,0 +1,89 @@
+"""Oracle-checked query for the checkpoint-source scan chain (S3).
+
+``writes_checkpoints_scan`` drives the production source composition
+end-to-end on constructed inputs: checkpoint-write rows and checkpoint
+pointer rows are built deterministically from ``events``, then flow through
+the exact operators the pipeline uses — the F1/F5 write filter
+(``message_writes``), the F3/C8/C9 jsonb ``$.ts`` extraction + cast
+(``with_event_time``), the J1 equi-join, the A1 grouped argmax, and the C1
+UTF-8 blob decode (``latest_blobs_per_task``) — so the oracle pins the whole
+scan → join → reduce → decode chain, not just one operator
+(reference: dao/CdcCheckpointDao.java:60-152, service/DiffService.java:99).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.latest import latest_blobs_per_task
+from .base import Q, load
+
+
+def writes_checkpoints_scan(spark, sf_dir):
+    """Each event yields one write row and one pointer row:
+
+    - ``thread_id = th-(user_id % 50)``, ``task_path = task-(event_id % 5)``,
+      ``checkpoint_id = cp-<event_id zero-padded>`` (zero-padding makes the
+      lexicographic argmax tie-break equal the numeric one);
+    - every 11th event carries a non-message channel (F1 must drop it) and
+      every 13th an empty blob (F5 must drop it);
+    - the pointer row stores event time INSIDE the jsonb as ``$.ts`` text at
+      second precision, the C8/C9 extract-and-cast path.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = F.unix_millis(F.col("ts")) / F.lit(1000)
+    sec = F.floor(sec).cast("long")
+    cp_id = F.concat(F.lit("cp-"), F.lpad(F.col("event_id").cast("string"), 8, "0"))
+    writes = ev.select(
+        F.concat(F.lit("th-"), (F.col("user_id") % 50).cast("string")).alias("thread_id"),
+        cp_id.alias("checkpoint_id"),
+        F.concat(F.lit("task-"), (F.col("event_id") % 5).cast("string")).alias("task_id"),
+        F.concat(F.lit("task-"), (F.col("event_id") % 5).cast("string")).alias("task_path"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("values"))
+        .otherwise(F.lit("messages"))
+        .alias("channel"),
+        F.lit("list").alias("type"),
+        F.when(F.col("event_id") % 13 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("content-"), F.col("event_id").cast("string")))
+        .cast("binary")
+        .alias("blob"),
+    )
+    checkpoints = ev.select(
+        cp_id.alias("checkpoint_id"),
+        F.format_string(
+            '{"ts": "%s"}',
+            F.date_format(F.timestamp_seconds(sec), "yyyy-MM-dd HH:mm:ss"),
+        ).alias("checkpoint"),
+    )
+    return latest_blobs_per_task(writes, checkpoints).select(
+        "thread_id", "task_id", "checkpoint_id", "ts_millis", "content"
+    )
+
+
+WRITES_CHECKPOINTS_SCAN_SQL = """
+WITH rows_kept AS (
+  SELECT 'th-' || CAST(user_id % 50 AS VARCHAR) AS thread_id,
+         'cp-' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS checkpoint_id,
+         'task-' || CAST(event_id % 5 AS VARCHAR) AS task_id,
+         (epoch_ms(ts) // 1000) * 1000 AS ts_millis,
+         'content-' || CAST(event_id AS VARCHAR) AS content
+  FROM events
+  WHERE event_id % 11 <> 0 AND event_id % 13 <> 0
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY thread_id, task_id
+           ORDER BY ts_millis DESC, checkpoint_id DESC) AS rn
+  FROM rows_kept
+)
+SELECT thread_id, task_id, checkpoint_id, CAST(ts_millis AS BIGINT) AS ts_millis, content
+FROM ranked WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "writes_checkpoints_scan": Q(
+        writes_checkpoints_scan,
+        WRITES_CHECKPOINTS_SCAN_SQL,
+        "S3 scan→filter→join→argmax→decode chain",
+    ),
+}
