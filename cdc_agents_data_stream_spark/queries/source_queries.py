@@ -19,8 +19,10 @@ from ..operators.latest import latest_blobs_per_task
 from .base import Q, load
 
 
-def writes_checkpoints_scan(spark, sf_dir):
-    """Each event yields one write row and one pointer row:
+def _synthetic_write_tables(ev):
+    """Construct (writes, checkpoints) rows deterministically from events —
+    shared by the scan-chain and backfill gate queries. Each event yields
+    one write row and one pointer row:
 
     - ``thread_id = th-(user_id % 50)``, ``task_path = task-(event_id % 5)``,
       ``checkpoint_id = cp-<event_id zero-padded>`` (zero-padding makes the
@@ -30,7 +32,6 @@ def writes_checkpoints_scan(spark, sf_dir):
     - the pointer row stores event time INSIDE the jsonb as ``$.ts`` text at
       second precision, the C8/C9 extract-and-cast path.
     """
-    ev = load(spark, sf_dir, "events")
     sec = F.unix_millis(F.col("ts")) / F.lit(1000)
     sec = F.floor(sec).cast("long")
     cp_id = F.concat(F.lit("cp-"), F.lpad(F.col("event_id").cast("string"), 8, "0"))
@@ -55,8 +56,60 @@ def writes_checkpoints_scan(spark, sf_dir):
             F.date_format(F.timestamp_seconds(sec), "yyyy-MM-dd HH:mm:ss"),
         ).alias("checkpoint"),
     )
+    return writes, checkpoints
+
+
+def writes_checkpoints_scan(spark, sf_dir):
+    """S3 scan chain over the constructed tables (see
+    ``_synthetic_write_tables``): F1/F5 write filter, F3/C8/C9 jsonb ts
+    extraction, J1 equi-join, A1 grouped argmax, C1 blob decode."""
+    ev = load(spark, sf_dir, "events")
+    writes, checkpoints = _synthetic_write_tables(ev)
     return latest_blobs_per_task(writes, checkpoints).select(
         "thread_id", "task_id", "checkpoint_id", "ts_millis", "content"
+    )
+
+
+def backfill_state_build(spark, sf_dir):
+    """X7 end-to-end under the gate: the SAME distributed composition the
+    backfill plan runs (plans/backfill.py::backfill; reference
+    config/CdcSubscriberConfig.java:117-175) — scan → F1/F5 filter → J1
+    join → A1 latest-per-(thread,task) → left-join prior state (empty
+    here) → partition-batched ``mapInPandas`` state transition — then the
+    resulting state documents are cracked back open for the oracle:
+    one row per (session, task) with the absorbed content, the session's
+    sequence number (must be 1: first absorbing batch, X6) and its diff-doc
+    count (must be 1: one diff doc per absorbing batch, X5).
+
+    ``updated_ts_millis``/``batch_diff`` are dropped — wall-clock stamps
+    are the one non-deterministic state field (documented replay caveat,
+    plans/backfill.py:102)."""
+    from ..plans.backfill import _run_transition
+    from ..schemas import DATA_STREAM_STATE_SCHEMA
+
+    ev = load(spark, sf_dir, "events")
+    writes, checkpoints = _synthetic_write_tables(ev)
+    latest = latest_blobs_per_task(writes, checkpoints)
+    empty_state = spark.createDataFrame([], DATA_STREAM_STATE_SCHEMA)
+    updated = _run_transition(latest, empty_state, "cdc")
+    content = F.from_json(
+        "cdc_content", "map<string, array<struct<content:string>>>"
+    )
+    return (
+        updated.select(
+            "session_id",
+            F.col("sequence_number").cast("long").alias("seq"),
+            F.json_array_length("cdc_checkpoint_diffs").cast("long").alias("n_diffs"),
+            F.explode(content).alias("task_id", "items"),
+        )
+        .select(
+            "session_id",
+            "seq",
+            "n_diffs",
+            "task_id",
+            # LWW keys hold exactly the newest item (operators/merge.py:44)
+            F.col("items")[0]["content"].alias("content"),
+        )
     )
 
 
@@ -80,10 +133,39 @@ FROM ranked WHERE rn = 1
 """
 
 
+BACKFILL_STATE_BUILD_SQL = """
+WITH rows_kept AS (
+  SELECT 'th-' || CAST(user_id % 50 AS VARCHAR) AS session_id,
+         'cp-' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS checkpoint_id,
+         'task-' || CAST(event_id % 5 AS VARCHAR) AS task_id,
+         (epoch_ms(ts) // 1000) * 1000 AS ts_millis,
+         'content-' || CAST(event_id AS VARCHAR) AS content
+  FROM events
+  WHERE event_id % 11 <> 0 AND event_id % 13 <> 0
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY session_id, task_id
+           ORDER BY ts_millis DESC, checkpoint_id DESC) AS rn
+  FROM rows_kept
+)
+SELECT session_id,
+       CAST(1 AS BIGINT) AS seq,
+       CAST(1 AS BIGINT) AS n_diffs,
+       task_id,
+       content
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "writes_checkpoints_scan": Q(
         writes_checkpoints_scan,
         WRITES_CHECKPOINTS_SCAN_SQL,
         "S3 scan→filter→join→argmax→decode chain",
+    ),
+    "backfill_state_build": Q(
+        backfill_state_build,
+        BACKFILL_STATE_BUILD_SQL,
+        "X7 backfill: scan→latest→state transition end-to-end",
     ),
 }
