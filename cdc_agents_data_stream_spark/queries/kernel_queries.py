@@ -357,6 +357,82 @@ GROUP BY 1
 """
 
 
+# --- UD5/X9: ctx-provider fan-out + sequence stamping -------------------------
+
+def ctx_enrich_fanout(spark, sf_dir):
+    """Provider fan-out under the gate (subscriber/ctx/ContextService.java:
+    30-51): two transitions per user run with a provider list — an
+    ``environment`` provider that always emits and a ``test-report``
+    provider that emits only for even users (the fan-out's skip path,
+    ``Optional.empty()``). Each emitted item must be stamped with the SAME
+    next-sequence number the batch's diff gets
+    (DataStreamContextItem.java:12-17). Expected per user: 2 env items,
+    0-or-2 report items, ctx seq stamps summing to 1+2 per emitting
+    provider."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id")
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        uid = int(key[0])
+        sid = str(uid)
+
+        def item(content, ts, cp):
+            return {
+                "task_id": "t",
+                "content": content,
+                "timestamp": ts,
+                "thread_id": sid,
+                "checkpoint_id": cp,
+            }
+
+        env = lambda doc: {"type": "environment", "host": f"h-{doc['session_id']}"}  # noqa: E731
+        rep = lambda doc: (  # noqa: E731
+            {"type": "test-report", "reports": {}} if uid % 2 == 0 else None
+        )
+        providers = [env, rep]
+        s1, _ = transition(None, sid, [item("a", 1, "c1")], ctx_providers=providers)
+        s2, _ = transition(s1, sid, [item("b", 2, "c2")], ctx_providers=providers)
+        ctx = s2["ctx"]
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": uid,
+                    "n_ctx": len(ctx),
+                    "n_env": sum(1 for c in ctx if c["type"] == "environment"),
+                    "n_report": sum(1 for c in ctx if c["type"] == "test-report"),
+                    "seq_sum": sum(c["sequenceNumber"] for c in ctx),
+                    "last_seq": s2["sequence_number"],
+                }
+            ]
+        )
+
+    def per_partition(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        for uid, g in pd.concat(pdfs, ignore_index=True).groupby("user_id", sort=False):
+            yield fn((uid,), g)
+
+    par = ev.sparkSession.sparkContext.defaultParallelism
+    return ev.repartition(par, "user_id").mapInPandas(
+        per_partition,
+        schema=(
+            "user_id long, n_ctx long, n_env long, n_report long, "
+            "seq_sum long, last_seq long"
+        ),
+    )
+
+
+CTX_ENRICH_FANOUT_SQL = """
+SELECT DISTINCT user_id,
+       CAST(CASE WHEN user_id % 2 = 0 THEN 4 ELSE 2 END AS BIGINT) AS n_ctx,
+       CAST(2 AS BIGINT) AS n_env,
+       CAST(CASE WHEN user_id % 2 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_report,
+       CAST(CASE WHEN user_id % 2 = 0 THEN 6 ELSE 3 END AS BIGINT) AS seq_sum,
+       CAST(2 AS BIGINT) AS last_seq
+FROM events
+"""
+
+
 # --- C11: UUID assignment for id-less messages -------------------------------
 
 def message_uuid_assign(spark, sf_dir):
@@ -461,5 +537,8 @@ QUERIES = {
     ),
     "message_uuid_assign": Q(
         message_uuid_assign, MESSAGE_UUID_ASSIGN_SQL, "C11 UUID assignment"
+    ),
+    "ctx_enrich_fanout": Q(
+        ctx_enrich_fanout, CTX_ENRICH_FANOUT_SQL, "UD5/X9 ctx provider fan-out"
     ),
 }
