@@ -20,6 +20,7 @@ def all_queries() -> dict[str, Q]:
         "source_queries",
         "asof_queries",
         "window_queries",
+        "sampling_queries",
     ):
         try:
             mod = __import__(f"{__package__}.{mod_name}", fromlist=["QUERIES"])

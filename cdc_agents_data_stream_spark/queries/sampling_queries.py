@@ -1,0 +1,158 @@
+"""Oracle-checked queries for the corpus-assembly operators
+(operators/sampling.py): sequence packing, stratified sampling,
+benchmark decontamination, deterministic shuffle.
+
+Everything deterministic (md5-keyed), so each query has a full-value
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import sampling as S
+from .base import Q, load
+
+# 60-bit md5 prefix as BIGINT, DuckDB spelling (= dedup._text_md5_int).
+_MD5_INT = "CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def pack_sequences_stats(spark, sf_dir):
+    """Pack stats per (shard, pack): doc count, token total. Fixed
+    ``n_shards=8`` — shard membership is part of the SEMANTICS (id % 8),
+    not the physical partitioning, so the result is engine-independent."""
+    packed = S.pack_sequences(
+        load(spark, sf_dir, "documents"), max_tokens=512, n_shards=8
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+    )
+
+
+PACK_SEQUENCES_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+           AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT shard, pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM packed GROUP BY shard, pack_id
+"""
+
+
+def stratified_sample_counts(spark, sf_dir):
+    """Data-mixing sample: keep 80% of en, 30% of de, 10% of everything
+    else, decided by ``md5(doc_id:s1) % 10000``. Output: kept docs and
+    mean quality proxy (chars) per language."""
+    kept = S.stratified_sample(
+        load(spark, sf_dir, "documents"),
+        rates={"en": 0.8, "de": 0.3},
+        default_rate=0.1,
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+
+
+STRATIFIED_SAMPLE_COUNTS_SQL = f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM documents
+WHERE {_MD5_INT.format(expr="CAST(doc_id AS VARCHAR) || ':s1'")} % 10000
+      < CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 3000 ELSE 1000 END
+GROUP BY lang
+"""
+
+
+def decontam_overlap(spark, sf_dir):
+    """Eval-contamination scrub: docs ``doc_id % 20 == 0`` stand in for the
+    benchmark set; the rest is the training corpus. A corpus doc is
+    contaminated when it shares any word 8-gram with a benchmark doc.
+    Output: per-language corpus size and contaminated count."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    flagged = S.ngram_decontaminate(corpus, bench, n=8)
+    return flagged.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("contaminated").cast("long").alias("n_contaminated"),
+    )
+
+
+DECONTAM_OVERLAP_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, doc_id % 20 = 0 AS is_bench, string_split(text, ' ') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, lang, is_bench, shingle FROM (
+    SELECT doc_id, lang, is_bench,
+           unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+                                 i -> array_to_string(t[i:i+7], ' '))) AS shingle
+    FROM toks
+  )
+), hits AS (
+  SELECT DISTINCT c.doc_id
+  FROM sh c JOIN sh b ON c.shingle = b.shingle AND b.is_bench AND NOT c.is_bench
+)
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 20 <> 0
+GROUP BY d.lang
+"""
+
+
+def shuffle_order_sample(spark, sf_dir):
+    """First 50 docs of the epoch-0 deterministic shuffle, with their
+    permutation rank — the training-order stream's head."""
+    from pyspark.sql.window import Window
+
+    ordered = S.shuffle_order(load(spark, sf_dir, "documents"), seed="epoch0")
+    ranked = ordered.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy("shuffle_key", "doc_id")).cast("long"),
+    )
+    return ranked.filter(F.col("rank") <= 50).select(
+        "rank", "doc_id", "lang", "shuffle_key"
+    )
+
+
+SHUFFLE_ORDER_SAMPLE_SQL = f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS rank,
+       doc_id, lang, shuffle_key
+FROM (
+  SELECT doc_id, lang,
+         {_MD5_INT.format(expr="CAST(doc_id AS VARCHAR) || ':epoch0'")} AS shuffle_key
+  FROM documents
+)
+ORDER BY rank LIMIT 50
+"""
+
+
+QUERIES = {
+    "pack_sequences_stats": Q(
+        pack_sequences_stats, PACK_SEQUENCES_STATS_SQL, "sequence packing bins"
+    ),
+    "stratified_sample_counts": Q(
+        stratified_sample_counts,
+        STRATIFIED_SAMPLE_COUNTS_SQL,
+        "deterministic stratified data mixing",
+    ),
+    "decontam_overlap": Q(
+        decontam_overlap, DECONTAM_OVERLAP_SQL, "benchmark n-gram decontamination"
+    ),
+    "shuffle_order_sample": Q(
+        shuffle_order_sample, SHUFFLE_ORDER_SAMPLE_SQL, "deterministic epoch shuffle"
+    ),
+}
