@@ -133,6 +133,145 @@ FROM ranked WHERE rn = 1
 """
 
 
+def incremental_poll_rounds(spark, sf_dir):
+    """S1 under the gate: the offset-tracked poller
+    (sources/incremental.py::IncrementalReader; reference LISTEN/NOTIFY
+    subscriber, subscriber/AgentsPostgresSubscriber.java:28-49) driven
+    through three rounds against a growing table:
+
+    - round 1: table = even events only → absorbs all of them;
+    - round 2: table = ALL events → absorbs exactly the rows beyond the
+      committed lexicographic (ts, id) offset (odd events newer than the
+      newest even row — late odd rows behind the offset are the
+      at-least-once boundary the poller deliberately skips);
+    - round 3: no new rows → absorbs 0.
+
+    The polls run eagerly here (each is a count + offset commit, exactly
+    the production cadence) and the per-round tallies are returned as a
+    materialized DataFrame, so replaying the result is side-effect-free."""
+    import os
+    import tempfile
+
+    from ..sources.incremental import IncrementalReader
+
+    ev = load(spark, sf_dir, "events")
+    tbl = ev.select(
+        F.unix_millis("ts").alias("ts_millis"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0").alias("cp_id"),
+        (F.col("event_id") % 2).alias("odd"),
+    )
+    t1 = tbl.filter(F.col("odd") == 0)
+    with tempfile.TemporaryDirectory() as d:
+        rdr = IncrementalReader(os.path.join(d, "offset.json"), "ts_millis", "cp_id")
+        counts = []
+        for table in (t1, tbl, tbl):
+            batch = rdr.poll(table)
+            counts.append(batch.count())
+            rdr.commit()
+    return spark.createDataFrame(
+        [(i + 1, int(n)) for i, n in enumerate(counts)], "round int, n_rows long"
+    )
+
+
+INCREMENTAL_POLL_ROUNDS_SQL = """
+WITH t AS (
+  SELECT epoch_ms(ts) AS ts_millis,
+         lpad(CAST(event_id AS VARCHAR), 10, '0') AS cp_id,
+         event_id % 2 AS odd
+  FROM events
+), o AS (
+  SELECT ts_millis AS mts, cp_id AS mid
+  FROM t WHERE odd = 0 ORDER BY ts_millis DESC, cp_id DESC LIMIT 1
+)
+SELECT CAST(1 AS INT) AS round,
+       (SELECT COUNT(*) FROM t WHERE odd = 0) AS n_rows
+UNION ALL
+SELECT 2, (SELECT COUNT(*) FROM t, o
+           WHERE ts_millis > mts OR (ts_millis = mts AND cp_id > mid))
+UNION ALL
+SELECT 3, 0
+"""
+
+
+def report_consume_once(spark, sf_dir):
+    """S5 under the gate: the consume-once test-report file provider
+    (ctx/providers.py::make_test_report_provider; reference
+    TestReportContextProvider.java:29-139). Users hash into 50 session
+    buckets; each bucket's group — running distributed inside the grouped
+    kernel — materializes its own report directory, then runs the state
+    transition twice with the provider attached. The first transition must
+    pick up the file keyed ``<session>:<name>`` and delete it; the second
+    must see an empty report map (consume-once). The fixture lives inside
+    the task, so stage re-execution rebuilds it — the result is
+    deterministic under replay."""
+    import os
+
+    import pandas as pd
+
+    from ..ctx.providers import make_test_report_provider
+    from ..operators.merge import transition
+
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("bucket")
+    ).distinct()
+
+    def per_partition(batches):
+        import shutil
+        import tempfile
+
+        for pdf in batches:
+            for b in pdf["bucket"]:
+                bucket = int(b)
+                sid = str(bucket)
+                base = tempfile.mkdtemp(prefix="reports-")
+                try:
+                    sdir = os.path.join(base, sid)
+                    os.makedirs(sdir)
+                    with open(os.path.join(sdir, "run.log"), "w") as fh:
+                        fh.write(f"rep-{bucket}")
+                    provider = make_test_report_provider([base])
+                    item = {
+                        "task_id": "t",
+                        "content": "a",
+                        "timestamp": 1,
+                        "thread_id": sid,
+                        "checkpoint_id": "c1",
+                    }
+                    s1, _ = transition(None, sid, [item], ctx_providers=[provider])
+                    item2 = dict(item, content="b", timestamp=2, checkpoint_id="c2")
+                    s2, _ = transition(s1, sid, [item2], ctx_providers=[provider])
+                    r1 = s1["ctx"][0]["testReports"]
+                    r2 = s2["ctx"][1]["testReports"]
+                    yield pd.DataFrame(
+                        [
+                            {
+                                "bucket": bucket,
+                                "n_first": len(r1),
+                                "n_second": len(r2),
+                                "content_ok": int(
+                                    r1.get(f"{sid}:run.log") == f"rep-{bucket}"
+                                ),
+                            }
+                        ]
+                    )
+                finally:
+                    shutil.rmtree(base, ignore_errors=True)
+
+    return ev.repartition(8, "bucket").mapInPandas(
+        per_partition,
+        schema="bucket long, n_first long, n_second long, content_ok int",
+    )
+
+
+REPORT_CONSUME_ONCE_SQL = """
+SELECT DISTINCT user_id % 50 AS bucket,
+       CAST(1 AS BIGINT) AS n_first,
+       CAST(0 AS BIGINT) AS n_second,
+       CAST(1 AS INT) AS content_ok
+FROM events
+"""
+
+
 BACKFILL_STATE_BUILD_SQL = """
 WITH rows_kept AS (
   SELECT 'th-' || CAST(user_id % 50 AS VARCHAR) AS session_id,
@@ -167,5 +306,15 @@ QUERIES = {
         backfill_state_build,
         BACKFILL_STATE_BUILD_SQL,
         "X7 backfill: scan→latest→state transition end-to-end",
+    ),
+    "incremental_poll_rounds": Q(
+        incremental_poll_rounds,
+        INCREMENTAL_POLL_ROUNDS_SQL,
+        "S1 offset-tracked incremental polling",
+    ),
+    "report_consume_once": Q(
+        report_consume_once,
+        REPORT_CONSUME_ONCE_SQL,
+        "S5 consume-once test-report provider",
     ),
 }
