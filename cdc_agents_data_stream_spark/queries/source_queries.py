@@ -133,6 +133,114 @@ FROM ranked WHERE rn = 1
 """
 
 
+def backfill_dual_stream(spark, sf_dir):
+    """X10 under the gate: the production ``backfill`` entry point
+    (plans/backfill.py::backfill) fanning in BOTH streams against a real
+    (temp-dir) versioned state store — the CDC pass absorbs message blobs,
+    then the IDE pass (dao/IdeCheckpointDao.java:58-80) merges into the
+    same session documents, writing its disjoint columns
+    (``ide_content``/``ide_checkpoint_diffs``) and advancing the shared
+    sequence number. The final store snapshot is cracked open to one row
+    per (session, stream, task) with the absorbed content; the session's
+    seq must equal the number of streams that absorbed a batch.
+
+    The store lives in a TemporaryDirectory, so the result is collected
+    and re-wrapped before the directory vanishes — the returned DataFrame
+    is replay-safe."""
+    import os
+    import tempfile
+
+    from ..plans.backfill import backfill
+    from ..state.store import ParquetStateStore
+
+    ev = load(spark, sf_dir, "events")
+    writes, checkpoints = _synthetic_write_tables(ev)
+    sec = F.floor(F.unix_millis(F.col("ts")) / F.lit(1000)).cast("long")
+    ide = ev.select(
+        F.concat(F.lit("th-"), (F.col("user_id") % 50).cast("string")).alias("thread_id"),
+        F.concat(F.lit("cp-"), F.lpad(F.col("event_id").cast("string"), 8, "0")).alias(
+            "checkpoint_id"
+        ),
+        F.concat(F.lit("idetask-"), (F.col("event_id") % 3).cast("string")).alias(
+            "task_path"
+        ),
+        F.date_format(F.timestamp_seconds(sec), "yyyy-MM-dd HH:mm:ss").alias(
+            "checkpoint_ts"
+        ),
+        F.concat(F.lit("ide-"), F.col("event_id").cast("string")).cast("binary").alias(
+            "blob"
+        ),
+    )
+    content_t = "map<string, array<struct<content:string>>>"
+    with tempfile.TemporaryDirectory() as d:
+        store = ParquetStateStore(spark, os.path.join(d, "state"))
+        backfill(spark, writes, checkpoints, store, ide_checkpoints=ide)
+        state = store.read()
+        seq = F.col("sequence_number").cast("long").alias("seq")
+        per_stream = [
+            state.select(
+                "session_id",
+                seq,
+                F.lit(stream).alias("stream"),
+                F.explode(F.from_json(f"{stream}_content", content_t)).alias(
+                    "task_id", "items"
+                ),
+            ).select(
+                "session_id",
+                "seq",
+                "stream",
+                "task_id",
+                F.col("items")[0]["content"].alias("content"),
+            )
+            for stream in ("cdc", "ide")
+        ]
+        out = per_stream[0].unionByName(per_stream[1])
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "session_id string, seq long, stream string, task_id string, content string"
+        )
+
+
+BACKFILL_DUAL_STREAM_SQL = """
+WITH cdc_kept AS (
+  SELECT 'th-' || CAST(user_id % 50 AS VARCHAR) AS session_id,
+         'cp-' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS checkpoint_id,
+         'task-' || CAST(event_id % 5 AS VARCHAR) AS task_id,
+         (epoch_ms(ts) // 1000) * 1000 AS ts_millis,
+         'content-' || CAST(event_id AS VARCHAR) AS content
+  FROM events
+  WHERE event_id % 11 <> 0 AND event_id % 13 <> 0
+), ide_kept AS (
+  SELECT 'th-' || CAST(user_id % 50 AS VARCHAR) AS session_id,
+         'cp-' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS checkpoint_id,
+         'idetask-' || CAST(event_id % 3 AS VARCHAR) AS task_id,
+         (epoch_ms(ts) // 1000) * 1000 AS ts_millis,
+         'ide-' || CAST(event_id AS VARCHAR) AS content
+  FROM events
+), seqs AS (
+  SELECT session_id,
+         CAST((CASE WHEN EXISTS (SELECT 1 FROM cdc_kept c WHERE c.session_id = s.session_id)
+                    THEN 1 ELSE 0 END)
+            + (CASE WHEN EXISTS (SELECT 1 FROM ide_kept i WHERE i.session_id = s.session_id)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS seq
+  FROM (SELECT session_id FROM cdc_kept UNION SELECT session_id FROM ide_kept) s
+), latest AS (
+  SELECT session_id, 'cdc' AS stream, task_id, content,
+         ROW_NUMBER() OVER (PARTITION BY session_id, task_id
+                            ORDER BY ts_millis DESC, checkpoint_id DESC) AS rn
+  FROM cdc_kept
+  UNION ALL
+  SELECT session_id, 'ide' AS stream, task_id, content,
+         ROW_NUMBER() OVER (PARTITION BY session_id, task_id
+                            ORDER BY ts_millis DESC, checkpoint_id DESC) AS rn
+  FROM ide_kept
+)
+SELECT l.session_id, q.seq, l.stream, l.task_id, l.content
+FROM latest l JOIN seqs q ON q.session_id = l.session_id
+WHERE l.rn = 1
+"""
+
+
 def incremental_poll_rounds(spark, sf_dir):
     """S1 under the gate: the offset-tracked poller
     (sources/incremental.py::IncrementalReader; reference LISTEN/NOTIFY
@@ -306,6 +414,11 @@ QUERIES = {
         backfill_state_build,
         BACKFILL_STATE_BUILD_SQL,
         "X7 backfill: scan→latest→state transition end-to-end",
+    ),
+    "backfill_dual_stream": Q(
+        backfill_dual_stream,
+        BACKFILL_DUAL_STREAM_SQL,
+        "X10 dual-stream fan-in through the real store",
     ),
     "incremental_poll_rounds": Q(
         incremental_poll_rounds,
