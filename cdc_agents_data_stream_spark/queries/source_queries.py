@@ -241,6 +241,84 @@ WHERE l.rn = 1
 """
 
 
+def git_repo_scan(spark, sf_dir):
+    """S6/T5 under the gate: build a throwaway git repository whose history
+    is derived from the data — one commit per distinct ``event_type``, in
+    sorted order, with pinned author/committer/date so the repo is
+    bit-identical across runs — then run the production scanner
+    (ctx/providers.py::scan_git_repositories; reference
+    util/GitRepositoryScanner.java:43-260) with ``commit_limit=5`` (the
+    ``git log -n`` bound, T5) against a root directory containing it plus
+    a non-repo subdirectory the walk must skip. An untracked file makes
+    the worktree dirty. Output: scanner-observable invariants (repo count,
+    branch, bounded commit-list length, dirty flag, head well-formedness)."""
+    import os
+    import re
+    import subprocess
+    import tempfile
+
+    from ..ctx.providers import scan_git_repositories
+
+    types = sorted(
+        r["event_type"]
+        for r in load(spark, sf_dir, "events").select("event_type").distinct().collect()
+    )
+    env = dict(
+        os.environ,
+        GIT_AUTHOR_NAME="t",
+        GIT_AUTHOR_EMAIL="t@t",
+        GIT_AUTHOR_DATE="2020-01-01T00:00:00 +0000",
+        GIT_COMMITTER_NAME="t",
+        GIT_COMMITTER_EMAIL="t@t",
+        GIT_COMMITTER_DATE="2020-01-01T00:00:00 +0000",
+    )
+    with tempfile.TemporaryDirectory() as root:
+        repo = os.path.join(root, "repo")
+        os.makedirs(os.path.join(root, "not-a-repo"))
+        os.makedirs(repo)
+
+        def git(*args):
+            subprocess.run(
+                ["git", "-C", repo, *args], env=env, check=True, capture_output=True
+            )
+
+        git("init", "-q", "-b", "main")
+        for t in types:
+            with open(os.path.join(repo, "log.txt"), "a") as fh:
+                fh.write(t + "\n")
+            git("add", "log.txt")
+            git("commit", "-q", "-m", t)
+        with open(os.path.join(repo, "untracked.tmp"), "w") as fh:
+            fh.write("x")
+        repos = scan_git_repositories(root, max_depth=3, commit_limit=5)
+    assert len(repos) == 1
+    r = repos[0]
+    return spark.createDataFrame(
+        [
+            (
+                len(repos),
+                r["branch"],
+                len(r["recent_commits"]),
+                int(bool(r["dirty"])),
+                int(bool(re.fullmatch(r"[0-9a-f]{40}", r["head"] or ""))),
+                int(r["recent_commits"][0] == r["head"]),
+            )
+        ],
+        "n_repos int, branch string, n_recent int, dirty int, head_ok int, head_is_first int",
+    )
+
+
+GIT_REPO_SCAN_SQL = """
+SELECT CAST(1 AS INT) AS n_repos,
+       'main' AS branch,
+       CAST(LEAST(COUNT(DISTINCT event_type), 5) AS INT) AS n_recent,
+       CAST(1 AS INT) AS dirty,
+       CAST(1 AS INT) AS head_ok,
+       CAST(1 AS INT) AS head_is_first
+FROM events
+"""
+
+
 def incremental_poll_rounds(spark, sf_dir):
     """S1 under the gate: the offset-tracked poller
     (sources/incremental.py::IncrementalReader; reference LISTEN/NOTIFY
@@ -419,6 +497,9 @@ QUERIES = {
         backfill_dual_stream,
         BACKFILL_DUAL_STREAM_SQL,
         "X10 dual-stream fan-in through the real store",
+    ),
+    "git_repo_scan": Q(
+        git_repo_scan, GIT_REPO_SCAN_SQL, "S6/T5 git metadata scan"
     ),
     "incremental_poll_rounds": Q(
         incremental_poll_rounds,
