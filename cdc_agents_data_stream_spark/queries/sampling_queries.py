@@ -115,17 +115,18 @@ GROUP BY d.lang
 
 def shuffle_order_sample(spark, sf_dir):
     """First 50 docs of the epoch-0 deterministic shuffle, with their
-    permutation rank — the training-order stream's head."""
+    permutation rank — the training-order stream's head. The limit runs
+    FIRST (Spark plans it as TakeOrderedAndProject — per-partition top-50
+    + driver merge, no global sort materialized); the rank window then
+    only ever sees 50 rows, so the unpartitioned window is bounded."""
     from pyspark.sql.window import Window
 
     ordered = S.shuffle_order(load(spark, sf_dir, "documents"), seed="epoch0")
-    ranked = ordered.withColumn(
+    head = ordered.limit(50)
+    return head.withColumn(
         "rank",
         F.row_number().over(Window.orderBy("shuffle_key", "doc_id")).cast("long"),
-    )
-    return ranked.filter(F.col("rank") <= 50).select(
-        "rank", "doc_id", "lang", "shuffle_key"
-    )
+    ).select("rank", "doc_id", "lang", "shuffle_key")
 
 
 SHUFFLE_ORDER_SAMPLE_SQL = f"""
