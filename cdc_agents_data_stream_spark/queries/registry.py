@@ -21,6 +21,7 @@ def all_queries() -> dict[str, Q]:
         "asof_queries",
         "window_queries",
         "sampling_queries",
+        "streaming_queries",
     ):
         try:
             mod = __import__(f"{__package__}.{mod_name}", fromlist=["QUERIES"])

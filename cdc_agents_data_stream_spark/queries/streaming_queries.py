@@ -1,0 +1,203 @@
+"""Oracle-checked query driving the LIVE Structured Streaming pipeline
+(streaming/pipeline.py::run_foreachbatch_pipeline) end-to-end — the X1
+micro-batch loop the reference runs off LISTEN/NOTIFY
+(subscriber/AgentsPostgresSubscriber.java:28-49 →
+service/DataStreamService.java:61-93).
+
+Determinism strategy: the constructed write files are split into ticks by
+TIME (ntile over distinct event seconds), so each micro-batch's rows are
+strictly newer than everything already absorbed — absorption order is
+then fully determined, the final per-task winner equals the global
+argmax, and a session's sequence number equals the number of ticks in
+which it had any surviving row. Wall-clock fields (``updated_ts_millis``,
+diff timestamps) are excluded from the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .base import Q, load
+
+
+def stream_pipeline_state(spark, sf_dir):
+    """Stage the synthetic writes as three tick files, stream them through
+    ``run_foreachbatch_pipeline`` (``maxFilesPerTrigger=1`` → one
+    micro-batch per tick, the reference's one-transition-per-NOTIFY
+    cadence), then crack the final state store open to one row per
+    (session, task). The store lives in a TemporaryDirectory, so the
+    result is collected and re-wrapped before the directory vanishes."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..state.store import ParquetAppendLog, ParquetStateStore
+    from ..streaming.pipeline import run_foreachbatch_pipeline
+
+    # Spark 4.1's streaming-checkpoint checksum manager can starve on
+    # local[...]; session.py disables it at build time, but this query must
+    # also run on the driver's vanilla session (it is runtime-settable).
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+
+    # quarter-sample the events: keeps every tick well above the
+    # small-batch threshold (the distributed path stays the one under
+    # test) while the gate run stays fast
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 4 == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(F.unix_millis("ts") / 1000).cast("long").alias("sec"),
+        )
+        .toPandas()
+    )
+    secs = sorted(ev["sec"].unique())
+    n = len(secs)
+    tick_of_sec = {s: i * 3 // n for i, s in enumerate(secs)}
+
+    def iso(sec: int) -> str:
+        return datetime.fromtimestamp(sec, tz=timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+
+    rows = []
+    for eid, uid, sec in ev.itertuples(index=False):
+        eid, uid, sec = int(eid), int(uid), int(sec)
+        rows.append(
+            {
+                "thread_id": f"th-{uid % 50}",
+                "checkpoint_ns": None,
+                "checkpoint_id": f"cp-{eid:08d}",
+                "task_id": f"task-{eid % 5}",
+                "idx": 0,
+                "channel": "values" if eid % 11 == 0 else "messages",
+                "type": "list",
+                "blob": b"" if eid % 13 == 0 else f"content-{eid}".encode(),
+                "task_path": f"task-{eid % 5}",
+                "tick": tick_of_sec[sec],
+                "cp_json": '{"ts": "%s"}' % iso(sec),
+            }
+        )
+    writes_schema = pa.schema(
+        [
+            ("thread_id", pa.string()),
+            ("checkpoint_ns", pa.string()),
+            ("checkpoint_id", pa.string()),
+            ("task_id", pa.string()),
+            ("idx", pa.int32()),
+            ("channel", pa.string()),
+            ("type", pa.string()),
+            ("blob", pa.binary()),
+            ("task_path", pa.string()),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="stream-gate-")
+    try:
+        os.makedirs(f"{base}/writes")
+        os.makedirs(f"{base}/cps")
+        now = _time.time()
+        for tick in range(3):
+            sub = [r for r in rows if r["tick"] == tick]
+            tbl = pa.Table.from_pylist(
+                [{k: r[k] for k in writes_schema.names} for r in sub],
+                schema=writes_schema,
+            )
+            path = f"{base}/writes/tick-{tick}.parquet"
+            pq.write_table(tbl, path)
+            # the file source lists oldest-mtime-first; pin the order
+            os.utime(path, (now - 30 + tick * 10, now - 30 + tick * 10))
+        pq.write_table(
+            pa.Table.from_pylist(
+                [
+                    {"checkpoint_id": r["checkpoint_id"], "checkpoint": r["cp_json"]}
+                    for r in rows
+                ]
+            ),
+            f"{base}/cps/all.parquet",
+        )
+        store = ParquetStateStore(spark, f"{base}/state")
+        log = ParquetAppendLog(spark, f"{base}/diffs")
+        query = run_foreachbatch_pipeline(
+            spark,
+            f"{base}/writes",
+            f"{base}/cps",
+            store,
+            log,
+            checkpoint_location=f"{base}/ckpt",
+            max_files_per_trigger=1,
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        content_t = "map<string, array<struct<content:string>>>"
+        out = (
+            store.read()
+            .select(
+                "session_id",
+                F.col("sequence_number").cast("long").alias("seq"),
+                F.explode(F.from_json("cdc_content", content_t)).alias(
+                    "task_id", "items"
+                ),
+            )
+            .select(
+                "session_id",
+                "seq",
+                "task_id",
+                F.col("items")[0]["content"].alias("content"),
+            )
+        )
+        collected = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        collected, "session_id string, seq long, task_id string, content string"
+    )
+
+
+STREAM_PIPELINE_STATE_SQL = """
+WITH secs AS (
+  SELECT DISTINCT (epoch_ms(ts) // 1000) AS s FROM events WHERE event_id % 4 = 1
+), ticks AS (
+  SELECT s,
+         CAST(((ROW_NUMBER() OVER (ORDER BY s) - 1) * 3) // (COUNT(*) OVER ())
+              AS INT) AS tick
+  FROM secs
+), rows_kept AS (
+  SELECT 'th-' || CAST(user_id % 50 AS VARCHAR) AS session_id,
+         'cp-' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS checkpoint_id,
+         'task-' || CAST(event_id % 5 AS VARCHAR) AS task_id,
+         (epoch_ms(ts) // 1000) * 1000 AS ts_millis,
+         (epoch_ms(ts) // 1000) AS s,
+         'content-' || CAST(event_id AS VARCHAR) AS content
+  FROM events
+  WHERE event_id % 4 = 1 AND event_id % 11 <> 0 AND event_id % 13 <> 0
+), seqs AS (
+  SELECT r.session_id, CAST(COUNT(DISTINCT t.tick) AS BIGINT) AS seq
+  FROM rows_kept r JOIN ticks t ON r.s = t.s
+  GROUP BY r.session_id
+), ranked AS (
+  SELECT session_id, task_id, content,
+         ROW_NUMBER() OVER (PARTITION BY session_id, task_id
+                            ORDER BY ts_millis DESC, checkpoint_id DESC) AS rn
+  FROM rows_kept
+)
+SELECT r.session_id, q.seq, r.task_id, r.content
+FROM ranked r JOIN seqs q ON q.session_id = r.session_id
+WHERE r.rn = 1
+"""
+
+
+QUERIES = {
+    "stream_pipeline_state": Q(
+        stream_pipeline_state,
+        STREAM_PIPELINE_STATE_SQL,
+        "X1 live micro-batch pipeline → final state",
+    ),
+}
