@@ -241,6 +241,47 @@ WHERE l.rn = 1
 """
 
 
+def schema_bootstrap_ddl(spark, sf_dir):
+    """S8 under the gate: run the idempotent schema bootstrap
+    (sources/bootstrap.py::bootstrap_tables; reference
+    config/CdcSubscriberConfig.java:177-203 running
+    cdc-agents-schema.sql / ide-schema.sql with CREATE TABLE IF NOT
+    EXISTS) twice against a temp location, and emit the catalog-observable
+    result: one row per registered table with its column count and proof
+    the second boot was a no-op (same table set, no error). The column
+    counts pin the DDL to the reference schemas
+    (cdc-agents-schema.sql:10-57, ide-schema.sql:1-16)."""
+    import shutil
+    import tempfile
+
+    from ..sources.bootstrap import bootstrap_tables
+
+    db = "cdc_agents_gate"
+    base = tempfile.mkdtemp(prefix="bootstrap-gate-")
+    try:
+        first = bootstrap_tables(spark, base, database=db)
+        second = bootstrap_tables(spark, base, database=db)  # must be a no-op
+        rows = []
+        for tbl in sorted(first):
+            cols = spark.sql(f"DESCRIBE TABLE {tbl}").collect()
+            n_cols = sum(1 for c in cols if c.col_name and not c.col_name.startswith("#"))
+            rows.append((tbl.split(".", 1)[1], n_cols, int(sorted(second) == sorted(first))))
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "table_name string, n_cols int, idempotent int")
+
+
+SCHEMA_BOOTSTRAP_DDL_SQL = """
+SELECT * FROM (VALUES
+  ('checkpoint_blobs', 6, 1),
+  ('checkpoint_writes', 9, 1),
+  ('checkpoints', 7, 1),
+  ('ide_checkpoints', 7, 1)
+) AS t(table_name, n_cols, idempotent)
+"""
+
+
 def git_repo_scan(spark, sf_dir):
     """S6/T5 under the gate: build a throwaway git repository whose history
     is derived from the data — one commit per distinct ``event_type``, in
@@ -500,6 +541,9 @@ QUERIES = {
     ),
     "git_repo_scan": Q(
         git_repo_scan, GIT_REPO_SCAN_SQL, "S6/T5 git metadata scan"
+    ),
+    "schema_bootstrap_ddl": Q(
+        schema_bootstrap_ddl, SCHEMA_BOOTSTRAP_DDL_SQL, "S8 idempotent schema bootstrap"
     ),
     "incremental_poll_rounds": Q(
         incremental_poll_rounds,
