@@ -194,10 +194,112 @@ WHERE r.rn = 1
 """
 
 
+def difflog_compaction(spark, sf_dir):
+    """Diff-log lifecycle under the gate (state/store.py::ParquetAppendLog;
+    the small-file problem every micro-batch sink has at scale): 40
+    driver-fast-path appends (one per micro-batch, as the pipeline does) →
+    pointer-swap compaction once ``min_files`` accumulate → a FURTHER
+    append against the compacted generation → dedup read. Checks the
+    invariants a production log must keep: compaction preserves the keyed
+    row set bit-for-bit, the post-compaction dir is small, and appends
+    keep landing after the swap. diff_data is a pure function of the dedup
+    key (session, seq, source), so the dedup survivor is deterministic."""
+    import shutil
+    import tempfile
+
+    from ..state.store import ParquetAppendLog
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id")
+        .toPandas()
+    )
+
+    def diff_row(uid: int, seq: int) -> dict:
+        sid = f"th-{uid % 50}"
+        return {
+            "session_id": sid,
+            "sequence_number": seq,
+            "source": "cdc",
+            "diff_data": f'{{"k": "{sid}:{seq}"}}',
+            "ts_millis": seq,
+        }
+
+    base = tempfile.mkdtemp(prefix="difflog-gate-")
+    try:
+        log = ParquetAppendLog(spark, base)
+        for batch in range(40):
+            sub = ev[ev["event_id"] % 40 == batch]
+            log.append_rows(
+                [diff_row(int(u), batch) for u in sub["user_id"]]
+            )
+        pre_files = log.file_count()
+        compacted = log.compact(target_files=4, min_files=32)
+        post_files = log.file_count()
+        sub = ev[ev["event_id"] % 40 == 0]
+        log.append_rows([diff_row(int(u), 40) for u in sub["user_id"]])
+        deduped = log.read(dedup=True)
+        agg = deduped.agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.countDistinct("session_id").cast("long").alias("n_sessions"),
+            F.sum("sequence_number").cast("long").alias("seq_sum"),
+            F.sum(
+                (
+                    F.get_json_object("diff_data", "$.k")
+                    == F.concat_ws(":", "session_id", "sequence_number")
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_payload_ok"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(pre_files >= 40),
+                int(bool(compacted)),
+                int(post_files <= 4),
+                int(agg.n_keys),
+                int(agg.n_sessions),
+                int(agg.seq_sum),
+                int(agg.n_payload_ok),
+            )
+        ],
+        "many_pre int, compacted int, few_post int, n_keys long, "
+        "n_sessions long, seq_sum long, n_payload_ok long",
+    )
+
+
+DIFFLOG_COMPACTION_SQL = """
+WITH keys AS (
+  SELECT DISTINCT 'th-' || CAST(user_id % 50 AS VARCHAR) AS session_id,
+         CAST(event_id % 40 AS INT) AS seq
+  FROM events
+  UNION
+  SELECT DISTINCT 'th-' || CAST(user_id % 50 AS VARCHAR), 40
+  FROM events WHERE event_id % 40 = 0
+)
+SELECT CAST(1 AS INT) AS many_pre,
+       CAST(1 AS INT) AS compacted,
+       CAST(1 AS INT) AS few_post,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       CAST(SUM(seq) AS BIGINT) AS seq_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_payload_ok
+FROM keys
+"""
+
+
 QUERIES = {
     "stream_pipeline_state": Q(
         stream_pipeline_state,
         STREAM_PIPELINE_STATE_SQL,
         "X1 live micro-batch pipeline → final state",
+    ),
+    "difflog_compaction": Q(
+        difflog_compaction,
+        DIFFLOG_COMPACTION_SQL,
+        "append-log pointer-swap compaction lifecycle",
     ),
 }
