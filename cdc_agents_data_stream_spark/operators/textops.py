@@ -120,3 +120,57 @@ def subword_token_count(df: DataFrame, text_col: str = "text", id_col: str = "do
         F.size(toks).cast("long").alias("ws_token_cnt"),
         subwords.alias("subword_cnt"),
     )
+
+
+# PII patterns kept to syntax valid in BOTH Java regex (Spark) and RE2
+# (DuckDB) so the scrub is cross-engine checkable: no backrefs, no
+# lookaround, POSIX-safe classes.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9]{7,15}\b",
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction (standard pre-training cleanup): replace emails, IPv4
+    addresses, and international phone numbers with typed placeholder
+    tokens, and count what was removed per document.
+
+    Pure map of regexp kernels — whole-stage codegen, no shuffle, and the
+    scan only reads ``text`` plus the id columns the caller kept. At
+    100 TB this runs at IO speed; the regex set is ordered so earlier
+    redactions cannot create later false positives (emails first — an
+    embedded IPv4-ish host part is consumed by the email token)."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.coalesce(F.regexp_count(scrubbed, F.lit(pat)), F.lit(0))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return df.select(
+        "*", *counts, scrubbed.alias("scrubbed")
+    )
+
+
+def vocab_doc_freq(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus vocabulary with document frequency and IDF — the global term
+    statistics a tokenizer-training / tf-idf quality step needs.
+
+    Shape: explode distinct tokens per doc (map-side), ONE shuffle keyed
+    by token for the doc-frequency count (partial aggregation applies), a
+    broadcast of the scalar corpus size. Token key skew is capped by
+    ``array_distinct`` (a token counts once per doc); at 100 TB shard hot
+    tokens further with a two-level (token, salt) pre-aggregation."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(_toks(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    n_docs = df.select(id_col).distinct().count()
+    return toks.groupBy("token").agg(
+        F.countDistinct(id_col).cast("long").alias("doc_freq")
+    ).withColumn(
+        "idf", F.round(F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6)
+    )

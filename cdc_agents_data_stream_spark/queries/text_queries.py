@@ -148,8 +148,111 @@ GROUP BY lang
 """
 
 
+def pii_scrub_stats(spark, sf_dir):
+    """PII redaction under the gate (operators/textops.py::scrub_pii): the
+    corpus text is salted with deterministic synthetic PII — every doc an
+    email, every 3rd an IPv4, every 5th an international phone — then the
+    scrubber runs and per-language totals are emitted, including the
+    residual count of '@' in the scrubbed text (must be 0). The oracle
+    runs the SAME patterns through DuckDB's RE2, which is why the pattern
+    set is restricted to dialect-shared syntax (see PII_PATTERNS)."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" u"), did.cast("string"), F.lit("@example.com"),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" 10.0."), (did % 200).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" +14155550"), F.lpad((did % 100).cast("string"), 2, "0")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    scrubbed = T.scrub_pii(salted)
+    return scrubbed.groupBy("lang").agg(
+        F.sum("n_email").cast("long").alias("emails"),
+        F.sum("n_ipv4").cast("long").alias("ips"),
+        F.sum("n_phone").cast("long").alias("phones"),
+        F.sum(F.col("scrubbed").contains("@").cast("int")).cast("long").alias("residual_at"),
+        F.sum((F.col("n_email") > 0).cast("int")).cast("long").alias("docs_hit"),
+    )
+
+
+PII_SCRUB_STATS_SQL = r"""
+WITH salted AS (
+  SELECT lang,
+         text || ' u' || CAST(doc_id AS VARCHAR) || '@example.com'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7'
+                      ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                      THEN ' +14155550' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                      ELSE '' END AS text
+  FROM documents
+), counted AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+         len(regexp_extract_all(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+[0-9]{7,15}\b')) AS n_phone
+  FROM salted
+)
+SELECT lang,
+       CAST(SUM(n_email) AS BIGINT) AS emails,
+       CAST(SUM(n_ipv4) AS BIGINT) AS ips,
+       CAST(SUM(n_phone) AS BIGINT) AS phones,
+       CAST(0 AS BIGINT) AS residual_at,
+       CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit
+FROM counted
+GROUP BY lang
+"""
+
+
+def vocab_idf_topk(spark, sf_dir):
+    """Corpus vocabulary head (operators/textops.py::vocab_doc_freq): the
+    100 highest-document-frequency tokens with their IDF — the global
+    term-statistics step of tokenizer training / tf-idf quality scoring.
+    The limit runs as TakeOrdered (per-partition top-100 + driver merge)."""
+    from pyspark.sql import functions as F
+
+    vocab = T.vocab_doc_freq(load(spark, sf_dir, "documents"))
+    return (
+        vocab.orderBy(F.col("doc_freq").desc(), F.col("token"))
+        .limit(100)
+        .select("token", "doc_freq", "idf")
+    )
+
+
+VOCAB_IDF_TOPK_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+df AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+  FROM toks WHERE token <> '' GROUP BY token
+)
+SELECT token, doc_freq,
+       ROUND(LN(CAST((SELECT n_docs FROM n) AS DOUBLE) / doc_freq), 6) AS idf
+FROM df
+ORDER BY doc_freq DESC, token
+LIMIT 100
+"""
+
+
 QUERIES = {
     "text_token_stats": Q(text_token_stats, TEXT_TOKEN_STATS_SQL, "token statistics"),
+    "pii_scrub_stats": Q(pii_scrub_stats, PII_SCRUB_STATS_SQL, "PII redaction counts"),
+    "vocab_idf_topk": Q(vocab_idf_topk, VOCAB_IDF_TOPK_SQL, "corpus vocabulary head + IDF"),
     "training_prep_pipeline": Q(
         training_prep_pipeline, TRAINING_PREP_PIPELINE_SQL, "dedup+quality+stats composite"
     ),
