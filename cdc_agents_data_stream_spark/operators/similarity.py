@@ -326,3 +326,108 @@ def embedding_neardup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", F.round("sim", 6).alias("sim_r"))
     )
+
+
+# --- Product quantization (PQ + ADC scan) -------------------------------------
+
+PQ_M = 4         # subspaces per vector
+PQ_CODE_MOD = 20  # deterministic codebook: every 20th vector's subvectors
+
+
+def _d2_scaled(a, b):
+    """Squared L2 distance on the micro-integer grid: the 3-dot expansion
+    (``aa - 2ab + bb``) is evaluated with the SAME scalar chain the DuckDB
+    oracle uses, then snapped to a BIGINT of 1e-6 units — downstream SUMs
+    over integers are exact and order-free, so PQ distances can cross the
+    engine boundary without float-summation-order hazards."""
+    d2 = _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
+    return F.round(d2 * 1e6).cast("long")
+
+
+def pq_subvectors(
+    emb: DataFrame, m: int = PQ_M, dim: int = _DIM, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, s, sv): each vector split into ``m`` contiguous subvectors —
+    a map-side projection, no shuffle; the m× fan-out carries dim/m-sized
+    slices, so total bytes are unchanged."""
+    sub_len = dim // m
+    base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice("vec", s * sub_len + 1, sub_len).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    return base.select(F.col(id_col), F.explode(subs).alias("x")).select(
+        F.col(id_col), F.col("x.s").alias("s"), F.col("x.sv").alias("sv")
+    )
+
+
+def pq_index(
+    emb: DataFrame, m: int = PQ_M, dim: int = _DIM, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """PQ encode: per-subspace codebook (deterministic sample, the same
+    oracle-reproducible build the IVF coarse quantizer starts from) and
+    the nearest-code assignment for every (vector, subspace).
+
+    Scale shape: the codebook is tiny (k codes × m subspaces) and
+    broadcasts; encoding is one broadcast-join + grouped argmin over the
+    corpus — one shuffle keyed (id, s). Memory win at 100 TB: a 64-dim
+    float vector (256 B) compresses to m=4 BIGINT codes (~4 B effective
+    with dictionary encoding) — the classic ~64× PQ compression that lets
+    a billion-vector index fit one machine tier down."""
+    sub = pq_subvectors(emb, m, dim, id_col, vec_col)
+    codes = sub.filter(F.col(id_col) % PQ_CODE_MOD == 0).select(
+        F.col(id_col).alias("code_id"), "s", F.col("sv").alias("cv")
+    )
+    d = _d2_scaled(F.col("sv"), F.col("cv"))
+    assigned = (
+        sub.join(F.broadcast(codes), "s")
+        .groupBy(id_col, "s")
+        .agg(F.min_by(F.col("code_id"), F.struct(d, F.col("code_id"))).alias("code"))
+    )
+    return codes, assigned
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_ids_below: int = 5,
+    k: int = 10,
+    m: int = PQ_M,
+    dim: int = _DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: queries stay full-precision, the
+    corpus is its PQ codes; approx distance = Σ_s table[s][code(doc, s)].
+
+    The distance TABLE (queries × codes × subspaces) is small and
+    broadcasts; the scan over the encoded corpus is one broadcast probe +
+    integer SUM per (query, doc) — never touches the original vectors.
+    This is the memory-bound ANN scan shape (IVF selects candidates, PQ
+    scores them); the exactness baseline stays ``cosine_topk``."""
+    codes, assigned = pq_index(emb, m, dim, id_col, vec_col)
+    qsub = pq_subvectors(
+        emb.filter(F.col(id_col) < query_ids_below), m, dim, id_col, vec_col
+    ).select(F.col(id_col).alias("query_id"), "s", F.col("sv").alias("qv"))
+    dtable = qsub.join(codes, "s").select(
+        "query_id", "s", F.col("code_id").alias("code"),
+        _d2_scaled(F.col("qv"), F.col("cv")).alias("dt"),
+    )
+    approx = (
+        assigned.join(F.broadcast(dtable), ["s", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("dt").cast("long").alias("approx_d2"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        approx.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_d2")
+    )

@@ -233,3 +233,61 @@ SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim_r FROM ranked WHERE ran
 QUERIES["ann_ivf_kmeans"] = Q(
     ann_ivf_kmeans, ANN_IVF_KMEANS_SQL, "IVF ANN with trained k-means quantizer"
 )
+
+
+def ann_pq_adc(spark, sf_dir):
+    """PQ/ADC scan (operators/similarity.py::pq_adc_topk): corpus encoded
+    to 4 subspace codes against a deterministic-sample codebook, queries
+    scored by broadcast distance-table lookups + exact integer sums. The
+    micro-integer distance grid (1e-6 units, BIGINT) is what makes the
+    approximate distances cross-engine comparable."""
+    return S.pq_adc_topk(load(spark, sf_dir, "embeddings"), query_ids_below=5, k=10)
+
+
+_PQ_SUB_LEN = S._DIM // S.PQ_M
+_PQ_SLICES = ", ".join(
+    f"({s}, v[{s * _PQ_SUB_LEN + 1}:{(s + 1) * _PQ_SUB_LEN}])" for s in range(S.PQ_M)
+)
+
+ANN_PQ_ADC_SQL = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sub AS (
+  SELECT vec_id, t.s, t.sv
+  FROM base, (VALUES {", ".join(f"({s})" for s in range(S.PQ_M))}) AS m(s),
+  LATERAL (SELECT m.s AS s,
+                  v[m.s * {_PQ_SUB_LEN} + 1 : (m.s + 1) * {_PQ_SUB_LEN}] AS sv) AS t
+), codes AS (
+  SELECT vec_id AS code_id, s, sv AS cv FROM sub WHERE vec_id % {S.PQ_CODE_MOD} = 0
+), assigned AS (
+  SELECT vec_id, s, code_id AS code FROM (
+    SELECT a.vec_id, a.s, c.code_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id, a.s
+             ORDER BY CAST(ROUND((list_dot_product(a.sv, a.sv)
+                      - 2 * list_dot_product(a.sv, c.cv)
+                      + list_dot_product(c.cv, c.cv)) * 1e6) AS BIGINT),
+                      c.code_id) AS rn
+    FROM sub a JOIN codes c USING (s)
+  ) WHERE rn = 1
+), dtable AS (
+  SELECT q.vec_id AS query_id, c.s, c.code_id AS code,
+         CAST(ROUND((list_dot_product(q.sv, q.sv)
+              - 2 * list_dot_product(q.sv, c.cv)
+              + list_dot_product(c.cv, c.cv)) * 1e6) AS BIGINT) AS dt
+  FROM sub q JOIN codes c USING (s)
+  WHERE q.vec_id < 5
+), approx AS (
+  SELECT d.query_id, a.vec_id AS neighbor_id, CAST(SUM(d.dt) AS BIGINT) AS approx_d2
+  FROM assigned a JOIN dtable d ON d.s = a.s AND d.code = a.code
+  WHERE a.vec_id <> d.query_id
+  GROUP BY d.query_id, a.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, approx_d2 FROM (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY approx_d2, neighbor_id) AS rank
+  FROM approx
+) WHERE rank <= 10
+"""
+
+QUERIES["ann_pq_adc"] = Q(ann_pq_adc, ANN_PQ_ADC_SQL, "PQ-encoded ADC top-k scan")

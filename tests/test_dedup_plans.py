@@ -61,3 +61,14 @@ def test_simhash_banding_is_lossless(docs, spark):
         for r in simhash_pairs(docs, max_hamming=3).collect()
     }
     assert actual == expected
+
+
+def test_pq_adc_plan_broadcasts_tables(emb):
+    """The PQ scan must probe broadcast code/distance tables — no
+    sort-merge join and no cross join anywhere in the ADC chain."""
+    from cdc_agents_data_stream_spark.operators.similarity import pq_adc_topk
+
+    plan = _physical_plan(pq_adc_topk(emb, query_ids_below=3, k=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
