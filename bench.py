@@ -38,6 +38,10 @@ BENCH_QUERIES = [
     "multimodal_decode_stub",
     "training_prep_pipeline",
     "merge_transition_seq",
+    "ann_pq_adc",
+    "pack_sequences_stats",
+    "vocab_idf_topk",
+    "pii_scrub_stats",
 ]
 
 

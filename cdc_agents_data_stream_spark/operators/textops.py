@@ -174,3 +174,26 @@ def vocab_doc_freq(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ).withColumn(
         "idf", F.round(F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6)
     )
+
+
+def collapse_repeat_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition removal: run-length-collapse consecutive
+    duplicate tokens (the cheap boilerplate-scrub step crawl pipelines run
+    before near-dup — repeated nav/footer tokens shrink to one).
+
+    Pure map over the token array with an index-aware higher-order filter
+    (token i survives when i == 0 or it differs from token i-1) — stays in
+    codegen, no shuffle, no Python."""
+    toks = _toks(text_col)
+    # CASE is lazily evaluated, so element_at never sees index 0 (which is
+    # an error under ANSI mode); filter's i is 0-based, element_at 1-based,
+    # so element_at(toks, i) IS the previous token.
+    kept = F.filter(
+        toks,
+        lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
+            x != F.element_at(toks, i)
+        ),
+    )
+    return df.withColumn("toks_before", F.size(toks).cast("long")).withColumn(
+        "toks_after", F.size(kept).cast("long")
+    ).withColumn("collapsed", F.array_join(kept, " "))

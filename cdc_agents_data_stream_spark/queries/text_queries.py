@@ -218,6 +218,61 @@ GROUP BY lang
 """
 
 
+def repeat_collapse_stats(spark, sf_dir):
+    """Boilerplate collapse under the gate
+    (operators/textops.py::collapse_repeat_tokens): every doc is salted
+    with a run of ``doc_id % 4 + 2`` copies of a marker token; the
+    collapse must shrink each run to one survivor (plus any natural
+    consecutive repeats, which the oracle reproduces by running the same
+    run-length rule in SQL)."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    reps = (F.col("doc_id") % 4 + 2).cast("int")
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" "), F.array_join(F.array_repeat(F.lit("rep"), reps), " ")
+        ),
+    )
+    out = T.collapse_repeat_tokens(salted)
+    return out.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("toks_before").cast("long").alias("before"),
+        F.sum("toks_after").cast("long").alias("after"),
+        F.sum((F.col("collapsed").endswith(" rep") | (F.col("collapsed") == "rep")).cast("int"))
+        .cast("long")
+        .alias("n_tail_ok"),
+    )
+
+
+REPEAT_COLLAPSE_STATS_SQL = """
+WITH salted AS (
+  SELECT lang,
+         string_split(text || ' ' ||
+             array_to_string(list_transform(range(1, CAST(doc_id % 4 + 2 AS INT) + 1),
+                                            i -> 'rep'), ' '),
+             ' ') AS t
+  FROM documents
+), collapsed AS (
+  SELECT lang, len(t) AS toks_before,
+         list_filter(list_transform(range(1, len(t) + 1),
+                                    i -> CASE WHEN i = 1 OR t[i] <> t[i-1]
+                                              THEN t[i] END),
+                     x -> x IS NOT NULL) AS kept
+  FROM salted
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks_before) AS BIGINT) AS before,
+       CAST(SUM(len(kept)) AS BIGINT) AS after,
+       CAST(SUM(CASE WHEN kept[len(kept)] = 'rep' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tail_ok
+FROM collapsed
+GROUP BY lang
+"""
+
+
 def vocab_idf_topk(spark, sf_dir):
     """Corpus vocabulary head (operators/textops.py::vocab_doc_freq): the
     100 highest-document-frequency tokens with their IDF — the global
@@ -252,6 +307,9 @@ LIMIT 100
 QUERIES = {
     "text_token_stats": Q(text_token_stats, TEXT_TOKEN_STATS_SQL, "token statistics"),
     "pii_scrub_stats": Q(pii_scrub_stats, PII_SCRUB_STATS_SQL, "PII redaction counts"),
+    "repeat_collapse_stats": Q(
+        repeat_collapse_stats, REPEAT_COLLAPSE_STATS_SQL, "run-length boilerplate collapse"
+    ),
     "vocab_idf_topk": Q(vocab_idf_topk, VOCAB_IDF_TOPK_SQL, "corpus vocabulary head + IDF"),
     "training_prep_pipeline": Q(
         training_prep_pipeline, TRAINING_PREP_PIPELINE_SQL, "dedup+quality+stats composite"
