@@ -25,7 +25,17 @@ def all_queries() -> dict[str, Q]:
     ):
         try:
             mod = __import__(f"{__package__}.{mod_name}", fromlist=["QUERIES"])
-        except ImportError:
+        except ImportError as exc:
+            # Degrade loudly, not silently: a module-level import failure in
+            # the driver environment would otherwise just vanish that
+            # module's queries from the CORRECTNESS report.
+            import sys
+
+            print(
+                f"WARNING: query module {mod_name} failed to import and was "
+                f"skipped: {exc}",
+                file=sys.stderr,
+            )
             continue
         registry.update(mod.QUERIES)
     return registry
