@@ -36,6 +36,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get("ts") == "bigint":
             # integer DIV — ns values overflow double precision, so no `/`
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Testdata generations vary in parquet timestamp flavor: ns (handled
+    # above), µs-with-UTC (reads as TIMESTAMP), µs-no-tz (reads as
+    # TIMESTAMP_NTZ, which unix_millis/datetime arithmetic reject). DuckDB
+    # treats the naive values as UTC instants, so re-tag NTZ columns as
+    # TIMESTAMP here — sessions run UTC, making the cast an identity re-tag
+    # and keeping every downstream query engine-agnostic.
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 

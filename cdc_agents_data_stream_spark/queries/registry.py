@@ -1,15 +1,90 @@
-"""Assemble the full declared-query registry for the driver contract."""
+"""Assemble the full declared-query registry for the driver contract.
+
+Ordering matters: the driver's CORRECTNESS harness runs the FIRST 50 registry
+entries, so the window must contain exactly one hard-signal gate per SURVEY §2
+operator family plus the prompt-named LLM-pipeline components.  Redundant
+variants (extra TPC-H forms, per-stage multimodal/text variants whose shared
+machinery is already gated) sit past position 49; they remain fully declared,
+oracle-backed, and pytest-covered — they just don't spend driver window rows.
+
+The explicit window below maps every §2 operator to its in-window gate (see
+VERDICT.md round-2 coverage table for the operator←→query mapping).
+"""
 
 from __future__ import annotations
 
 from .base import Q
 
+# Positions 0-49: one gate per operator family.  Grouped by family for
+# auditability; the comment on each line names the SURVEY §2 operators (or
+# LLM-pipeline component) the query is the hard-signal gate for.
+DRIVER_WINDOW: tuple[str, ...] = (
+    # --- relational / kernel §2 gates ---
+    "latest_event_per_user",      # F3 C9 W1
+    "argmax_event_value",         # A1 T4
+    "events_filter_json",         # F1 F2 C8
+    "distinct_event_types",       # F4
+    "orders_customer_join",       # J1
+    "user_change_classify",       # J2
+    "fresh_events_after_signup",  # A3 C10 X3
+    "user_event_type_concat",     # A4 A5
+    "top1_global_event",          # T1
+    "union_active_users",         # U1
+    "scalar_expr_sampler",        # C4 C12
+    "tpch_q1",                    # A6 (1 TPC-H in-window; q3/q5 demoted)
+    "user_event_map_collect",     # A7
+    "message_normalize",          # C5 UD4
+    "trigger_parse",              # S2 C7 F5
+    "line_diff_ops",              # UD1 UD2 T3 A2 X5
+    "json_canonicalize",          # C6 UD3
+    "merge_empty_diff_suppress",  # F6
+    "latest_event_rank_parity",   # T2
+    "merge_transition_seq",       # F7 X2 X6
+    "checkpoint_blob_messages",   # C1
+    "message_uuid_assign",        # C11
+    # --- CDC source / state / backfill gates (the reference's core) ---
+    "stream_pipeline_state",      # X1 S7 (live foreachBatch loop)
+    "backfill_state_build",       # J3 X7
+    "backfill_dual_stream",       # S4 X10
+    "incremental_poll_rounds",    # S1
+    "writes_checkpoints_scan",    # S3
+    "report_consume_once",        # S5 X9
+    "git_repo_scan",              # S6 T5 UD6
+    "schema_bootstrap_ddl",       # S8
+    "ctx_enrich_fanout",          # UD5
+    # --- asof / window / skew family ---
+    "orders_asof_event",          # as-of join
+    "events_hourly_rollup",       # hypertable-style rollup
+    "user_sessionization",        # session windows
+    "skew_salted_join",           # skew handling
+    # --- sampling / corpus-assembly family ---
+    "pack_sequences_stats",       # sequence packing
+    "stratified_sample_counts",   # stratified mixing
+    "decontam_overlap",           # n-gram decontamination
+    "shuffle_order_sample",       # epoch shuffle
+    # --- dedup family (prompt-named methods) ---
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    # --- similarity / ANN family ---
+    "ann_cosine_topk",            # brute-force baseline
+    "ann_ivf_kmeans",             # IVF scale path (trained centroids)
+    "ann_pq_adc",                 # PQ/ADC scan
+    # --- text family (2 text-stat rows in-window) ---
+    "text_token_stats",           # C2
+    "doc_fingerprint",            # C3
+    "vocab_idf_topk",             # vocabulary/IDF (salted two-level agg)
+    # --- multimodal family (2 rows in-window) ---
+    "multimodal_binary_meta",     # C13
+    "multimodal_frame_sample",    # frame fan-out
+)
+
 
 def all_queries() -> dict[str, Q]:
     from . import relational
 
-    registry: dict[str, Q] = {}
-    registry.update(relational.QUERIES)
+    collected: dict[str, Q] = {}
+    collected.update(relational.QUERIES)
     for mod_name in (
         "dedup_queries",
         "text_queries",
@@ -37,5 +112,13 @@ def all_queries() -> dict[str, Q]:
                 file=sys.stderr,
             )
             continue
-        registry.update(mod.QUERIES)
+        collected.update(mod.QUERIES)
+
+    registry: dict[str, Q] = {}
+    for name in DRIVER_WINDOW:
+        if name in collected:
+            registry[name] = collected[name]
+    for name, q in collected.items():
+        if name not in registry:
+            registry[name] = q
     return registry
