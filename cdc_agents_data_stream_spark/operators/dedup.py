@@ -237,27 +237,32 @@ def minhash_lsh_pairs(
 
 def simhash_values(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """(doc_id, simhash): sign-aggregated token-hash bits (token occurrences
-    weighted, not distinct)."""
-    # no repartition here: unlike the minhash path, the per-bit groupBy keys
-    # on (doc_id, j) so a doc_id exchange is not reusable, and A/B at sf0.1
-    # showed the extra shuffle costs more than the parallelism buys
+    weighted, not distinct).
+
+    All ``bits`` per-bit balances come out of ONE wide aggregation — the
+    same shape as ``minhash_signatures``: a single ``groupBy(doc_id)`` with
+    one conditional sum per bit, then a pure projection folds the signs
+    into the integer. The previous tall layout exploded every token hash
+    ×``bits`` before aggregating on (doc_id, j); partial aggregation kept
+    that correct, but its shuffle carried docs×bits rows where this one
+    carries docs rows — ~32× fewer at the default width."""
     toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-    h = toks.select("doc_id", _text_md5_int(F.col("tok")).alias("h0"))
-    bitted = h.select(
-        "doc_id", "h0", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
+    h = toks.select(id_col, _text_md5_int(F.col("tok")).alias("h0"))
+    per_bit = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"shiftright(h0, {j}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"s_{j}")
+            for j in range(bits)
+        ]
     )
-    contrib = bitted.select(
-        "doc_id",
-        "j",
-        # shiftright/shiftleft need SQL form to take a column shift amount
-        F.when(F.expr("shiftright(h0, j) & 1") == 1, 1).otherwise(-1).alias("c"),
-    )
-    per_bit = contrib.groupBy("doc_id", "j").agg(F.sum("c").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0)).alias(
-            "simhash"
+    simhash = None
+    for j in range(bits):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
+        simhash = term if simhash is None else simhash + term
+    return per_bit.select(F.col(id_col), simhash.alias("simhash"))
 
 
 def simhash_pairs(

@@ -33,6 +33,16 @@ def test_simhash_pairs_plan_has_no_cross_join(docs):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_values_is_one_wide_aggregation(docs):
+    """All 32 per-bit balances come from a single groupBy(doc_id): exactly
+    one shuffle (with map-side partial agg), and no ×bits row fan-out —
+    the old layout exploded a 0..31 sequence per token hash."""
+    plan = _physical_plan(simhash_values(docs))
+    assert plan.count("Exchange") == 1
+    assert "sequence(" not in plan
+    assert "partial_sum" in plan
+
+
 def test_embedding_neardup_plan_has_no_cross_join(emb):
     plan = _physical_plan(embedding_neardup_pairs(emb, threshold=0.45))
     assert "CartesianProduct" not in plan
