@@ -69,12 +69,18 @@ def doc_to_state_row(doc: dict[str, Any], updated_ts_millis: int) -> dict[str, A
     }
 
 
-def make_transition_fn(source: str, ctx_providers=None):
+def make_transition_fn(source: str, ctx_providers=None, now_ms: int | None = None):
     """Grouped state transition for ``applyInPandas`` — one group per
     session; input columns: thread_id, task_id, content, ts_millis,
     checkpoint_id, plus the prior state row columns (nullable).
     ``ctx_providers`` (UD5) run inside the group — distributed per
-    session, consume-once side inputs stay serialized per key (X8/X9)."""
+    session, consume-once side inputs stay serialized per key (X8/X9).
+
+    ``now_ms`` is the single batch timestamp stamped on every state row —
+    passed in (not read per group) so replaying a batch writes
+    byte-identical rows; the small-batch driver path uses one ``now_ms``
+    the same way."""
+    batch_ms = now_ms if now_ms is not None else int(time.time() * 1000)
 
     def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         session_id = key[0]
@@ -99,9 +105,8 @@ def make_transition_fn(source: str, ctx_providers=None):
             for r in pdf.itertuples()
             if pd.notna(r.task_id)
         ]
-        now_ms = int(time.time() * 1000)
         doc, diff = transition(prior, session_id, items, source=source, ctx_providers=ctx_providers)
-        out = doc_to_state_row(doc, now_ms)
+        out = doc_to_state_row(doc, batch_ms)
         out["batch_diff"] = json.dumps(diff) if diff is not None else None
         return pd.DataFrame([out])
 
@@ -114,6 +119,7 @@ def _run_transition(
     source: str,
     ctx_providers=None,
     broadcast_state: bool = False,
+    now_ms: int | None = None,
 ) -> DataFrame:
     """``broadcast_state=True`` is the streaming-batch shape: the slice of
     state joined per micro-batch is bounded by the batch's session count
@@ -127,14 +133,17 @@ def _run_transition(
     same shuffle, whole-group-per-call guarantee preserved (a key's rows
     all land in its partition), ~N_sessions/N_partitions fewer Arrow round
     trips. The partition must fit in worker memory — the same sizing
-    constraint the shuffle already imposes; size the partition count to
-    the corpus (defaultParallelism here)."""
+    constraint the shuffle already imposes. No explicit partition count:
+    the hash exchange starts at ``spark.sql.shuffle.partitions`` (size
+    that to the cluster) and AQE coalesces it when the batch is small —
+    coalescing merges whole hash partitions, so a key's rows still land
+    together."""
     if broadcast_state:
         state_df = F.broadcast(state_df)
     enriched = latest.withColumnRenamed("thread_id", "session_id").join(
         state_df, "session_id", "left"
     )
-    fn = make_transition_fn(source, ctx_providers)
+    fn = make_transition_fn(source, ctx_providers, now_ms)
 
     def per_partition(batches: Iterable[pd.DataFrame]):
         pdfs = [p for p in batches if len(p)]
@@ -143,8 +152,7 @@ def _run_transition(
         for sid, g in pd.concat(pdfs, ignore_index=True).groupby("session_id", sort=False):
             yield fn((sid,), g)
 
-    par = latest.sparkSession.sparkContext.defaultParallelism
-    return enriched.repartition(par, "session_id").mapInPandas(
+    return enriched.repartition("session_id").mapInPandas(
         per_partition, schema=_TRANSITION_OUTPUT
     )
 
@@ -157,11 +165,28 @@ def backfill(
     diff_log: ParquetAppendLog | None = None,
     ide_checkpoints: DataFrame | None = None,
     ctx_providers=None,
+    now_ms: int | None = None,
+    small_result_max_rows: int = 500,
 ) -> DataFrame:
     """Run the backfill for the CDC stream (and the IDE stream when its
     table is supplied — X10 dual fan-in writing disjoint columns). Returns
-    the updated state DataFrame."""
+    the updated state DataFrame.
+
+    The transition always runs as the distributed plan (that is the path
+    that scales), but the SINK is adaptive, mirroring the streaming
+    pipeline's small-batch split: when the batch updates at most
+    ``small_result_max_rows`` sessions, the state rows are collected once
+    (from the already-materialized cache) and MERGEd driver-side with
+    pyarrow — the distributed write job on a 100-row result pays ~2 Spark
+    job launches plus a 64-directory committer pass of pure overhead,
+    while the driver MERGE is single-digit milliseconds against the same
+    bucket layout and commit protocol. Large results take the distributed
+    bucketed MERGE unchanged.
+
+    ``now_ms`` (default: wall clock, once) stamps every state row of the
+    batch; replaying with the same value writes byte-identical rows."""
     result = None
+    batch_ms = now_ms if now_ms is not None else int(time.time() * 1000)
     for source, latest in (
         ("cdc", latest_blobs_per_task(writes, checkpoints) if writes is not None else None),
         ("ide", ide_latest_blobs_per_task(ide_checkpoints) if ide_checkpoints is not None else None),
@@ -169,25 +194,47 @@ def backfill(
         if latest is None:
             continue
         state_df = state_store.read()
-        updated = _run_transition(latest, state_df, source, ctx_providers)
+        updated = _run_transition(latest, state_df, source, ctx_providers, now_ms=batch_ms)
         updated = updated.cache()
-        updated.count()  # materialize before the store swap reads/overwrites
+        n = updated.count()  # materialize before the store swap reads/overwrites
 
-        state_rows = updated.drop("batch_diff")
-        state_store.upsert(state_rows)
-
-        if diff_log is not None:
-            diffs = (
-                updated.filter(F.col("batch_diff").isNotNull())
-                .select(
-                    F.col("session_id"),
-                    F.get_json_object("batch_diff", "$.sequenceNumber").cast("int").alias("sequence_number"),
-                    F.lit(source).alias("source"),
-                    F.get_json_object("batch_diff", "$.diffData").alias("diff_data"),
-                    F.col("updated_ts_millis").alias("ts_millis"),
-                )
+        if n <= small_result_max_rows:
+            rows = [r.asDict() for r in updated.collect()]
+            if diff_log is not None:
+                diff_rows = []
+                for r in rows:
+                    if r["batch_diff"] is None:
+                        continue
+                    diff = json.loads(r["batch_diff"])
+                    diff_rows.append(
+                        {
+                            "session_id": r["session_id"],
+                            "sequence_number": int(diff["sequenceNumber"]),
+                            "source": source,
+                            "diff_data": json.dumps(
+                                diff["diffData"], separators=(",", ":")
+                            ),
+                            "ts_millis": r["updated_ts_millis"],
+                        }
+                    )
+                diff_log.append_rows(diff_rows)
+            state_store.upsert_rows(
+                [{k: v for k, v in r.items() if k != "batch_diff"} for r in rows]
             )
-            diff_log.append(diffs)
+        else:
+            if diff_log is not None:
+                diffs = (
+                    updated.filter(F.col("batch_diff").isNotNull())
+                    .select(
+                        F.col("session_id"),
+                        F.get_json_object("batch_diff", "$.sequenceNumber").cast("int").alias("sequence_number"),
+                        F.lit(source).alias("source"),
+                        F.get_json_object("batch_diff", "$.diffData").alias("diff_data"),
+                        F.col("updated_ts_millis").alias("ts_millis"),
+                    )
+                )
+                diff_log.append(diffs)
+            state_store.upsert(updated.drop("batch_diff"))
         updated.unpersist()
         result = state_store.read()
     return result if result is not None else state_store.read()

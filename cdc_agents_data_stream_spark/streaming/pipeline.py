@@ -229,7 +229,12 @@ def run_foreachbatch_pipeline(
             keys=w.select(F.col("thread_id").alias("session_id")), key="session_id"
         )
         updated = _run_transition(
-            latest, state_df, source, ctx_providers, broadcast_state=True
+            latest,
+            state_df,
+            source,
+            ctx_providers,
+            broadcast_state=True,
+            now_ms=int(time.time() * 1000),  # one stamp per batch: replay-identical rows
         ).cache()
         try:
             diffs = updated.filter(F.col("batch_diff").isNotNull()).select(

@@ -79,6 +79,43 @@ def test_backfill_incremental_batch_bumps_seq(spark, paths):
     assert len(content["0_task"]) == 1
 
 
+def test_backfill_replay_is_byte_identical(spark, paths):
+    """Replaying a batch with the same ``now_ms`` writes byte-identical
+    state rows — one batch timestamp is stamped everywhere, never
+    per-group wall clock."""
+    cps_df, writes_df = _write_tables(spark, paths, n_threads=2, n_ticks=3, repeat_tick=None)
+    rows = []
+    for attempt in range(2):
+        store = ParquetStateStore(spark, str(paths / f"state{attempt}"))
+        backfill(spark, writes_df, cps_df, store, now_ms=1_700_000_000_000)
+        rows.append(sorted(tuple(r) for r in store.read().collect()))
+    assert rows[0] == rows[1]
+    assert all(r[-1] == 1_700_000_000_000 for r in rows[0])  # updated_ts_millis
+
+
+def test_backfill_large_result_uses_distributed_merge(spark, paths):
+    """Forcing the threshold to 0 exercises the distributed MERGE sink on
+    the same inputs and produces the same state as the driver fast path."""
+    cps_df, writes_df = _write_tables(spark, paths, n_threads=2, n_ticks=3, repeat_tick=None)
+    out = {}
+    for name, threshold in (("small", 500), ("large", 0)):
+        store = ParquetStateStore(spark, str(paths / f"state-{name}"))
+        log = ParquetAppendLog(spark, str(paths / f"diffs-{name}"))
+        backfill(
+            spark, writes_df, cps_df, store, log,
+            now_ms=1_700_000_000_000, small_result_max_rows=threshold,
+        )
+        out[name] = {
+            "state": sorted(tuple(r) for r in store.read().collect()),
+            "diff_keys": sorted(
+                (r["session_id"], r["sequence_number"], r["source"])
+                for r in log.read().collect()
+            ),
+        }
+    assert out["small"]["state"] == out["large"]["state"]
+    assert out["small"]["diff_keys"] == out["large"]["diff_keys"]
+
+
 def test_diff_content_shape(spark, paths):
     cps_df, writes_df = _write_tables(spark, paths, n_threads=1, n_ticks=2, repeat_tick=None)
     store = ParquetStateStore(spark, str(paths / "state"))
