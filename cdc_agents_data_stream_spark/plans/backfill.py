@@ -157,20 +157,19 @@ def _run_transition(
     )
 
 
-def backfill(
-    spark: SparkSession,
-    writes: DataFrame | None,
-    checkpoints: DataFrame | None,
+def apply_transition_batch(
+    latest: DataFrame,
     state_store: ParquetStateStore,
-    diff_log: ParquetAppendLog | None = None,
-    ide_checkpoints: DataFrame | None = None,
+    diff_log: ParquetAppendLog | None,
+    source: str,
     ctx_providers=None,
     now_ms: int | None = None,
     small_result_max_rows: int = 500,
-) -> DataFrame:
-    """Run the backfill for the CDC stream (and the IDE stream when its
-    table is supplied — X10 dual fan-in writing disjoint columns). Returns
-    the updated state DataFrame.
+    prune_state: bool = False,
+) -> int:
+    """Run one batch of ``latest`` (thread_id, task_id, content, ts_millis,
+    checkpoint_id) through the grouped state transition, then MERGE state
+    and append diffs. Returns the number of updated sessions.
 
     The transition always runs as the distributed plan (that is the path
     that scales), but the SINK is adaptive, mirroring the streaming
@@ -183,21 +182,26 @@ def backfill(
     bucket layout and commit protocol. Large results take the distributed
     bucketed MERGE unchanged.
 
-    ``now_ms`` (default: wall clock, once) stamps every state row of the
-    batch; replaying with the same value writes byte-identical rows."""
-    result = None
-    batch_ms = now_ms if now_ms is not None else int(time.time() * 1000)
-    for source, latest in (
-        ("cdc", latest_blobs_per_task(writes, checkpoints) if writes is not None else None),
-        ("ide", ide_latest_blobs_per_task(ide_checkpoints) if ide_checkpoints is not None else None),
-    ):
-        if latest is None:
-            continue
-        state_df = state_store.read()
-        updated = _run_transition(latest, state_df, source, ctx_providers, now_ms=batch_ms)
-        updated = updated.cache()
-        n = updated.count()  # materialize before the store swap reads/overwrites
+    ``prune_state=True`` is the micro-batch shape: only the state buckets
+    the batch's sessions hash to are read, and that bounded slice is
+    broadcast into the transition join.
 
+    Diffs are appended BEFORE the state commit: a crash between the two
+    replays the batch, recomputes the identical rows (``now_ms`` is the
+    single batch stamp), and appends the same diff again —
+    ``diff_log.read(dedup=True)`` collapses the replica."""
+    batch_ms = now_ms if now_ms is not None else int(time.time() * 1000)
+    if prune_state:
+        state_df = state_store.read(
+            keys=latest.select(F.col("thread_id").alias("session_id")), key="session_id"
+        )
+    else:
+        state_df = state_store.read()
+    updated = _run_transition(
+        latest, state_df, source, ctx_providers, broadcast_state=prune_state, now_ms=batch_ms
+    ).cache()
+    try:
+        n = updated.count()  # materialize before the store swap reads/overwrites
         if n <= small_result_max_rows:
             rows = [r.asDict() for r in updated.collect()]
             if diff_log is not None:
@@ -235,6 +239,44 @@ def backfill(
                 )
                 diff_log.append(diffs)
             state_store.upsert(updated.drop("batch_diff"))
+    finally:
         updated.unpersist()
+    return n
+
+
+def backfill(
+    spark: SparkSession,
+    writes: DataFrame | None,
+    checkpoints: DataFrame | None,
+    state_store: ParquetStateStore,
+    diff_log: ParquetAppendLog | None = None,
+    ide_checkpoints: DataFrame | None = None,
+    ctx_providers=None,
+    now_ms: int | None = None,
+    small_result_max_rows: int = 500,
+) -> DataFrame:
+    """Run the backfill for the CDC stream (and the IDE stream when its
+    table is supplied — X10 dual fan-in writing disjoint columns). Returns
+    the updated state DataFrame.
+
+    ``now_ms`` (default: wall clock, once) stamps every state row of the
+    batch; replaying with the same value writes byte-identical rows."""
+    result = None
+    batch_ms = now_ms if now_ms is not None else int(time.time() * 1000)
+    for source, latest in (
+        ("cdc", latest_blobs_per_task(writes, checkpoints) if writes is not None else None),
+        ("ide", ide_latest_blobs_per_task(ide_checkpoints) if ide_checkpoints is not None else None),
+    ):
+        if latest is None:
+            continue
+        apply_transition_batch(
+            latest,
+            state_store,
+            diff_log,
+            source,
+            ctx_providers,
+            now_ms=batch_ms,
+            small_result_max_rows=small_result_max_rows,
+        )
         result = state_store.read()
     return result if result is not None else state_store.read()

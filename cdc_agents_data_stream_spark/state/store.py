@@ -11,13 +11,24 @@ O(touched buckets), not O(total store):
   current data is one parquet directory;
 - a JSON **manifest** maps bucket id -> data directory; ``upsert`` writes
   ONLY the buckets the update touches (old bucket rows anti-joined against
-  the update's keys, plus the update rows) into a new versioned directory
-  in a single partitioned write job, then commits a new manifest that
-  repoints just those buckets;
-- the pointer file ``_VERSION`` is atomically replaced to commit;
+  the update's keys, plus the update rows) into a new uniquely-named data
+  directory in a single partitioned write job, then commits a new manifest
+  that repoints just those buckets;
+- **commit is optimistic multi-writer**: version ``nv`` is claimed by
+  exclusively creating ``_manifest_v{nv}.json`` (``open(..., "x")`` —
+  atomic on POSIX); exactly one concurrent writer wins, then advances the
+  ``_VERSION`` pointer. A loser discards its (never-referenced, uniquely
+  named) data directory, waits for the winner's pointer, re-reads the new
+  snapshot, RE-MERGES its rows, and retries — so two live streams (the
+  reference runs the cdc and ide subscribers concurrently) can MERGE into
+  one store with no lost rows;
 - recent manifests are retained so concurrent readers that already
-  resolved an old pointer finish cleanly; version directories no retained
-  manifest references are vacuumed.
+  resolved an old pointer finish cleanly; a data directory is vacuumed
+  only when it is referenced by an EXPIRED manifest and by no retained
+  one — an in-flight writer's not-yet-committed directory is never
+  touched. A writer that crashes between writing data and claiming its
+  version leaves an orphan directory (bounded by one batch); real table
+  formats handle the same case with retention-based orphan GC.
 
 The bucket hash is md5-based so it is computable identically from a Spark
 expression AND plain Python — the streaming pipeline's small-batch fast
@@ -37,6 +48,7 @@ import hashlib
 import json
 import os
 import shutil
+import time
 import uuid
 
 import pyarrow as pa
@@ -80,9 +92,15 @@ def bucket_of(key: str, n_buckets: int) -> int:
     return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % n_buckets
 
 
+class CommitTimeout(RuntimeError):
+    """A concurrent writer claimed a version but its pointer never
+    advanced (torn commit by a crashed process)."""
+
+
 class ParquetStateStore:
     KEEP_VERSIONS = 3
     N_BUCKETS = 64
+    COMMIT_WAIT_SECONDS = 30.0
 
     def __init__(self, spark: SparkSession, path: str, n_buckets: int | None = None):
         self.spark = spark
@@ -102,8 +120,11 @@ class ParquetStateStore:
         except (FileNotFoundError, ValueError):
             return 0
 
-    def _version_dir(self, v: int) -> str:
-        return os.path.join(self.path, f"v{v:08d}")
+    def _new_data_dir(self, v: int) -> str:
+        """Uniquely-named data directory for one writer's attempt at
+        version ``v`` — two racing writers never write into the same
+        directory, so the loser's files can simply be discarded."""
+        return os.path.join(self.path, f"v{v:08d}_{uuid.uuid4().hex[:8]}")
 
     def _manifest_file(self, v: int) -> str:
         return os.path.join(self.path, f"_manifest_v{v:08d}.json")
@@ -115,37 +136,73 @@ class ParquetStateStore:
         with open(self._manifest_file(v)) as fh:
             return json.load(fh)["buckets"]
 
-    def _commit(self, v: int, buckets: dict[str, str]) -> None:
-        mtmp = self._manifest_file(v) + ".tmp"
-        with open(mtmp, "w") as fh:
+    def _try_commit(self, v: int, buckets: dict[str, str]) -> bool:
+        """Claim version ``v`` by exclusively creating its manifest —
+        atomic on POSIX, so exactly one concurrent writer wins. The winner
+        then advances the pointer; pointer writes are causally ordered
+        because version v+1 can only be attempted after the pointer shows
+        v. Returns False when another writer already claimed ``v``."""
+        try:
+            fh = open(self._manifest_file(v), "x")
+        except FileExistsError:
+            return False
+        with fh:
             json.dump({"version": v, "buckets": buckets}, fh)
-        os.replace(mtmp, self._manifest_file(v))
-        ptmp = self._pointer_file() + ".tmp"
+        ptmp = f"{self._pointer_file()}.{uuid.uuid4().hex[:8]}.tmp"
         with open(ptmp, "w") as fh:
             fh.write(str(v))
         os.replace(ptmp, self._pointer_file())  # atomic on POSIX
+        return True
+
+    def _wait_for_version(self, v: int) -> int:
+        """After losing a claim on ``v``: wait for the winner's pointer to
+        reach it, then return the (possibly even newer) current version."""
+        deadline = time.monotonic() + self.COMMIT_WAIT_SECONDS
+        while True:
+            cur = self.current_version()
+            if cur >= v:
+                return cur
+            if time.monotonic() > deadline:
+                raise CommitTimeout(
+                    f"version {v} was claimed but its pointer never advanced "
+                    f"(current={cur}) — torn commit by a crashed writer?"
+                )
+            time.sleep(0.005)
 
     def _vacuum(self, current: int) -> None:
-        """Drop version dirs no retained manifest references, and manifests
-        older than the retention window. A v-dir from an old version stays
-        alive as long as a retained manifest still points at one of its
-        buckets (untouched buckets are never rewritten)."""
+        """Drop data dirs referenced ONLY by manifests older than the
+        retention window, then those manifests. Deleting strictly from
+        expired-manifest references (instead of 'anything unreferenced')
+        means an in-flight concurrent writer's not-yet-committed data dir
+        is never touched; dirs orphaned by a crash before commit are left
+        for offline GC."""
         lo = max(1, current - self.KEEP_VERSIONS + 1)
-        referenced: set[str] = set()
+        retained: set[str] = set()
         for v in range(lo, current + 1):
             try:
                 for rel in self._manifest(v).values():
-                    referenced.add(rel.split("/", 1)[0])
+                    retained.add(rel.split("/", 1)[0])
             except FileNotFoundError:
                 continue
+        expired_manifests: list[str] = []
+        expired_refs: set[str] = set()
         for name in os.listdir(self.path):
-            full = os.path.join(self.path, name)
-            if name.startswith("v") and name[1:].isdigit() and name not in referenced:
-                shutil.rmtree(full, ignore_errors=True)
-            elif name.startswith("_manifest_v") and name.endswith(".json"):
+            if name.startswith("_manifest_v") and name.endswith(".json"):
                 mv = int(name[len("_manifest_v") : -len(".json")])
                 if mv < lo:
-                    os.unlink(full)
+                    expired_manifests.append(name)
+                    try:
+                        for rel in self._manifest(mv).values():
+                            expired_refs.add(rel.split("/", 1)[0])
+                    except (FileNotFoundError, ValueError):
+                        continue
+        for dirname in expired_refs - retained:
+            shutil.rmtree(os.path.join(self.path, dirname), ignore_errors=True)
+        for name in expired_manifests:
+            try:
+                os.unlink(os.path.join(self.path, name))
+            except FileNotFoundError:
+                pass  # a concurrent vacuum got there first
 
     # -- distributed (Spark) API -----------------------------------------------
 
@@ -185,36 +242,46 @@ class ParquetStateStore:
         """MERGE: rows in ``updates`` replace same-key rows, others kept.
         Only the touched buckets are read and rewritten (one partitioned
         write job); the update keyset is broadcast into the anti-join —
-        the same shape Delta's MERGE uses for a small source."""
-        v = self.current_version()
+        the same shape Delta's MERGE uses for a small source.
+
+        Losing the version claim to a concurrent writer re-merges against
+        the winner's snapshot and retries — no lost rows (the retry re-runs
+        only the touched-bucket read + write, the update side is the same
+        DataFrame)."""
         updates_b = updates.withColumn(_BUCKET_COL, self._bucket_expr(key))
         touched = {r[0] for r in updates_b.select(_BUCKET_COL).distinct().collect()}
         if not touched:
             return
-        old_paths = self._bucket_paths(v, touched) if v else []
-        if old_paths:
-            old = self.spark.read.parquet(*old_paths).withColumn(
-                _BUCKET_COL, self._bucket_expr(key)
-            )
-            merged = old.join(
-                F.broadcast(updates.select(key)), key, "left_anti"
-            ).unionByName(updates_b)
-        else:
-            merged = updates_b
-        nv = v + 1
-        # cluster rows by bucket before the dynamic-partition write: one
-        # file per bucket instead of (tasks × buckets) fragments — the same
-        # pre-write repartition Delta's MERGE does; AQE coalesces the tiny
-        # shuffle at test scale
-        merged.repartition(F.col(_BUCKET_COL)).write.mode("overwrite").partitionBy(
-            _BUCKET_COL
-        ).parquet(self._version_dir(nv))
-        buckets = dict(self._manifest(v))
-        vname = f"v{nv:08d}"
-        for b in touched:
-            buckets[str(b)] = f"{vname}/{_BUCKET_COL}={b}"
-        self._commit(nv, buckets)
-        self._vacuum(nv)
+        v = self.current_version()
+        while True:
+            old_paths = self._bucket_paths(v, touched) if v else []
+            if old_paths:
+                old = self.spark.read.parquet(*old_paths).withColumn(
+                    _BUCKET_COL, self._bucket_expr(key)
+                )
+                merged = old.join(
+                    F.broadcast(updates.select(key)), key, "left_anti"
+                ).unionByName(updates_b)
+            else:
+                merged = updates_b
+            nv = v + 1
+            ddir = self._new_data_dir(nv)
+            # cluster rows by bucket before the dynamic-partition write: one
+            # file per bucket instead of (tasks × buckets) fragments — the same
+            # pre-write repartition Delta's MERGE does; AQE coalesces the tiny
+            # shuffle at test scale
+            merged.repartition(F.col(_BUCKET_COL)).write.mode("overwrite").partitionBy(
+                _BUCKET_COL
+            ).parquet(ddir)
+            buckets = dict(self._manifest(v))
+            vname = os.path.basename(ddir)
+            for b in touched:
+                buckets[str(b)] = f"{vname}/{_BUCKET_COL}={b}"
+            if self._try_commit(nv, buckets):
+                self._vacuum(nv)
+                return
+            shutil.rmtree(ddir, ignore_errors=True)  # lost the claim: discard, re-merge
+            v = self._wait_for_version(nv)
 
     # -- driver-side (pyarrow) API — the small-batch fast path -----------------
 
@@ -240,37 +307,43 @@ class ParquetStateStore:
     def upsert_rows(self, rows: list[dict]) -> None:
         """MERGE of a small row set, driver-side, zero Spark jobs. Same
         manifest commit as the distributed path — Spark readers see one
-        consistent table regardless of which path wrote each version."""
+        consistent table regardless of which path wrote each version, and
+        the same optimistic retry re-merges after a lost claim."""
         if not rows:
             return
-        v = self.current_version()
         by_bucket: dict[int, list[dict]] = {}
         for r in rows:
             by_bucket.setdefault(bucket_of(r["session_id"], self.n_buckets), []).append(r)
-        nv = v + 1
-        vname = f"v{nv:08d}"
-        man = dict(self._manifest(v))
         cols = [f.name for f in _STATE_PA_SCHEMA]
-        for b, new_rows in by_bucket.items():
-            keep: list[dict] = []
-            old_rel = man.get(str(b))
-            if old_rel is not None:
-                new_keys = {r["session_id"] for r in new_rows}
-                try:
-                    old_rows = pq.read_table(os.path.join(self.path, old_rel)).to_pylist()
-                    keep = [r for r in old_rows if r["session_id"] not in new_keys]
-                except (OSError, ValueError):
-                    pass
-            merged = keep + [{c: r.get(c) for c in cols} for r in new_rows]
-            bdir = os.path.join(self.path, vname, f"{_BUCKET_COL}={b}")
-            os.makedirs(bdir, exist_ok=True)
-            table = pa.Table.from_pylist(
-                [{c: row[c] for c in cols} for row in merged], schema=_STATE_PA_SCHEMA
-            )
-            pq.write_table(table, os.path.join(bdir, "part-00000.parquet"))
-            man[str(b)] = f"{vname}/{_BUCKET_COL}={b}"
-        self._commit(nv, man)
-        self._vacuum(nv)
+        v = self.current_version()
+        while True:
+            nv = v + 1
+            ddir = self._new_data_dir(nv)
+            vname = os.path.basename(ddir)
+            man = dict(self._manifest(v))
+            for b, new_rows in by_bucket.items():
+                keep: list[dict] = []
+                old_rel = man.get(str(b))
+                if old_rel is not None:
+                    new_keys = {r["session_id"] for r in new_rows}
+                    try:
+                        old_rows = pq.read_table(os.path.join(self.path, old_rel)).to_pylist()
+                        keep = [r for r in old_rows if r["session_id"] not in new_keys]
+                    except (OSError, ValueError):
+                        pass
+                merged = keep + [{c: r.get(c) for c in cols} for r in new_rows]
+                bdir = os.path.join(ddir, f"{_BUCKET_COL}={b}")
+                os.makedirs(bdir, exist_ok=True)
+                table = pa.Table.from_pylist(
+                    [{c: row[c] for c in cols} for row in merged], schema=_STATE_PA_SCHEMA
+                )
+                pq.write_table(table, os.path.join(bdir, "part-00000.parquet"))
+                man[str(b)] = f"{vname}/{_BUCKET_COL}={b}"
+            if self._try_commit(nv, man):
+                self._vacuum(nv)
+                return
+            shutil.rmtree(ddir, ignore_errors=True)  # lost the claim: discard, re-merge
+            v = self._wait_for_version(nv)
 
     def max_sequence_number(self) -> int:
         """Driver-side poll helper (pyarrow, no Spark jobs) — used by bench
@@ -293,10 +366,13 @@ class ParquetStateStore:
 class ParquetAppendLog:
     """Append-only sink for diff documents (checkpoint_diffs table).
 
-    SINGLE-WRITER: ``append``/``append_rows``/``compact`` must be called
-    from one thread (the streaming query's foreachBatch thread in the
-    pipeline). Readers are safe at any time — compaction swaps a pointer,
-    never a live path.
+    Concurrency: ``append``/``append_rows`` are multi-writer safe — every
+    writer produces uniquely-named part files (Spark task UUIDs / uuid4),
+    so two live streams can append to one log. ``compact`` alone is
+    SINGLE-WRITER (it swaps the data-dir pointer; an append racing the
+    swap could land in the just-retired dir) — run it from one maintenance
+    thread, with appends quiesced. Readers are safe at any time —
+    compaction swaps a pointer, never a live path.
 
     Replay safety: the streaming pipeline appends diffs BEFORE committing
     state, so a crash between the two replays the batch and appends the

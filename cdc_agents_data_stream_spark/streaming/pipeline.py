@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.merge import transition
-from ..plans.backfill import _run_transition, doc_to_state_row, state_row_to_doc
+from ..plans.backfill import apply_transition_batch, doc_to_state_row, state_row_to_doc
 from ..schemas import CHECKPOINT_WRITES_SCHEMA
 from ..state.store import ParquetAppendLog, ParquetStateStore
 
@@ -223,31 +223,17 @@ def run_foreachbatch_pipeline(
             .withColumn("content", F.decode(F.col("blob"), "UTF-8"))
             .drop("blob")
         )
-        # bucket-pruned state read: only the buckets this batch's sessions
-        # hash to are scanned (broadcast below keeps the join shuffle-free)
-        state_df = state_store.read(
-            keys=w.select(F.col("thread_id").alias("session_id")), key="session_id"
-        )
-        updated = _run_transition(
+        # bucket-pruned state read + broadcast slice + adaptive sink (a
+        # large INPUT batch can still collapse to few updated sessions)
+        apply_transition_batch(
             latest,
-            state_df,
+            state_store,
+            diff_log,
             source,
             ctx_providers,
-            broadcast_state=True,
-            now_ms=int(time.time() * 1000),  # one stamp per batch: replay-identical rows
-        ).cache()
-        try:
-            diffs = updated.filter(F.col("batch_diff").isNotNull()).select(
-                F.col("session_id"),
-                F.get_json_object("batch_diff", "$.sequenceNumber").cast("int").alias("sequence_number"),
-                F.lit(source).alias("source"),
-                F.get_json_object("batch_diff", "$.diffData").alias("diff_data"),
-                F.col("updated_ts_millis").alias("ts_millis"),
-            )
-            diff_log.append(diffs)
-            state_store.upsert(updated.drop("batch_diff"))
-        finally:
-            updated.unpersist()
+            small_result_max_rows=small_batch_max_rows,
+            prune_state=True,
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # one probe job doubles as the emptiness check and the fast-path
@@ -262,6 +248,124 @@ def run_foreachbatch_pipeline(
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode("update")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def run_dual_stream_pipeline(
+    spark: SparkSession,
+    writes_dir: str,
+    checkpoints_path: str,
+    ide_dir: str,
+    state_store: ParquetStateStore,
+    diff_log: ParquetAppendLog,
+    checkpoint_location: str,
+    trigger: dict[str, Any] | None = None,
+    max_files_per_trigger: int | None = None,
+    ctx_providers=None,
+    small_batch_max_rows: int = 500,
+):
+    """X10 live fan-in, safe by construction: the cdc write stream and the
+    ide checkpoint stream are normalized to one shape, tagged with their
+    ``source``, and UNIONed into a SINGLE streaming query — one foreachBatch
+    thread applies both transitions in order (cdc then ide, the reference's
+    startup order; config/CdcSubscriberConfig.java:117-175 runs the same
+    two subscribers), so the two sources never race each other's
+    read-modify-write on a shared session. Running the two streams as
+    separate queries against one store also works — the store's optimistic
+    commit retries the loser — but a session touched by both sources in
+    flight would then absorb them in commit order, not source order; the
+    union pipeline is the recommended production shape.
+
+    Each source's transition within the batch goes through the same
+    adaptive small/large sink as the single-stream pipeline. The
+    checkpoint pointer table joins per batch from a lazily-cached
+    DataFrame — the same slow-changing-dim assumption as
+    ``run_foreachbatch_pipeline`` (pointer rows land before the writes
+    that reference them)."""
+    from ..schemas import IDE_CHECKPOINTS_SCHEMA
+    from ..sources.checkpoints import ide_with_event_time, message_writes, with_event_time
+
+    cdc_reader = spark.readStream.schema(CHECKPOINT_WRITES_SCHEMA)
+    ide_reader = spark.readStream.schema(IDE_CHECKPOINTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        cdc_reader = cdc_reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        ide_reader = ide_reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # union carries the raw blob + a null ts for cdc (its event time lives
+    # in the pointer table, joined per batch); ide rows arrive self-timed
+    cdc = (
+        message_writes(cdc_reader.parquet(writes_dir))
+        .select(
+            "thread_id",
+            F.col("task_path").alias("task_id"),
+            "checkpoint_id",
+            "blob",
+            F.lit(None).cast("long").alias("ts_millis"),
+            F.lit("cdc").alias("source"),
+        )
+    )
+    ide = (
+        ide_with_event_time(ide_reader.parquet(ide_dir))
+        .filter(F.col("blob").isNotNull() & (F.length(F.col("blob")) > 0))
+        .select(
+            "thread_id",
+            F.col("task_path").alias("task_id"),
+            "checkpoint_id",
+            "blob",
+            "ts_millis",
+            F.lit("ide").alias("source"),
+        )
+    )
+    both = cdc.unionByName(ide)
+    cps_df_cache: list[DataFrame] = []
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()
+        try:
+            now_ms = int(time.time() * 1000)
+            for src in ("cdc", "ide"):
+                part = batch_df.filter(F.col("source") == src).drop("source")
+                if part.isEmpty():
+                    continue
+                if src == "cdc":
+                    if not cps_df_cache:
+                        cp = (
+                            with_event_time(spark.read.parquet(checkpoints_path))
+                            .select("checkpoint_id", "ts_millis")
+                            .cache()
+                        )
+                        cp.count()
+                        cps_df_cache.append(cp)
+                    part = (
+                        F.broadcast(part.drop("ts_millis"))
+                        .join(cps_df_cache[0], "checkpoint_id", "inner")
+                    )
+                part = part.withColumn("content", F.decode(F.col("blob"), "UTF-8")).drop("blob")
+                blob_ord = F.struct(F.col("ts_millis"), F.col("checkpoint_id"))
+                latest = part.groupBy("thread_id", "task_id").agg(
+                    F.max_by(F.col("content"), blob_ord).alias("content"),
+                    F.max_by(F.col("checkpoint_id"), blob_ord).alias("checkpoint_id"),
+                    F.max(F.col("ts_millis")).alias("ts_millis"),
+                )
+                apply_transition_batch(
+                    latest,
+                    state_store,
+                    diff_log,
+                    src,
+                    ctx_providers,
+                    now_ms=now_ms,
+                    small_result_max_rows=small_batch_max_rows,
+                    prune_state=True,
+                )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        both.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_location)
         .outputMode("update")
     )

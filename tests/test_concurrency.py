@@ -1,0 +1,219 @@
+"""Multi-writer safety: the reference runs its cdc and ide subscribers
+live and concurrently (IdeAgentsPostgresSubscriber.java:38-53 +
+CdcAgentsPostgresSubscriber.java:29-44) against one state table. Here the
+equivalents are (a) two concurrent writers MERGEing into one
+ParquetStateStore — the optimistic version claim must lose no rows — and
+(b) the unioned dual-stream pipeline, where one query serializes both
+sources by construction."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+
+import pandas as pd
+import pytest
+
+from cdc_agents_data_stream_spark.state.store import ParquetAppendLog, ParquetStateStore
+from cdc_agents_data_stream_spark.streaming.pipeline import (
+    run_dual_stream_pipeline,
+    run_foreachbatch_pipeline,
+)
+from tests.checkpointgen import gen_checkpoint_tables
+
+
+def _state_row(sid: str, seq: int) -> dict:
+    return {
+        "session_id": sid,
+        "sequence_number": seq,
+        "cdc_content": "{}",
+        "ide_content": "{}",
+        "metadata": "{}",
+        "ctx": "[]",
+        "cdc_checkpoint_diffs": "[]",
+        "ide_checkpoint_diffs": "[]",
+        "updated_ts_millis": 1_700_000_000_000,
+    }
+
+
+def test_concurrent_upsert_rows_no_lost_updates(spark, tmp_path):
+    """Two writer threads race driver-side MERGEs into one store. Every
+    commit claims a distinct version; a lost claim re-merges against the
+    winner's snapshot, so no session's rows are lost."""
+    store = ParquetStateStore(spark, str(tmp_path / "s"), n_buckets=8)
+    rounds, errors = 8, []
+
+    def writer(tag: str):
+        try:
+            for i in range(1, rounds + 1):
+                store.upsert_rows([_state_row(f"{tag}-{j}", i) for j in range(3)])
+        except Exception as exc:  # surface into the main thread
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    # every commit got its own version: 2 writers x 8 rounds
+    assert store.current_version() == 2 * rounds
+    rows = {r["session_id"]: r["sequence_number"] for r in store.read().collect()}
+    assert rows == {f"{t}-{j}": rounds for t in ("a", "b") for j in range(3)}
+
+
+def test_concurrent_distributed_and_driver_upserts(spark, tmp_path):
+    """The distributed MERGE and the driver fast path interleave on one
+    store under contention — same claim protocol, same layout."""
+    from cdc_agents_data_stream_spark.schemas import DATA_STREAM_STATE_SCHEMA
+
+    store = ParquetStateStore(spark, str(tmp_path / "s"), n_buckets=8)
+    errors = []
+
+    def spark_writer():
+        try:
+            for i in range(1, 4):
+                df = spark.createDataFrame(
+                    [tuple(_state_row(f"big-{j}", i).values()) for j in range(4)],
+                    DATA_STREAM_STATE_SCHEMA,
+                )
+                store.upsert(df)
+        except Exception as exc:
+            errors.append(exc)
+
+    def driver_writer():
+        try:
+            for i in range(1, 7):
+                store.upsert_rows([_state_row("small-0", i)])
+        except Exception as exc:
+            errors.append(exc)
+
+    threads = [threading.Thread(target=spark_writer), threading.Thread(target=driver_writer)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert store.current_version() == 3 + 6
+    rows = {r["session_id"]: r["sequence_number"] for r in store.read().collect()}
+    assert rows == {**{f"big-{j}": 3 for j in range(4)}, "small-0": 6}
+
+
+@pytest.fixture(autouse=True)
+def _small_shuffle(spark):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _stage_stream(base, prefix: str, n_ticks: int = 3):
+    """Pre-stage a cdc-shaped stream whose sessions are namespaced by
+    ``prefix`` so two streams write disjoint sessions."""
+    (base / "writes").mkdir(parents=True)
+    (base / "cps").mkdir()
+    cps, writes = gen_checkpoint_tables(n_threads=1, n_ticks=n_ticks, repeat_tick=None)
+    cps["thread_id"] = prefix + "-" + cps["thread_id"]
+    writes["thread_id"] = prefix + "-" + writes["thread_id"]
+    cps.to_parquet(base / "cps" / "all.parquet")
+    tick_of = writes.checkpoint_id.str.split("-").str[2].astype(int)
+    for tick in range(n_ticks):
+        writes[tick_of == tick].to_parquet(base / "writes" / f"tick-{tick}.parquet")
+
+
+def test_two_live_streams_one_store(spark, tmp_path):
+    """Both subscribers live at once, as the reference runs them: two
+    foreachBatch queries MERGE into ONE store concurrently; the optimistic
+    commit means neither stream's updates are lost."""
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    log = ParquetAppendLog(spark, str(tmp_path / "diffs"))
+    _stage_stream(tmp_path / "a", "A")
+    _stage_stream(tmp_path / "b", "B")
+    queries = [
+        run_foreachbatch_pipeline(
+            spark,
+            str(tmp_path / sub / "writes"),
+            str(tmp_path / sub / "cps"),
+            store,
+            log,
+            checkpoint_location=str(tmp_path / f"ckpt-{sub}"),
+            source=src,
+            max_files_per_trigger=1,
+        )
+        for sub, src in (("a", "cdc"), ("b", "ide"))
+    ]
+    try:
+        # drain both queries in parallel (processAllAvailable blocks)
+        waiters = [threading.Thread(target=q.processAllAvailable) for q in queries]
+        for w in waiters:
+            w.start()
+        for w in waiters:
+            w.join(timeout=240)
+        rows = {r["session_id"]: r for r in store.read().collect()}
+        assert set(rows) == {"A-thread-0", "B-thread-0"}
+        # each stream absorbed all its ticks (3 transitions per session)
+        assert rows["A-thread-0"]["sequence_number"] == 3
+        assert rows["B-thread-0"]["sequence_number"] == 3
+        diffs = log.read(dedup=True).collect()
+        assert {(d["session_id"], d["source"]) for d in diffs} == {
+            ("A-thread-0", "cdc"),
+            ("B-thread-0", "ide"),
+        }
+    finally:
+        for q in queries:
+            q.stop()
+
+
+def test_dual_stream_union_pipeline(spark, tmp_path):
+    """X10 in streaming mode: one unioned query fans in cdc + ide for the
+    SAME session; cdc applies before ide within the batch, ide_content and
+    cdc_content land on one state row, and the shared sequence number
+    advances once per absorbing source."""
+    (tmp_path / "writes").mkdir()
+    (tmp_path / "cps").mkdir()
+    (tmp_path / "ide").mkdir()
+    cps, writes = gen_checkpoint_tables(n_threads=1, n_ticks=2, repeat_tick=None)
+    cps.to_parquet(tmp_path / "cps" / "all.parquet")
+    writes.to_parquet(tmp_path / "writes" / "all.parquet")
+    ide = pd.DataFrame(
+        [
+            {
+                "thread_id": "thread-0",
+                "prompt_id": "p1",
+                "session_id": "thread-0",
+                "checkpoint_ts": "2026-01-01 00:00:05.000",
+                "checkpoint_id": "ide-cp-1",
+                "blob": b"ide line1\nide line2",
+                "task_path": "ide_task",
+            }
+        ]
+    )
+    ide.to_parquet(tmp_path / "ide" / "all.parquet")
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    log = ParquetAppendLog(spark, str(tmp_path / "diffs"))
+    query = run_dual_stream_pipeline(
+        spark,
+        str(tmp_path / "writes"),
+        str(tmp_path / "cps"),
+        str(tmp_path / "ide"),
+        store,
+        log,
+        checkpoint_location=str(tmp_path / "ckpt"),
+    )
+    try:
+        query.processAllAvailable()
+        rows = {r["session_id"]: r for r in store.read().collect()}
+        assert set(rows) == {"thread-0"}
+        row = rows["thread-0"]
+        cdc_content = json.loads(row["cdc_content"])
+        ide_content = json.loads(row["ide_content"])
+        assert set(cdc_content) == {"0_task", "1_task", "2_task", "3_task__start__", "4_task"}
+        assert set(ide_content) == {"ide_task"}
+        assert ide_content["ide_task"][0]["content"] == "ide line1\nide line2"
+        # cdc batch -> seq 1, ide batch -> seq 2 (shared monotone counter)
+        assert row["sequence_number"] == 2
+        diffs = log.read(dedup=True).collect()
+        assert {(d["source"], d["sequence_number"]) for d in diffs} == {("cdc", 1), ("ide", 2)}
+    finally:
+        query.stop()

@@ -81,7 +81,10 @@ def test_vacuum_keeps_buckets_referenced_by_live_manifests(spark, tmp_path):
     store = ParquetStateStore(spark, str(tmp_path / "s"), n_buckets=4)
     # session "x" lands in one bucket at v1 and is never touched again
     store.upsert_rows([_row("x", 1)])
-    v1_dir = store._version_dir(1)
+    # data dirs are uniquely named per writer attempt: resolve x's bucket
+    # dir through the v1 manifest
+    v1_rel = store._manifest(1)[str(bucket_of("x", 4))]
+    v1_dir = os.path.join(store.path, v1_rel.split("/", 1)[0])
     # churn other sessions well past KEEP_VERSIONS
     for i in range(store.KEEP_VERSIONS + 3):
         sid = f"churn-{i}"
