@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "training_prep_pipeline",
     "merge_transition_seq",
     "ann_pq_adc",
+    "ann_pq_trained",
     "pack_sequences_stats",
     "vocab_idf_topk",
     "pii_scrub_stats",

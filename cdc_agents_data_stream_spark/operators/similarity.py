@@ -381,12 +381,69 @@ def pq_subvectors(
     )
 
 
+def pq_train_codebooks(
+    sub: DataFrame, iters: int, id_col: str = "vec_id", sub_len: int = _DIM // PQ_M
+) -> DataFrame:
+    """Per-subspace L2 k-means (Lloyd) for the PQ codebooks — ALL ``m``
+    subspaces train simultaneously in one DataFrame program keyed on
+    ``(s, code_id)``, the same trained-quantizer pattern as
+    ``kmeans_centroids`` (deterministic every-``PQ_CODE_MOD``-th init,
+    assignment on the 1e-6 integer distance grid with code_id tie-break,
+    6-decimal-rounded element means) so a SQL oracle reproduces training
+    bit-for-bit. ``iters=0`` returns the raw sample codebook.
+
+    Scale shape: codebooks stay broadcast-small; each Lloyd iteration is
+    one broadcast-join + grouped argmin over the corpus plus a
+    (s, code, pos)-keyed partial-agg mean — shuffled rows are scalar
+    triples, with map-side combine."""
+    codes = sub.filter(F.col(id_col) % PQ_CODE_MOD == 0).select(
+        F.col(id_col).alias("code_id"), "s", F.col("sv").alias("cv")
+    )
+    for _ in range(iters):
+        d = _d2_scaled(F.col("sv"), F.col("cv"), sub_len)
+        assigned = (
+            sub.join(F.broadcast(codes), "s")
+            .groupBy(id_col, "s")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("code_id"), F.col("sv")),
+                    F.struct(d, F.col("code_id")),
+                ).alias("best")
+            )
+            .select("s", F.col("best.code_id").alias("code"), F.col("best.sv").alias("sv"))
+        )
+        means = (
+            assigned.select("s", "code", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("s", "code", "pos")
+            .agg(F.avg("val").alias("m"))
+        )
+        codes = (
+            means.groupBy("s", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: F.round(x["m"], 6),
+                ).alias("cv")
+            )
+            .select(F.col("code").alias("code_id"), "s", "cv")
+        )
+    return codes
+
+
 def pq_index(
-    emb: DataFrame, m: int = PQ_M, dim: int = _DIM, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    m: int = PQ_M,
+    dim: int = _DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 0,
 ):
-    """PQ encode: per-subspace codebook (deterministic sample, the same
-    oracle-reproducible build the IVF coarse quantizer starts from) and
-    the nearest-code assignment for every (vector, subspace).
+    """PQ encode: per-subspace codebook and the nearest-code assignment
+    for every (vector, subspace). ``train_iters=0`` keeps the
+    deterministic-sample codebook (cheapest oracle-reproducible build);
+    ``train_iters>0`` runs that many per-subspace k-means Lloyd
+    iterations (``pq_train_codebooks``) first — same encode/scan path
+    either way.
 
     Scale shape: the codebook is tiny (k codes × m subspaces) and
     broadcasts; encoding is one broadcast-join + grouped argmin over the
@@ -395,9 +452,7 @@ def pq_index(
     with dictionary encoding) — the classic ~64× PQ compression that lets
     a billion-vector index fit one machine tier down."""
     sub = pq_subvectors(emb, m, dim, id_col, vec_col)
-    codes = sub.filter(F.col(id_col) % PQ_CODE_MOD == 0).select(
-        F.col(id_col).alias("code_id"), "s", F.col("sv").alias("cv")
-    )
+    codes = pq_train_codebooks(sub, train_iters, id_col, dim // m)
     d = _d2_scaled(F.col("sv"), F.col("cv"), dim // m)
     assigned = (
         sub.join(F.broadcast(codes), "s")
@@ -415,6 +470,7 @@ def pq_adc_topk(
     dim: int = _DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 0,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: queries stay full-precision, the
     corpus is its PQ codes; approx distance = Σ_s table[s][code(doc, s)].
@@ -424,7 +480,7 @@ def pq_adc_topk(
     integer SUM per (query, doc) — never touches the original vectors.
     This is the memory-bound ANN scan shape (IVF selects candidates, PQ
     scores them); the exactness baseline stays ``cosine_topk``."""
-    codes, assigned = pq_index(emb, m, dim, id_col, vec_col)
+    codes, assigned = pq_index(emb, m, dim, id_col, vec_col, train_iters)
     qsub = pq_subvectors(
         emb.filter(F.col(id_col) < query_ids_below), m, dim, id_col, vec_col
     ).select(F.col(id_col).alias("query_id"), "s", F.col("sv").alias("qv"))

@@ -69,7 +69,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # --- similarity / ANN family ---
     "ann_cosine_topk",            # brute-force baseline
     "ann_ivf_kmeans",             # IVF scale path (trained centroids)
-    "ann_pq_adc",                 # PQ/ADC scan
+    "ann_pq_trained",             # PQ/ADC scan with k-means codebooks (untrained variant demoted)
     # --- text family (2 text-stat rows in-window) ---
     "text_token_stats",           # C2
     "doc_fingerprint",            # C3

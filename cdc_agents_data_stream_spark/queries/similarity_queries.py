@@ -291,3 +291,74 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, approx_d2 FROM (
 """
 
 QUERIES["ann_pq_adc"] = Q(ann_pq_adc, ANN_PQ_ADC_SQL, "PQ-encoded ADC top-k scan")
+
+
+def ann_pq_trained(spark, sf_dir):
+    """PQ/ADC with TRAINED codebooks: one per-subspace k-means Lloyd
+    iteration (operators/similarity.py::pq_train_codebooks — deterministic
+    init, integer-grid assignment, 6-decimal-rounded means) before the
+    encode + ADC scan. The oracle reproduces training exactly."""
+    return S.pq_adc_topk(
+        load(spark, sf_dir, "embeddings"), query_ids_below=5, k=10, train_iters=1
+    )
+
+
+_PQ_D2_INT = (
+    "CAST(ROUND((list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b}) "
+    "+ list_dot_product({b}, {b})) * 1e6) AS BIGINT)"
+)
+
+ANN_PQ_TRAINED_SQL = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sub AS (
+  SELECT vec_id, t.s, t.sv
+  FROM base, (VALUES {", ".join(f"({s})" for s in range(S.PQ_M))}) AS m(s),
+  LATERAL (SELECT m.s AS s,
+                  v[m.s * {_PQ_SUB_LEN} + 1 : (m.s + 1) * {_PQ_SUB_LEN}] AS sv) AS t
+), codes0 AS (
+  SELECT vec_id AS code_id, s, sv AS cv FROM sub WHERE vec_id % {S.PQ_CODE_MOD} = 0
+), pa1 AS (
+  SELECT vec_id, s, code_id AS code, sv FROM (
+    SELECT a.vec_id, a.s, c.code_id, a.sv,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id, a.s
+             ORDER BY {_PQ_D2_INT.format(a="a.sv", b="c.cv")}, c.code_id) AS rn
+    FROM sub a JOIN codes0 c USING (s)
+  ) WHERE rn = 1
+), pm1 AS (
+  SELECT s, code, g.i AS pos, ROUND(AVG(sv[g.i + 1]), 6) AS mval
+  FROM pa1, UNNEST(range(0, {_PQ_SUB_LEN})) AS g(i)
+  GROUP BY s, code, g.i
+), codes AS (
+  SELECT code AS code_id, s, list(mval ORDER BY pos) AS cv
+  FROM pm1 GROUP BY s, code
+), assigned AS (
+  SELECT vec_id, s, code_id AS code FROM (
+    SELECT a.vec_id, a.s, c.code_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id, a.s
+             ORDER BY {_PQ_D2_INT.format(a="a.sv", b="c.cv")}, c.code_id) AS rn
+    FROM sub a JOIN codes c USING (s)
+  ) WHERE rn = 1
+), dtable AS (
+  SELECT q.vec_id AS query_id, c.s, c.code_id AS code,
+         {_PQ_D2_INT.format(a="q.sv", b="c.cv")} AS dt
+  FROM sub q JOIN codes c USING (s)
+  WHERE q.vec_id < 5
+), approx AS (
+  SELECT d.query_id, a.vec_id AS neighbor_id, CAST(SUM(d.dt) AS BIGINT) AS approx_d2
+  FROM assigned a JOIN dtable d ON d.s = a.s AND d.code = a.code
+  WHERE a.vec_id <> d.query_id
+  GROUP BY d.query_id, a.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, approx_d2 FROM (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY approx_d2, neighbor_id) AS rank
+  FROM approx
+) WHERE rank <= 10
+"""
+
+QUERIES["ann_pq_trained"] = Q(
+    ann_pq_trained, ANN_PQ_TRAINED_SQL, "PQ/ADC scan with k-means-trained codebooks"
+)
