@@ -156,21 +156,32 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def vocab_doc_freq(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+VOCAB_N_SALTS = 16
+
+
+def vocab_doc_freq(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_salts: int = VOCAB_N_SALTS
+) -> DataFrame:
     """Corpus vocabulary with document frequency and IDF — the global term
     statistics a tokenizer-training / tf-idf quality step needs.
 
-    Shape: explode distinct tokens per doc (map-side), ONE shuffle keyed
-    by token for the doc-frequency count (partial aggregation applies), a
-    broadcast of the scalar corpus size. Token key skew is capped by
-    ``array_distinct`` (a token counts once per doc); at 100 TB shard hot
-    tokens further with a two-level (token, salt) pre-aggregation."""
+    Two-level hot-token aggregation: the per-doc ``array_distinct`` means
+    every (doc, token) pair occurs exactly once, so doc frequency is a
+    plain COUNT — no distinct-aggregate expand. Level 1 counts per
+    (token, salt) where the salt is a hash of the doc id (hot tokens
+    spread across ``n_salts`` reducers, and map-side partial aggregation
+    applies); level 2 sums the ≤``n_salts`` partials per token. The
+    heaviest token can no longer pin a single reducer: its level-1 state
+    is sharded, and level 2 only merges scalar partials."""
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(_toks(text_col))).alias("token")
     ).filter(F.col("token") != "")
     n_docs = df.select(id_col).distinct().count()
-    return toks.groupBy("token").agg(
-        F.countDistinct(id_col).cast("long").alias("doc_freq")
+    partial = toks.groupBy(
+        "token", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).alias("salt")
+    ).agg(F.count(F.lit(1)).alias("partial_docs"))
+    return partial.groupBy("token").agg(
+        F.sum("partial_docs").cast("long").alias("doc_freq")
     ).withColumn(
         "idf", F.round(F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6)
     )
