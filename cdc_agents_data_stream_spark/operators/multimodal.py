@@ -2,12 +2,12 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` stages. The decode itself is STUBBED in this
-container (no image/audio libraries) — ``decode_stub_meta`` produces a
-deterministic fake derived from the payload's md5 so the Spark-side
-plumbing (schema, batching, partitioning) is real and testable, and
-``decode_image_real`` raises ``NotImplementedError`` behind an import-try
-to mark exactly where a real decoder plugs in.
+Arrow-batched ``mapInPandas`` stages. Two decoders share one plumbing
+shape: ``decode_stub_meta`` fabricates deterministic metadata from the
+payload's md5 (oracle-reproducible — what this container tests), and
+``decode_real_meta`` runs PIL behind an optional import (``HAS_PIL``),
+raising ``NotImplementedError`` where the library is absent so tests
+skip rather than fail.
 
 At scale: binary payloads dominate bytes — keep them OUT of shuffles
 (derive metadata first, shuffle only metadata + keys, rejoin payloads by
@@ -93,17 +93,58 @@ def decode_stub_meta(
     return src.mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
-def decode_image_real(payload: bytes):  # pragma: no cover - stub
-    """Real decoder hook. The container has no image libraries; a real
-    deployment swaps this for PIL/ffmpeg and keeps the mapInPandas shape."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
+try:  # optional dependency: the real decoder activates where PIL exists
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # this container ships no image libraries
+    _PILImage = None
+    HAS_PIL = False
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """Real image decode via PIL when the environment provides it;
+    raises ``NotImplementedError`` otherwise so call sites (and tests)
+    skip rather than fail. Returns the same metadata dict shape the stub
+    fabricates: width / height / n_frames / fmt."""
+    if not HAS_PIL:
         raise NotImplementedError(
-            "image decode is stubbed in this environment (no PIL); "
+            "image decode requires PIL, which this environment lacks; "
             "use decode_stub_meta for plumbing tests"
-        ) from exc
-    raise NotImplementedError("real decode path not wired in this build")
+        )
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        return {
+            "width": int(im.width),
+            "height": int(im.height),
+            "n_frames": int(getattr(im, "n_frames", 1)),
+            "fmt": (im.format or "unknown").lower(),
+        }
+
+
+def decode_real_meta(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched decode stage wired to the REAL decoder — byte-for-byte
+    the same mapInPandas shape (schema, batching, partitioning) as
+    ``decode_stub_meta``, so swapping stub→real changes no plumbing.
+    ``payload`` must hold actual image bytes. Raises (inside the tasks)
+    where PIL is unavailable — gate call sites on ``HAS_PIL``."""
+    src = df.select(F.col(id_col), F.col(payload_col))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_image_real(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": [r["width"] for r in rows],
+                    "height": [r["height"] for r in rows],
+                    "n_frames": [r["n_frames"] for r in rows],
+                    "fmt": [r["fmt"] for r in rows],
+                }
+            )
+
+    return src.mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
 FEATURE_DIM = 8
