@@ -22,6 +22,10 @@ Scale notes (100 TB design point):
 - ``simhash_pairs`` pairs on pigeonhole blocks (``max_hamming + 1`` exact
   block keys): a lossless candidate equi-join — identical output to the
   cross join it replaced, at hash-join cost.
+- ``connected_components`` turns any pair list into duplicate CLUSTERS
+  (min-label propagation) — pair lists alone are not actionable; the
+  keep/drop decision needs the transitive closure and a canonical keeper
+  per cluster.
 """
 
 from __future__ import annotations
@@ -263,6 +267,71 @@ def simhash_values(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         )
         simhash = term if simhash is None else simhash + term
     return per_bit.select(F.col(id_col), simhash.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(node, comp) for every node that appears in ``pairs``, where
+    ``comp`` is the smallest node id in the node's connected component —
+    the transitive closure that turns near-dup PAIRS into duplicate
+    CLUSTERS with a canonical keeper (the min id).
+
+    Min-label propagation on DataFrame ops: each round every node takes
+    the least of its own label and its neighbors' labels; the loop stops
+    when a round changes nothing. Rounds = graph diameter, and near-dup
+    clusters are dense (quasi-cliques), so convergence is typically 2-4
+    rounds; ``localCheckpoint`` truncates the growing plan lineage each
+    round, and the convergence probe is a ``limit(1)`` existence check,
+    not a full count. At 100 TB the same loop holds — each round is one
+    edge⋈label join + a grouped min (two shuffles, partial agg); for
+    adversarial long-path graphs swap in large-star/small-star, which
+    bounds rounds at O(log n) with the same join primitives."""
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("a"), F.col(b_col).cast("long").alias("b")
+    )
+    sym = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("comp")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("node").alias("b"), F.col("comp").alias("bcomp")), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("bcomp").alias("nmin"))
+            .select(F.col("a").alias("node"), "nmin")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        "pathological graph diameter; use a star-contraction variant"
+    )
 
 
 def simhash_pairs(

@@ -125,9 +125,65 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERS: simhash pairs -> connected components
+    (operators/dedup.py::connected_components, iterative min-label
+    propagation) -> one row per clustered doc with its canonical keeper
+    (the component's min doc_id) and cluster size. The oracle computes the
+    same transitive closure with a recursive CTE."""
+    from pyspark.sql import functions as F
+
+    pairs = D.simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+    comps = D.connected_components(pairs)
+    sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return comps.join(sizes, "comp").select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component"),
+        "cluster_size",
+    )
+
+
+DEDUP_COMPONENTS_SQL = """
+WITH RECURSIVE toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h0 FROM toks),
+bits AS (
+  SELECT doc_id, j, CASE WHEN (h0 >> j) & 1 = 1 THEN 1 ELSE -1 END AS c
+  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS j) jj
+),
+perbit AS (SELECT doc_id, j, SUM(c) AS s FROM bits GROUP BY doc_id, j),
+sv AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS simhash
+  FROM perbit GROUP BY doc_id
+),
+prs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sv a JOIN sv b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM prs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM prs
+),
+reach(node, comp) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+),
+comps AS (SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node),
+csizes AS (SELECT component, COUNT(*) AS cluster_size FROM comps GROUP BY component)
+SELECT c.doc_id, c.component, s.cluster_size
+FROM comps c JOIN csizes s USING (component)
+"""
+
+
 QUERIES = {
     "dedup_exact": Q(dedup_exact, DEDUP_EXACT_SQL, "exact hash dedup"),
     "dedup_ngram_jaccard": Q(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL, "3-gram Jaccard near-dup"),
     "dedup_minhash_lsh": Q(dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL, "MinHash+LSH near-dup"),
     "dedup_simhash": Q(dedup_simhash, DEDUP_SIMHASH_SQL, "SimHash near-dup"),
+    "dedup_components": Q(
+        dedup_components, DEDUP_COMPONENTS_SQL, "near-dup clusters via connected components"
+    ),
 }

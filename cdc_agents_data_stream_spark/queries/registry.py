@@ -65,7 +65,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # --- dedup family (prompt-named methods) ---
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_components",           # simhash pairs -> clusters (simhash_pairs runs inside; plain-pairs variant demoted)
     # --- similarity / ANN family ---
     "ann_cosine_topk",            # brute-force baseline
     "ann_ivf_kmeans",             # IVF scale path (trained centroids)

@@ -82,3 +82,16 @@ def test_pq_adc_plan_broadcasts_tables(emb):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """A 5-node path (worst-case diameter for label propagation) plus a
+    separate triangle and an isolated pair all resolve to min-id labels."""
+    from cdc_agents_data_stream_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
