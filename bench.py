@@ -201,6 +201,13 @@ def main() -> None:
     print(f"# cdc_stream_20_ticks: {timings['cdc_stream_20_ticks']}s", file=sys.stderr)
     timings["cdc_backfill_100_sessions"] = min(bench_backfill_throughput(spark) for _ in range(2))
     print(f"# cdc_backfill_100_sessions: {timings['cdc_backfill_100_sessions']}s", file=sys.stderr)
+    # 20x the sessions through the DISTRIBUTED transition + MERGE sink (the
+    # 100-session run's small result takes the driver fast path); reference
+    # sequential-equivalent is ~5000 s — this is the scale-out story
+    timings["cdc_backfill_2000_sessions"] = min(
+        bench_backfill_throughput(spark, n_sessions=2000) for _ in range(2)
+    )
+    print(f"# cdc_backfill_2000_sessions: {timings['cdc_backfill_2000_sessions']}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
