@@ -226,6 +226,11 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        # both the verify join AND the cand_docs semi-join consume this tiny
+        # set; without materialization the whole shingle->signature->bucket->
+        # self-join chain executes twice (broadcast vs hash exchange blocks
+        # Catalyst's ReusedExchange). Measured 2.9s -> 1.6s at sf0.1.
+        .localCheckpoint()
     )
     # re-shingle ONLY candidate docs for the exact-Jaccard verify: the
     # candidate doc set is tiny after banding, so the verify branch reads a
