@@ -126,7 +126,10 @@ def lsh_bucketed_topk(
     )
 
 
-CENTROID_MOD = 37  # deterministic k-means init: every 37th vector
+CENTROID_MOD = 37  # deterministic k-means init: every 37th vector...
+MAX_CENTROIDS = 256  # ...capped: the centroid set must NOT grow with the
+# corpus (an uncapped every-Nth rule makes assignment quadratic and the
+# broadcast unbounded at 100 TB); 256 ≈ sqrt(65k) — re-tune per corpus
 
 
 def _assign(base: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
@@ -162,7 +165,10 @@ def kmeans_centroids(base: DataFrame, iters: int, id_col: str) -> DataFrame:
     bit-for-bit. At 100 TB, train on a sample (standard IVF practice) and
     broadcast the result; assignment of the full corpus stays one
     broadcast-join pass."""
-    cents = base.filter(F.col(id_col) % CENTROID_MOD == 0).select(
+    cents = base.filter(
+        (F.col(id_col) % CENTROID_MOD == 0)
+        & (F.col(id_col) < CENTROID_MOD * MAX_CENTROIDS)
+    ).select(
         F.col(id_col).alias("centroid_id"),
         F.col("vec").alias("cvec"),
         F.col("norm").alias("cnorm"),
@@ -331,7 +337,11 @@ def embedding_neardup_pairs(
 # --- Product quantization (PQ + ADC scan) -------------------------------------
 
 PQ_M = 4         # subspaces per vector
-PQ_CODE_MOD = 20  # deterministic codebook: every 20th vector's subvectors
+PQ_CODE_MOD = 20  # deterministic codebook: every 20th vector's subvectors...
+PQ_MAX_CODES = 64  # ...capped at 64 codes/subspace: real PQ uses a FIXED
+# k (classically 256); an uncapped every-Nth codebook grows with the
+# corpus, making the encode join quadratic and the ADC distance-table
+# broadcast unbounded
 
 
 def _dot_unrolled(a, b, n: int):
@@ -396,9 +406,10 @@ def pq_train_codebooks(
     one broadcast-join + grouped argmin over the corpus plus a
     (s, code, pos)-keyed partial-agg mean — shuffled rows are scalar
     triples, with map-side combine."""
-    codes = sub.filter(F.col(id_col) % PQ_CODE_MOD == 0).select(
-        F.col(id_col).alias("code_id"), "s", F.col("sv").alias("cv")
-    )
+    codes = sub.filter(
+        (F.col(id_col) % PQ_CODE_MOD == 0)
+        & (F.col(id_col) < PQ_CODE_MOD * PQ_MAX_CODES)
+    ).select(F.col(id_col).alias("code_id"), "s", F.col("sv").alias("cv"))
     for _ in range(iters):
         d = _d2_scaled(F.col("sv"), F.col("cv"), sub_len)
         assigned = (

@@ -114,7 +114,7 @@ ANN_IVF_PROBE_SQL = f"""
 WITH {_BASE_CTE},
 cents AS (
   SELECT vec_id AS centroid_id, v AS cvec, norm AS cnorm FROM base
-  WHERE vec_id % {S.CENTROID_MOD} = 0
+  WHERE vec_id % {S.CENTROID_MOD} = 0 AND vec_id < {S.CENTROID_MOD * S.MAX_CENTROIDS}
 ),
 assigned AS (
   SELECT vec_id, v, norm, centroid_id AS cluster FROM (
@@ -192,7 +192,7 @@ ANN_IVF_KMEANS_SQL = f"""
 WITH {_BASE_CTE},
 cents0 AS (
   SELECT vec_id AS centroid_id, v AS cvec, norm AS cnorm FROM base
-  WHERE vec_id % {S.CENTROID_MOD} = 0
+  WHERE vec_id % {S.CENTROID_MOD} = 0 AND vec_id < {S.CENTROID_MOD * S.MAX_CENTROIDS}
 ),
 {_kmeans_iter_sql(1)},
 {_kmeans_iter_sql(2)},
@@ -258,7 +258,8 @@ WITH base AS (
   LATERAL (SELECT m.s AS s,
                   v[m.s * {_PQ_SUB_LEN} + 1 : (m.s + 1) * {_PQ_SUB_LEN}] AS sv) AS t
 ), codes AS (
-  SELECT vec_id AS code_id, s, sv AS cv FROM sub WHERE vec_id % {S.PQ_CODE_MOD} = 0
+  SELECT vec_id AS code_id, s, sv AS cv FROM sub
+  WHERE vec_id % {S.PQ_CODE_MOD} = 0 AND vec_id < {S.PQ_CODE_MOD * S.PQ_MAX_CODES}
 ), assigned AS (
   SELECT vec_id, s, code_id AS code FROM (
     SELECT a.vec_id, a.s, c.code_id,
@@ -317,7 +318,8 @@ WITH base AS (
   LATERAL (SELECT m.s AS s,
                   v[m.s * {_PQ_SUB_LEN} + 1 : (m.s + 1) * {_PQ_SUB_LEN}] AS sv) AS t
 ), codes0 AS (
-  SELECT vec_id AS code_id, s, sv AS cv FROM sub WHERE vec_id % {S.PQ_CODE_MOD} = 0
+  SELECT vec_id AS code_id, s, sv AS cv FROM sub
+  WHERE vec_id % {S.PQ_CODE_MOD} = 0 AND vec_id < {S.PQ_CODE_MOD * S.PQ_MAX_CODES}
 ), pa1 AS (
   SELECT vec_id, s, code_id AS code, sv FROM (
     SELECT a.vec_id, a.s, c.code_id, a.sv,
