@@ -217,3 +217,19 @@ def test_dual_stream_union_pipeline(spark, tmp_path):
         assert {(d["source"], d["sequence_number"]) for d in diffs} == {("cdc", 1), ("ide", 2)}
     finally:
         query.stop()
+
+
+def test_torn_commit_times_out_with_clear_error(spark, tmp_path, monkeypatch):
+    """A version claimed by a writer that died before advancing the
+    pointer must surface as CommitTimeout, not a silent hang or a lost
+    update."""
+    from cdc_agents_data_stream_spark.state.store import CommitTimeout
+
+    store = ParquetStateStore(spark, str(tmp_path / "s"), n_buckets=4)
+    store.upsert_rows([_state_row("a", 1)])
+    # simulate a crashed writer: version 2's manifest exists, pointer stuck at 1
+    with open(store._manifest_file(2), "x") as fh:
+        fh.write('{"version": 2, "buckets": {}}')
+    monkeypatch.setattr(store, "COMMIT_WAIT_SECONDS", 0.2)
+    with pytest.raises(CommitTimeout):
+        store.upsert_rows([_state_row("b", 1)])
