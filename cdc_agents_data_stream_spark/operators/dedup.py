@@ -297,7 +297,8 @@ def connected_components(
     bounds rounds at O(log n) with the same join primitives."""
     edges = pairs.select(
         F.col(a_col).cast("long").alias("a"), F.col(b_col).cast("long").alias("b")
-    )
+    ).localCheckpoint()  # the union below reads it twice; don't run the
+    # (possibly expensive) pair-generation plan once per branch
     sym = (
         edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
