@@ -181,10 +181,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         q = registry[name]
-        # best of 2: a single run is hostage to transient host load (one
-        # noisy-neighbor burst showed as a 4x outlier on a repeat run)
+        # best of 3: a single run is hostage to transient host load (one
+        # noisy-neighbor burst showed as a 4x outlier on a repeat run, and
+        # back-to-back FULL runs have disagreed 2.3s vs 6.5s on one query)
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             n = q.fn(spark, SF_DIR).count()
             dt = time.perf_counter() - t0

@@ -187,6 +187,63 @@ def vocab_doc_freq(
     )
 
 
+def corpus_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus profile — the quick look a pipeline owner takes
+    before sizing a run: doc count, token/byte means and exact
+    interpolated percentiles (p50/p90/p99). Single full-scan aggregation,
+    partial-agg on the scalar projections; the percentile state is a
+    bounded digest per partition. For truly exact percentiles at 100 TB
+    swap ``percentile`` for ``percentile_approx`` and accept the epsilon
+    (documented trade — profiling rarely needs the exact rank)."""
+    toks = F.size(_toks(text_col))
+    nbytes = F.octet_length(F.col(text_col))
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg(toks), 6).alias("mean_tokens"),
+        F.round(F.percentile(toks, 0.5), 6).alias("p50_tokens"),
+        F.round(F.percentile(toks, 0.9), 6).alias("p90_tokens"),
+        F.round(F.percentile(toks, 0.99), 6).alias("p99_tokens"),
+        F.round(F.avg(nbytes), 6).alias("mean_bytes"),
+        F.round(F.percentile(nbytes, 0.99), 6).alias("p99_bytes"),
+    )
+
+
+def bpe_merge_pair_counts(
+    df: DataFrame, top_k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Adjacent-token pair frequencies — the statistic the first BPE merge
+    round ranks on (word-level analog). One explode of (size-1) pairs per
+    doc, then a count keyed by the pair with map-side partial aggregation;
+    the global top-k is a single ordered limit over the (small) distinct
+    pair set. Ties break lexicographically so the ranking is
+    engine-deterministic."""
+    toks = _toks(text_col)
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, (i + 1).cast("int")).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    counted = (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("pair_cnt").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "w1", "w2", "pair_cnt")
+    )
+
+
 def collapse_repeat_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Intra-document repetition removal: run-length-collapse consecutive
     duplicate tokens (the cheap boilerplate-scrub step crawl pipelines run

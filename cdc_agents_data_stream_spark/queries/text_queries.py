@@ -304,8 +304,54 @@ LIMIT 100
 """
 
 
+def corpus_profile_stats(spark, sf_dir):
+    """One-row corpus profile (operators/textops.py::corpus_profile):
+    count, token/byte means, exact interpolated percentiles."""
+    return T.corpus_profile(load(spark, sf_dir, "documents"))
+
+
+CORPUS_PROFILE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(len(string_split(text, ' '))), 6) AS mean_tokens,
+       ROUND(quantile_cont(len(string_split(text, ' ')), 0.5), 6) AS p50_tokens,
+       ROUND(quantile_cont(len(string_split(text, ' ')), 0.9), 6) AS p90_tokens,
+       ROUND(quantile_cont(len(string_split(text, ' ')), 0.99), 6) AS p99_tokens,
+       ROUND(AVG(strlen(text)), 6) AS mean_bytes,
+       ROUND(quantile_cont(strlen(text), 0.99), 6) AS p99_bytes
+FROM documents
+"""
+
+
+def bpe_pair_counts(spark, sf_dir):
+    """Top-50 adjacent-token pair frequencies
+    (operators/textops.py::bpe_merge_pair_counts) — the first BPE merge
+    round's ranking statistic."""
+    return T.bpe_merge_pair_counts(load(spark, sf_dir, "documents"), top_k=50)
+
+
+BPE_PAIR_COUNTS_SQL = """
+WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+p AS (
+  SELECT t[g.i] AS w1, t[g.i + 1] AS w2
+  FROM t, UNNEST(range(1, len(t))) AS g(i)
+),
+c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_cnt FROM p GROUP BY w1, w2)
+SELECT * FROM (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY pair_cnt DESC, w1, w2) AS BIGINT) AS rank,
+         w1, w2, pair_cnt
+  FROM c
+) WHERE rank <= 50
+"""
+
+
 QUERIES = {
     "text_token_stats": Q(text_token_stats, TEXT_TOKEN_STATS_SQL, "token statistics"),
+    "corpus_profile_stats": Q(
+        corpus_profile_stats, CORPUS_PROFILE_SQL, "corpus length/token percentiles profile"
+    ),
+    "bpe_pair_counts": Q(
+        bpe_pair_counts, BPE_PAIR_COUNTS_SQL, "adjacent-pair counts (BPE merge round 1)"
+    ),
     "pii_scrub_stats": Q(pii_scrub_stats, PII_SCRUB_STATS_SQL, "PII redaction counts"),
     "repeat_collapse_stats": Q(
         repeat_collapse_stats, REPEAT_COLLAPSE_STATS_SQL, "run-length boilerplate collapse"
