@@ -221,13 +221,31 @@ class ParquetStateStore:
         items = man.items() if buckets is None else ((b, p) for b, p in man.items() if int(b) in buckets)
         return [os.path.join(self.path, rel) for _, rel in items]
 
-    def read(self, keys: DataFrame | None = None, key: str = "session_id") -> DataFrame:
-        """Current snapshot. With ``keys`` (a DataFrame holding ``key``),
-        only the buckets those keys hash to are scanned — the point-lookup /
-        per-batch shape: state I/O proportional to the batch, not the store."""
-        v = self.current_version()
+    def read(
+        self,
+        keys: DataFrame | None = None,
+        key: str = "session_id",
+        version: int | None = None,
+    ) -> DataFrame:
+        """Current snapshot — or, with ``version``, a TIME-TRAVEL read of
+        any retained committed version (manifests inside the
+        ``KEEP_VERSIONS`` window stay on disk precisely so readers and
+        debuggers can replay them). With ``keys`` (a DataFrame holding
+        ``key``), only the buckets those keys hash to are scanned — the
+        point-lookup / per-batch shape: state I/O proportional to the
+        batch, not the store."""
+        v = self.current_version() if version is None else version
+        if version is not None and version > self.current_version():
+            raise ValueError(
+                f"version {version} not committed (current={self.current_version()})"
+            )
         if v == 0:
             return self.spark.createDataFrame([], DATA_STREAM_STATE_SCHEMA)
+        if version is not None and not os.path.exists(self._manifest_file(v)):
+            raise ValueError(
+                f"version {version} is outside the retention window "
+                f"(KEEP_VERSIONS={self.KEEP_VERSIONS}, current={self.current_version()})"
+            )
         wanted = None
         if keys is not None:
             wanted = {

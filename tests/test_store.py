@@ -166,3 +166,23 @@ def test_pipeline_paths_equivalent(spark, tmp_path, force_distributed):
 
 
 _RESULTS: dict = {}
+
+
+def test_time_travel_read_within_retention(spark, tmp_path):
+    """Any version whose manifest is retained can be read as-of; versions
+    beyond the window or never committed raise clearly."""
+    store = ParquetStateStore(spark, str(tmp_path / "s"), n_buckets=4)
+    for seq in (1, 2, 3):
+        store.upsert_rows([_row("x", seq)])
+    assert store.current_version() == 3
+    for v in (1, 2, 3):
+        got = {r["session_id"]: r["sequence_number"] for r in store.read(version=v).collect()}
+        assert got == {"x": v}
+    with pytest.raises(ValueError, match="not committed"):
+        store.read(version=9)
+    # churn past the retention window: v1's manifest ages out
+    for seq in (4, 5, 6):
+        store.upsert_rows([_row("x", seq)])
+    with pytest.raises(ValueError, match="retention window"):
+        store.read(version=1)
+    assert {r["sequence_number"] for r in store.read(version=store.current_version()).collect()} == {6}
