@@ -1,0 +1,57 @@
+"""Physical-plan regression tests for the relational headline queries —
+the README's scale claims (broadcast dims, pushed filters, pruned scans)
+asserted against the executed plan, not just documented."""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from cdc_agents_data_stream_spark.queries.registry import all_queries
+
+    return all_queries()
+
+
+def test_tpch_q3_broadcasts_dims_and_pushes_filters(spark, registry):
+    plan = _plan(registry["tpch_q3"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims are broadcast-small at any SF ratio
+    assert "PushedFilters: [" in plan
+    # the segment filter must reach the customer scan, not a post-join Filter
+    assert "In(c_mktsegment" in plan or "EqualTo(c_mktsegment" in plan
+
+
+def test_tpch_q5_no_cartesian_and_pruned_scans(spark, registry):
+    plan = _plan(registry["tpch_q5_region_revenue"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # this variant groups by region (no r_name filter); the region scan
+    # must still read only the join key + name, never the comment column
+    region_scans = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln and "r_name" in ln
+    ]
+    assert region_scans
+    assert all("r_comment" not in ln for ln in region_scans)
+
+
+def test_latest_event_per_user_prunes_columns(spark, registry):
+    plan = _plan(registry["latest_event_per_user"].fn(spark, SF_DIR))
+    # the scan reads only the columns the window/agg needs — a full-schema
+    # read would include the wide payload column
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines
+    assert all("payload" not in ln for ln in scan_lines)
+
+
+def test_events_filter_json_pushes_type_filter(spark, registry):
+    plan = _plan(registry["events_filter_json"].fn(spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    assert "event_type" in plan.split("PushedFilters:")[1].split("]")[0]
