@@ -178,6 +178,72 @@ FROM comps c JOIN csizes s USING (component)
 """
 
 
+def dedup_keep_corpus(spark, sf_dir):
+    """The dedup END PRODUCT: drop every clustered doc except its
+    component's canonical keeper (min doc_id), keep all unclustered docs —
+    one anti-join from clusters to the corpus. Returns the kept doc ids
+    with a keeper flag (true = survived a cluster, false = never
+    duplicated)."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.simhash_pairs(docs, max_hamming=3)
+    comps = D.connected_components(pairs)
+    drop = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    keepers = comps.filter(F.col("node") == F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        docs.join(drop, "doc_id", "left_anti")
+        .join(keepers.withColumn("is_cluster_keeper", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("is_cluster_keeper"), F.lit(False)).alias("is_cluster_keeper"),
+        )
+    )
+
+
+_CLOSURE_CTES = """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h0 FROM toks),
+bits AS (
+  SELECT doc_id, j, CASE WHEN (h0 >> j) & 1 = 1 THEN 1 ELSE -1 END AS c
+  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS j) jj
+),
+perbit AS (SELECT doc_id, j, SUM(c) AS s FROM bits GROUP BY doc_id, j),
+sv AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS simhash
+  FROM perbit GROUP BY doc_id
+),
+prs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sv a JOIN sv b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM prs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM prs
+),
+reach(node, comp) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+),
+comps AS (SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node)"""
+
+
+DEDUP_KEEP_CORPUS_SQL = f"""
+WITH RECURSIVE {_CLOSURE_CTES}
+SELECT d.doc_id,
+       COALESCE(c.doc_id = c.component, FALSE) AS is_cluster_keeper
+FROM documents d LEFT JOIN comps c USING (doc_id)
+WHERE c.doc_id IS NULL OR c.doc_id = c.component
+"""
+
+
 QUERIES = {
     "dedup_exact": Q(dedup_exact, DEDUP_EXACT_SQL, "exact hash dedup"),
     "dedup_ngram_jaccard": Q(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL, "3-gram Jaccard near-dup"),
@@ -185,5 +251,8 @@ QUERIES = {
     "dedup_simhash": Q(dedup_simhash, DEDUP_SIMHASH_SQL, "SimHash near-dup"),
     "dedup_components": Q(
         dedup_components, DEDUP_COMPONENTS_SQL, "near-dup clusters via connected components"
+    ),
+    "dedup_keep_corpus": Q(
+        dedup_keep_corpus, DEDUP_KEEP_CORPUS_SQL, "deduplicated corpus (cluster keepers + singles)"
     ),
 }
