@@ -274,6 +274,24 @@ def simhash_values(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return per_bit.select(F.col(id_col), simhash.alias("simhash"))
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    event_time_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Ingest-time exact dedup on a STREAM: keep the first arrival per
+    key, drop replays that land within the watermark horizon. State is
+    bounded — Spark evicts seen-keys older than the watermark, so this
+    runs forever on unbounded input (the batch ``exact_dup_groups`` is
+    the retrospective equivalent). Classic use: upstream at-least-once
+    delivery (Kafka replays, retried webhooks) feeding a training-data
+    lake that must stay append-exact."""
+    return stream.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

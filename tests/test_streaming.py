@@ -227,3 +227,47 @@ def test_stateful_ttl_evicts_idle_sessions(spark, tmp_path):
         assert seqs == [1, 1]
     finally:
         query.stop()
+
+
+def test_streaming_exact_dedup_drops_replays(spark, tmp_path):
+    """At-least-once replays of the same (user_id, event_id) within the
+    watermark are dropped across micro-batches; distinct keys all pass."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cdc_agents_data_stream_spark.operators.dedup import streaming_exact_dedup
+
+    src = tmp_path / "events"
+    src.mkdir()
+
+    def batch(name, rows):
+        pd.DataFrame(rows).to_parquet(src / name)
+
+    t0 = "2026-01-01 00:00:00"
+    batch("b0.parquet", [
+        {"user_id": 1, "event_id": 10, "ts": t0},
+        {"user_id": 1, "event_id": 10, "ts": t0},  # same-batch dup
+        {"user_id": 2, "event_id": 20, "ts": t0},
+    ])
+    stream = spark.readStream.schema("user_id long, event_id long, ts string").parquet(
+        str(src)
+    ).withColumn("event_time", F.to_timestamp("ts"))
+    out = streaming_exact_dedup(stream, ["user_id", "event_id"], "event_time")
+    query = (
+        out.writeStream.format("memory").queryName("dedup_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").start()
+    )
+    try:
+        query.processAllAvailable()
+        # cross-batch replay of (1, 10) + a fresh key
+        batch("b1.parquet", [
+            {"user_id": 1, "event_id": 10, "ts": "2026-01-01 00:00:05"},
+            {"user_id": 3, "event_id": 30, "ts": "2026-01-01 00:00:05"},
+        ])
+        query.processAllAvailable()
+        rows = spark.sql("SELECT user_id, event_id FROM dedup_sink").collect()
+        got = sorted((r["user_id"], r["event_id"]) for r in rows)
+        assert got == [(1, 10), (2, 20), (3, 30)]
+    finally:
+        query.stop()
