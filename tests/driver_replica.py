@@ -1,7 +1,8 @@
 """Replicate the driver's correctness harness: vanilla SparkSession, every
 declared query vs its DuckDB oracle, type-strict value comparison.
 
-Run: python tests/driver_replica.py [sf_dir]
+Run: python tests/driver_replica.py [sf_dir] [query ...]
+(with query names, only those queries run)
 """
 
 from __future__ import annotations
@@ -12,7 +13,7 @@ import traceback
 sys.path.insert(0, "/root/repo")
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as e
@@ -28,6 +29,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     )
     con = duck_con(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failed = []
     for name, fn in qs.items():
         try:
