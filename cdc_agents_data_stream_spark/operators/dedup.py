@@ -410,3 +410,81 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()  # a pair can agree on several blocks
     )
+
+
+# --- Bloom-filter incremental dedup ------------------------------------------
+
+BLOOM_M_BITS = 1024  # filter size used by the declared gate query: small
+# enough that the fixed testdata produces REAL false positives, so the
+# oracle verifies FP semantics, not just the all-miss path. Production
+# sizing: m ≈ -n·ln(p)/ln(2)², e.g. 10^10 docs at p=1e-3 → ~1.8 GB of
+# bits — still one broadcast artifact per executor.
+BLOOM_K = 3  # probes; disjoint 8-hex-char windows of md5(text)
+
+
+def _bloom_pos_sql(text_col: str, j: int, m_bits: int) -> str:
+    """Probe j's bit position as a Spark-SQL expr string — md5 hex window
+    [1+8j, 8] parsed as a 32-bit int, mod m. The DuckDB oracle spells the
+    identical computation (`CAST('0x'||substr(...) AS BIGINT) % m`)."""
+    return (
+        f"CAST(conv(substring(md5({text_col}), {1 + 8 * j}, 8), 16, 10) AS BIGINT)"
+        f" % {m_bits}"
+    )
+
+
+def bloom_build(
+    history: DataFrame,
+    text_col: str = "text",
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_M_BITS,
+) -> list[int]:
+    """Build the packed bloom words (m/64 int64s) from the history corpus.
+
+    One explode(k positions) + bit_or aggregation: map-side partial
+    bit_or means the shuffle carries at most (partitions × m/64) rows no
+    matter how large history is, and the collect is bounded by m/64 —
+    the filter is a fixed-size ARTIFACT, like a trained quantizer. This
+    is the incremental-ingest shape at 100 TB: dedup a new batch against
+    ALL of history without ever joining history again."""
+    pos = history.selectExpr(
+        f"explode(array({', '.join(_bloom_pos_sql(text_col, j, m_bits) for j in range(k))})) AS pos"
+    )
+    words = (
+        pos.withColumn("w", F.floor(F.col("pos") / 64).cast("int"))
+        .groupBy("w")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            ).alias("word")
+        )
+    )
+    packed = [0] * (m_bits // 64)
+    for r in words.collect():
+        packed[r["w"]] = r["word"]
+    return packed
+
+
+def bloom_probe(
+    incoming: DataFrame,
+    packed: list[int],
+    text_col: str = "text",
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_M_BITS,
+    hit_col: str = "bloom_hit",
+) -> DataFrame:
+    """Flag each incoming row whose k probe bits are ALL set in the filter.
+
+    The packed words are embedded as a literal array, so the probe is a
+    map-only projection — zero joins, zero shuffles; Catalyst folds the
+    array constant and the whole predicate stays in codegen. Bit test is
+    `(word >> bit) & 1` (arithmetic shift: sign extension is harmless
+    since only bit 0 survives the mask)."""
+    words_sql = f"array({', '.join(str(w) + 'L' for w in packed)})"
+    probes = []
+    for j in range(k):
+        p = f"({_bloom_pos_sql(text_col, j, m_bits)})"
+        probes.append(
+            f"(shiftright(element_at({words_sql}, CAST({p} DIV 64 AS INT) + 1),"
+            f" CAST({p} % 64 AS INT)) & 1) = 1"
+        )
+    return incoming.withColumn(hit_col, F.expr(" AND ".join(probes)))

@@ -244,6 +244,65 @@ WHERE c.doc_id IS NULL OR c.doc_id = c.component
 """
 
 
+def dedup_bloom_incremental(spark, sf_dir):
+    """Incremental-ingest dedup (operators/dedup.py::bloom_build/bloom_probe):
+    history = docs with doc_id % 3 == 0 is compressed into a fixed-size
+    bloom filter (packed int64 words, a broadcast artifact); every doc is
+    then probed with a map-only bit test — history never joins the probe
+    side. ``true_dup`` (an exact md5 semi-join, gate-only bookkeeping)
+    lets the oracle verify both guarantees: no false negatives (every
+    true dup hits) and the false-positive rate the small gate filter
+    forces into view."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 3 == 0)
+    packed = D.bloom_build(hist)
+    hist_md5 = hist.select(F.md5("text").alias("h")).distinct().withColumn(
+        "true_dup", F.lit(True)
+    )
+    return (
+        D.bloom_probe(docs, packed)
+        .withColumn("h", F.md5("text"))
+        .join(F.broadcast(hist_md5), "h", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce("true_dup", F.lit(False)).alias("true_dup"),
+        )
+    )
+
+
+def _bloom_pos_list_sql(m: int) -> str:
+    return ", ".join(
+        f"CAST('0x' || substr(md5(text), {1 + 8 * j}, 8) AS BIGINT) % {m}"
+        for j in range(D.BLOOM_K)
+    )
+
+
+DEDUP_BLOOM_SQL = f"""
+WITH hist AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+hpos AS (
+  SELECT DISTINCT pos FROM (
+    SELECT unnest([{_bloom_pos_list_sql(D.BLOOM_M_BITS)}]) AS pos FROM hist
+  )
+),
+probes AS (
+  SELECT doc_id, unnest([{_bloom_pos_list_sql(D.BLOOM_M_BITS)}]) AS pos
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+         SUM(CASE WHEN pos IN (SELECT pos FROM hpos) THEN 1 ELSE 0 END)
+           = {D.BLOOM_K} AS bloom_hit
+  FROM probes GROUP BY doc_id
+)
+SELECT d.doc_id, h.bloom_hit,
+       md5(d.text) IN (SELECT md5(text) FROM hist) AS true_dup
+FROM documents d JOIN hits h USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": Q(dedup_exact, DEDUP_EXACT_SQL, "exact hash dedup"),
     "dedup_ngram_jaccard": Q(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL, "3-gram Jaccard near-dup"),
@@ -254,5 +313,10 @@ QUERIES = {
     ),
     "dedup_keep_corpus": Q(
         dedup_keep_corpus, DEDUP_KEEP_CORPUS_SQL, "deduplicated corpus (cluster keepers + singles)"
+    ),
+    "dedup_bloom_incremental": Q(
+        dedup_bloom_incremental,
+        DEDUP_BLOOM_SQL,
+        "bloom-filter incremental dedup vs a history corpus",
     ),
 }
