@@ -265,3 +265,70 @@ def collapse_repeat_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("toks_before", F.size(toks).cast("long")).withColumn(
         "toks_after", F.size(kept).cast("long")
     ).withColumn("collapsed", F.array_join(kept, " "))
+
+
+# --- Model-based quality classifier (hashing trick) ---------------------------
+
+QC_DIM = 1024  # hashed feature buckets
+
+
+def _qc_weights(n: int = QC_DIM, seed: int = 97) -> list[int]:
+    """Deterministic stand-in for a trained linear model: per-bucket integer
+    weights in [-1000, 1000] micro-units from the same fixed LCG family the
+    minhash/plane constants use. A real model drops in as the same literal
+    array — the plan shape doesn't change."""
+    out, x = [], seed
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (2**63)
+        out.append((x % 2001) - 1000)
+    return out
+
+
+QC_WEIGHTS = _qc_weights()
+
+
+def quality_classifier_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """fasttext-style linear quality classifier over hashed bag-of-words.
+
+    Each token hashes to one of ``QC_DIM`` buckets (md5 window, the
+    engine-portable hash used throughout); the model is a literal weight
+    array indexed per token — the broadcast-model shape: at 100 TB the
+    weights ride the closure/plan to every executor and scoring is one
+    explode + partial-aggregated SUM per doc (single shuffle keyed doc_id).
+    Weights are integer micro-units so the score SUM is exact int64
+    arithmetic — order-free, hence cross-engine hashable; the normalized
+    mean divides two exact integers (IEEE division is deterministic) and
+    rounds to 6 decimals. Docs with no tokens score 0 via the left join
+    (both engines spell the same COALESCE)."""
+    W = F.array(*[F.lit(w).cast("long") for w in QC_WEIGHTS])
+    tok = F.explode(F.filter(_toks(text_col), lambda t: t != "")).alias("tok")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % QC_DIM
+    ).cast("int")
+    scored = (
+        df.select(F.col(id_col), tok)
+        .select(F.col(id_col), F.element_at(W, bucket + 1).alias("w"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum("w").alias("score_micro"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_toks", F.lit(0)).cast("long").alias("n_toks"),
+            F.coalesce("score_micro", F.lit(0)).cast("long").alias("score_micro"),
+            F.round(
+                F.coalesce("score_micro", F.lit(0))
+                / F.greatest(F.coalesce("n_toks", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("mean_w"),
+            (F.coalesce("score_micro", F.lit(0)) >= 0).alias("keep"),
+        )
+    )

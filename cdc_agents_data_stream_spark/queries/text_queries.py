@@ -344,8 +344,45 @@ SELECT * FROM (
 """
 
 
+def quality_classifier(spark, sf_dir):
+    """Model-based quality scoring (operators/textops.py::
+    quality_classifier_score): hashed bag-of-words, literal broadcast
+    weight array, exact integer score sums."""
+    return T.quality_classifier_score(load(spark, sf_dir, "documents"))
+
+
+_QC_WLIST = "[" + ", ".join(str(w) for w in T.QC_WEIGHTS) + "]::BIGINT[]"
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH wl AS (SELECT {_QC_WLIST} AS w),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tw AS (
+  SELECT doc_id,
+         w[CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {T.QC_DIM} AS INT) + 1] AS wt
+  FROM toks, wl WHERE tok <> ''
+),
+sc AS (
+  SELECT doc_id, COUNT(*) AS n_toks, CAST(SUM(wt) AS BIGINT) AS score_micro
+  FROM tw GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_toks, 0) AS n_toks,
+       COALESCE(score_micro, 0) AS score_micro,
+       ROUND(COALESCE(score_micro, 0) / GREATEST(COALESCE(n_toks, 0), 1), 6) AS mean_w,
+       COALESCE(score_micro, 0) >= 0 AS keep
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
 QUERIES = {
     "text_token_stats": Q(text_token_stats, TEXT_TOKEN_STATS_SQL, "token statistics"),
+    "quality_classifier": Q(
+        quality_classifier,
+        QUALITY_CLASSIFIER_SQL,
+        "hashed bag-of-words linear quality classifier",
+    ),
     "corpus_profile_stats": Q(
         corpus_profile_stats, CORPUS_PROFILE_SQL, "corpus length/token percentiles profile"
     ),
