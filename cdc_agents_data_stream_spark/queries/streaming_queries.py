@@ -291,11 +291,140 @@ FROM keys
 """
 
 
+def stream_hourly_rollup(spark, sf_dir):
+    """LIVE Structured Streaming watermarked window aggregation — the
+    hypertable-rollup semantics (`events_hourly_rollup`) run as a real
+    readStream with late-data drops and append-mode window emission.
+
+    Determinism: the sampled events are staged as three tick files split
+    by event TIME (each tick strictly newer), except that rows with
+    ``event_id % 7 == 3`` are rewritten to 2 hours BEFORE the stream's
+    minimum and staged in the LAST tick — by then the watermark (max event
+    time seen minus 30 min) sits ~20 days later, so Spark must drop every
+    one of them. The final no-data micro-batch flushes all windows whose
+    end <= final watermark; windows still open at termination are withheld
+    by append mode. The oracle reproduces exactly that: hourly rollup over
+    punctual rows, restricted to closed windows."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark.conf.set(
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false"
+    )
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 11 == 0)
+        .select("event_id", "ts", "event_type", "value")
+        .toPandas()
+    )
+    import pandas as pd
+
+    min_ts = ev["ts"].min()
+    late = ev["event_id"] % 7 == 3
+    ev.loc[late, "ts"] = min_ts - pd.Timedelta(hours=2) + pd.to_timedelta(
+        (ev.loc[late, "event_id"] % 3600), unit="s"
+    )
+    punctual = ev[~late].sort_values("ts")
+    n = len(punctual)
+    base = tempfile.mkdtemp(prefix="stream-rollup-")
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+        ]
+    )
+    try:
+        os.makedirs(f"{base}/in")
+        now = _time.time()
+        for tick in range(3):
+            part = punctual.iloc[tick * n // 3 : (tick + 1) * n // 3]
+            if tick == 2:
+                part = pd.concat([part, ev[late]])
+            path = f"{base}/in/tick-{tick}.parquet"
+            pq.write_table(
+                pa.Table.from_pandas(
+                    part[["event_id", "ts", "event_type", "value"]],
+                    schema=schema,
+                    preserve_index=False,
+                ),
+                path,
+            )
+            os.utime(path, (now - 30 + tick * 10, now - 30 + tick * 10))
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/in")
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "sum_cents"
+                ),
+            )
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_hourly_rollup_sink")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout=300)
+        finally:
+            q.stop()
+        out = spark.table("stream_hourly_rollup_sink").select(
+            F.unix_millis("window.start").alias("win_start_ms"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            "sum_cents",
+        )
+        collected = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.catalog.dropTempView("stream_hourly_rollup_sink")
+    return spark.createDataFrame(
+        collected,
+        "win_start_ms long, event_type string, n_events long, sum_cents long",
+    )
+
+
+STREAM_HOURLY_ROLLUP_SQL = """
+WITH s AS (SELECT * FROM events WHERE event_id % 11 = 0),
+punctual AS (SELECT * FROM s WHERE event_id % 7 <> 3),
+wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM punctual)
+SELECT epoch_ms(date_trunc('hour', ts)) AS win_start_ms,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM punctual
+GROUP BY date_trunc('hour', ts), event_type
+HAVING epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR)
+         <= (SELECT epoch_ms(w) FROM wm)
+"""
+
+
 QUERIES = {
     "stream_pipeline_state": Q(
         stream_pipeline_state,
         STREAM_PIPELINE_STATE_SQL,
         "X1 live micro-batch pipeline → final state",
+    ),
+    "stream_hourly_rollup": Q(
+        stream_hourly_rollup,
+        STREAM_HOURLY_ROLLUP_SQL,
+        "live watermarked hourly window rollup with late-data drops",
     ),
     "difflog_compaction": Q(
         difflog_compaction,
