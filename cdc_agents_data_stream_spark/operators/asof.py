@@ -96,3 +96,52 @@ def asof_join(
     if how == "inner":
         out = out.filter(F.col(rcols[0]).isNotNull())
     return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | list[str],
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_ms: int = 86_400_000,
+) -> DataFrame:
+    """Range (interval) join: each point row matched to every interval row
+    with the same key and ``start_ts <= point_ts < end_ts`` (timestamps as
+    epoch-millis columns).
+
+    The naive encoding — an equi-join on the key with the range predicate
+    as a join condition — degenerates: Catalyst keeps the hash join on the
+    key but a hot key devolves to per-key quadratic probing, and with NO
+    equi-key at all it picks BroadcastNestedLoopJoin. This implementation
+    buckets time at a fixed granularity: intervals explode into the
+    buckets they overlap (bounded fan-out = len/bucket + 1), points map to
+    exactly one bucket, and the join runs as a plain (key, bucket)
+    equi-join Catalyst hash-partitions — the standard range-bucketing
+    rewrite (cf. Spark's own range-join hints in Databricks runtime, and
+    interval joins in Flink). Refinement re-checks the exact range, so
+    results are identical to the naive form; pick ``bucket_ms`` near the
+    typical interval length so fan-out stays O(1).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    b = F.lit(bucket_ms).cast("long")
+    ivals = intervals.withColumn(
+        "_rj_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_ts) / b).cast("long"),
+                # end is exclusive: the last overlapped bucket is the one
+                # containing end-1
+                F.floor((F.col(end_ts) - 1) / b).cast("long"),
+            )
+        ),
+    )
+    pts = points.withColumn("_rj_bucket", F.floor(F.col(point_ts) / b).cast("long"))
+    return (
+        pts.join(ivals, keys + ["_rj_bucket"])
+        .filter(
+            (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+        )
+        .drop("_rj_bucket")
+    )

@@ -52,6 +52,57 @@ FROM j WHERE rn = 1
 """
 
 
+def event_attribution_window(spark, sf_dir):
+    """Interval join (operators/asof.py::interval_join): every event a
+    user produced inside the 24 hours after each of their signup events
+    (exclusive end, the signup row itself excluded) — the attribution-
+    window shape. Runs as a day-bucketed (user, bucket) equi-join; the
+    oracle is the naive range join, proving the rewrite is lossless."""
+    from ..operators.asof import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    sig = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        ms("ts").alias("start_ms"),
+        (ms("ts") + F.lit(86_400_000)).alias("end_ms"),
+    )
+    pts = ev.select("user_id", "event_id", ms("ts").alias("t_ms"))
+    return (
+        interval_join(
+            pts, sig, on="user_id", point_ts="t_ms", start_ts="start_ms",
+            end_ts="end_ms",
+        )
+        .filter(F.col("event_id") != F.col("signup_id"))
+        .select(
+            "user_id",
+            "signup_id",
+            "event_id",
+            (F.col("t_ms") - F.col("start_ms")).alias("delta_ms"),
+        )
+    )
+
+
+EVENT_ATTRIBUTION_WINDOW_SQL = """
+WITH sig AS (
+  SELECT user_id, event_id AS signup_id, epoch_ms(ts) AS start_ms,
+         epoch_ms(ts) + 86400000 AS end_ms
+  FROM events WHERE event_type = 'signup'
+),
+pts AS (SELECT user_id, event_id, epoch_ms(ts) AS t_ms FROM events)
+SELECT s.user_id, s.signup_id, p.event_id, p.t_ms - s.start_ms AS delta_ms
+FROM sig s
+JOIN pts p
+  ON p.user_id = s.user_id AND p.t_ms >= s.start_ms AND p.t_ms < s.end_ms
+WHERE p.event_id <> s.signup_id
+"""
+
+
 QUERIES = {
     "orders_asof_event": Q(orders_asof_event, ORDERS_ASOF_EVENT_SQL, "as-of join"),
+    "event_attribution_window": Q(
+        event_attribution_window,
+        EVENT_ATTRIBUTION_WINDOW_SQL,
+        "day-bucketed interval join (attribution windows)",
+    ),
 }

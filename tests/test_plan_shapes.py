@@ -55,3 +55,24 @@ def test_events_filter_json_pushes_type_filter(spark, registry):
     plan = _plan(registry["events_filter_json"].fn(spark, SF_DIR))
     assert "PushedFilters: [" in plan
     assert "event_type" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_interval_join_is_bucketed_equi_join(spark, registry):
+    plan = _plan(registry["event_attribution_window"].fn(spark, SF_DIR))
+    # the range-bucketing rewrite must keep Catalyst on a hash join keyed
+    # (user_id, bucket); the naive range predicate would degrade to BNLJ
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_rj_bucket" in plan
+
+
+def test_bloom_probe_is_map_only(spark, registry):
+    from cdc_agents_data_stream_spark.operators import dedup as D
+    from cdc_agents_data_stream_spark.queries.base import load
+
+    docs = load(spark, SF_DIR, "documents")
+    packed = D.bloom_build(docs.limit(50))
+    plan = _plan(D.bloom_probe(docs, packed))
+    # the probe is a literal-array bit test: no join, no shuffle
+    assert "Join" not in plan
+    assert "Exchange" not in plan
