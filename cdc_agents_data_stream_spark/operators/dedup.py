@@ -488,3 +488,78 @@ def bloom_probe(
             f" CAST({p} % 64 AS INT)) & 1) = 1"
         )
     return incoming.withColumn(hit_col, F.expr(" AND ".join(probes)))
+
+
+# --- Duplicated-span detection (substring dedup) ------------------------------
+
+SPAN_K = 8  # tokens per gram: spans shorter than K tokens are invisible,
+# the standard trade (Lee et al. 2022 use 50 BPE tokens at corpus scale)
+
+
+def dup_spans(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = SPAN_K
+) -> DataFrame:
+    """Exact duplicated-substring detection, n-gram approximation of the
+    suffix-array method ("Deduplicating Training Data Makes Language
+    Models Better", Lee et al. 2022): every position whose k-token gram
+    occurs more than once in the corpus is duplicated text; runs of
+    duplicated positions merge into maximal spans (gaps-and-islands over
+    a per-doc window).
+
+    Scale shape: positional grams are a map-side explode (md5 digests, not
+    the text, enter the shuffle); duplicate grams are one partial-agg
+    count keyed by digest (uniform); the mark-back is a digest equi-join;
+    span merging shuffles only (doc, pos) pairs of DUPLICATED positions —
+    at 100 TB the span-merge input is proportional to how much duplication
+    exists, not corpus size. Output: one row per maximal span with its
+    token bounds (end inclusive) and gram count."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.col(text_col), " ")
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(F.concat_ws(" ", F.slice(toks, i, k))).alias("g"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+        ).alias("x"),
+    ).select(F.col(id_col), F.col("x.pos").alias("pos"), F.col("x.g").alias("g"))
+    dupg = grams.groupBy("g").agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1)
+    marks = (
+        grams.join(dupg.select("g"), "g", "left_semi")
+        .select(id_col, "pos")
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cum = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    spans = (
+        marks.withColumn(
+            "brk",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("span_id", F.sum("brk").over(cum))
+        .groupBy(id_col, "span_id")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + (k - 1)).alias("end_pos"),
+            F.count("*").alias("n_dup_grams"),
+        )
+    )
+    return spans.select(
+        F.col(id_col),
+        F.col("start_pos").cast("long"),
+        F.col("end_pos").cast("long"),
+        (F.col("end_pos") - F.col("start_pos") + 1).cast("long").alias("span_tokens"),
+        F.col("n_dup_grams").cast("long"),
+    )

@@ -320,3 +320,50 @@ QUERIES = {
         "bloom-filter incremental dedup vs a history corpus",
     ),
 }
+
+
+def dedup_span_detect(spark, sf_dir):
+    """Duplicated-substring spans (operators/dedup.py::dup_spans): the
+    n-gram approximation of suffix-array substring dedup — maximal runs
+    of 8-token grams that occur more than once in the corpus."""
+    return D.dup_spans(load(spark, sf_dir, "documents"))
+
+
+DEDUP_SPAN_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, x.pos AS pos, x.g AS g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - {D.SPAN_K - 1}, 0) + 1),
+               i -> {{'pos': i, 'g': md5(array_to_string(t[i:i+{D.SPAN_K - 1}], ' '))}})) AS x
+    FROM toks)
+),
+dupg AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1),
+marks AS (
+  SELECT DISTINCT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {D.SPAN_K} THEN 0 ELSE 1 END AS brk
+  FROM marks
+),
+sp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM isl
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS start_pos,
+       CAST(MAX(pos) + {D.SPAN_K - 1} AS BIGINT) AS end_pos,
+       CAST(MAX(pos) + {D.SPAN_K - 1} - MIN(pos) + 1 AS BIGINT) AS span_tokens,
+       COUNT(*) AS n_dup_grams
+FROM sp GROUP BY doc_id, span_id
+"""
+
+QUERIES["dedup_span_detect"] = Q(
+    dedup_span_detect,
+    DEDUP_SPAN_SQL,
+    "duplicated-substring spans (suffix-array approximation)",
+)
