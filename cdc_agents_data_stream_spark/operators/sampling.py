@@ -148,3 +148,81 @@ def shuffle_order(
     partition to preserve the order lazily rather than collecting."""
     key = _text_md5_int(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
     return df.withColumn("shuffle_key", key).orderBy("shuffle_key", id_col)
+
+
+def temperature_rates(
+    df: DataFrame, alpha: float = 0.5, strata_col: str = "source"
+) -> DataFrame:
+    """Per-domain temperature sampling rates (see ``temperature_mix``):
+    (stratum, n_dom, rate_micro). Weights snap to a 1e-6 integer grid
+    before normalization so the weight sum is exact int64; every later op
+    is the identical IEEE chain in both engines."""
+    if alpha == 0.5:
+        w_of = F.sqrt  # IEEE-exact; pow() rounding differs across libms
+    else:
+        w_of = lambda p: F.pow(p, F.lit(alpha))  # noqa: E731
+    from pyspark.sql.window import Window
+
+    everything = Window.partitionBy()
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_dom"))
+    return (
+        counts.withColumn("n_total", F.sum("n_dom").over(everything))
+        .withColumn(
+            "w_micro",
+            F.round(w_of(F.col("n_dom") / F.col("n_total")) * 1e6).cast("long"),
+        )
+        .withColumn("w_sum", F.sum("w_micro").over(everything))
+        .withColumn(
+            "rate_micro",
+            F.least(
+                F.round(
+                    (F.col("w_micro") / F.col("w_sum"))
+                    * F.col("n_total")
+                    / F.col("n_dom")
+                    * 1e6
+                ).cast("long"),
+                F.lit(1_000_000).cast("long"),
+            ),
+        )
+        .select(strata_col, F.col("n_dom").cast("long").alias("n_dom"), "rate_micro")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "t1",
+) -> DataFrame:
+    """Temperature-scaled domain mixing: resample so domain i's share moves
+    from p_i toward p_i^alpha / Σ p_j^alpha (alpha < 1 flattens the domain
+    distribution — the multilingual/multi-domain sampling rule from the
+    XLM-R / mT5 data recipes). Returns the kept rows plus the per-domain
+    target rate in micro-units.
+
+    Determinism across engines: domain weights land on a 1e-6 integer grid
+    BEFORE normalization (the weight SUM is exact int64, so no
+    float-summation-order hazard), the rate expression is the identical
+    chain of IEEE ops on exact integers in both engines, and the per-row
+    keep decision is the md5(id:salt) bucket rule shared with
+    ``stratified_sample``. alpha=0.5 uses sqrt (correctly rounded by
+    IEEE 754, unlike pow, which libms round differently).
+
+    Scale: one count aggregation over the corpus (partial-agg, tiny
+    result), rates computed on the ~|domains| row table, broadcast back,
+    keep-filter is a map — the corpus shuffles zero times. Rates > 1
+    (upsampled tail domains) are capped at 1 here; the caller repeats kept
+    tail rows by epoch to realize upsampling (the standard practice)."""
+    rates = temperature_rates(df, alpha, strata_col).select(
+        strata_col, "rate_micro"
+    )
+    bucket = (
+        _text_md5_int(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+        % 1_000_000
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .withColumn("keep_bucket", bucket)
+        .filter(F.col("keep_bucket") < F.col("rate_micro"))
+    )

@@ -141,6 +141,55 @@ ORDER BY rank LIMIT 50
 """
 
 
+def temperature_mix_counts(spark, sf_dir):
+    """Temperature-scaled domain mixing (operators/sampling.py::
+    temperature_mix, alpha=0.5 over lang): per-domain doc count, the
+    integer-grid target rate, and how many docs the deterministic
+    md5 keep actually retained (en is downsampled ~0.70, tail langs cap
+    at rate 1 — both branches of the rule are exercised)."""
+    docs = load(spark, sf_dir, "documents")
+    rates = S.temperature_rates(docs, alpha=0.5, strata_col="lang")
+    kept = S.temperature_mix(docs, alpha=0.5, strata_col="lang", salt="t1")
+    per_kept = kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+    return (
+        rates.join(per_kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_dom").alias("n_docs"),
+            "rate_micro",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+TEMPERATURE_MIX_COUNTS_SQL = f"""
+WITH c AS (SELECT lang, COUNT(*) AS n_dom FROM documents GROUP BY lang),
+t AS (
+  SELECT lang, n_dom,
+         SUM(n_dom) OVER () AS n_total,
+         CAST(ROUND(sqrt(n_dom / (SUM(n_dom) OVER ())) * 1e6) AS BIGINT) AS w_micro
+  FROM c
+),
+r AS (
+  SELECT lang, n_dom, n_total, w_micro,
+         LEAST(CAST(ROUND((w_micro / (SUM(w_micro) OVER ())) * n_total / n_dom * 1e6)
+                    AS BIGINT),
+               1000000) AS rate_micro
+  FROM t
+),
+kept AS (
+  SELECT d.lang, COUNT(*) AS n_kept
+  FROM documents d JOIN r USING (lang)
+  WHERE {_MD5_INT.format(expr="CAST(doc_id AS VARCHAR) || ':t1'")} % 1000000
+          < r.rate_micro
+  GROUP BY d.lang
+)
+SELECT r.lang, CAST(r.n_dom AS BIGINT) AS n_docs, r.rate_micro,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM r LEFT JOIN kept k USING (lang)
+"""
+
+
 QUERIES = {
     "pack_sequences_stats": Q(
         pack_sequences_stats, PACK_SEQUENCES_STATS_SQL, "sequence packing bins"
@@ -155,5 +204,10 @@ QUERIES = {
     ),
     "shuffle_order_sample": Q(
         shuffle_order_sample, SHUFFLE_ORDER_SAMPLE_SQL, "deterministic epoch shuffle"
+    ),
+    "temperature_mix_counts": Q(
+        temperature_mix_counts,
+        TEMPERATURE_MIX_COUNTS_SQL,
+        "temperature-scaled domain mixing (alpha=0.5)",
     ),
 }
