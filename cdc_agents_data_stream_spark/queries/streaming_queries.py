@@ -415,6 +415,89 @@ HAVING epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR)
 """
 
 
+def stream_rollup_ivm(spark, sf_dir):
+    """Continuous hourly aggregate via incremental view maintenance
+    (streaming/ivm.py::ContinuousRollup): a LIVE foreachBatch stream
+    merges each micro-batch's partial (window, type) counts additively
+    into the keyed store. Ticks are split by ``event_id % 3`` — arrival
+    order is deliberately arbitrary, because additive IVM is
+    order-insensitive (no watermark, no late-data drops) — so the final
+    materialized rollup must equal the plain batch GROUP BY, which is the
+    oracle."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..streaming.ivm import ContinuousRollup
+
+    spark.conf.set(
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false"
+    )
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 0)
+        .select("event_id", "ts", "event_type", "value")
+        .toPandas()
+    )
+    base = tempfile.mkdtemp(prefix="stream-ivm-")
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+        ]
+    )
+    try:
+        os.makedirs(f"{base}/in")
+        now = _time.time()
+        for tick in range(3):
+            part = ev[ev["event_id"] % 3 == tick]
+            path = f"{base}/in/tick-{tick}.parquet"
+            pq.write_table(
+                pa.Table.from_pandas(part, schema=schema, preserve_index=False),
+                path,
+            )
+            os.utime(path, (now - 30 + tick * 10, now - 30 + tick * 10))
+        rollup = ContinuousRollup(spark, f"{base}/rollup")
+        q = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/in")
+            .writeStream.foreachBatch(rollup.merge_batch)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout=300)
+        finally:
+            q.stop()
+        collected = rollup.read().collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        collected,
+        "win_start_ms long, event_type string, n_events long, sum_cents long",
+    )
+
+
+STREAM_ROLLUP_IVM_SQL = """
+SELECT epoch_ms(date_trunc('hour', ts)) AS win_start_ms,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events WHERE event_id % 5 = 0
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
 QUERIES = {
     "stream_pipeline_state": Q(
         stream_pipeline_state,
@@ -425,6 +508,11 @@ QUERIES = {
         stream_hourly_rollup,
         STREAM_HOURLY_ROLLUP_SQL,
         "live watermarked hourly window rollup with late-data drops",
+    ),
+    "stream_rollup_ivm": Q(
+        stream_rollup_ivm,
+        STREAM_ROLLUP_IVM_SQL,
+        "incrementally-maintained continuous hourly aggregate",
     ),
     "difflog_compaction": Q(
         difflog_compaction,

@@ -102,10 +102,20 @@ class ParquetStateStore:
     N_BUCKETS = 64
     COMMIT_WAIT_SECONDS = 30.0
 
-    def __init__(self, spark: SparkSession, path: str, n_buckets: int | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int | None = None,
+        schema=None,
+    ):
+        # ``schema`` is only consulted for the empty (version-0) read; any
+        # keyed row shape works — the CDC state table is just the default
+        # client (the IVM rollup store passes its own aggregate schema).
         self.spark = spark
         self.path = path
         self.n_buckets = n_buckets or self.N_BUCKETS
+        self.schema = schema or DATA_STREAM_STATE_SCHEMA
         os.makedirs(self.path, exist_ok=True)
 
     # -- commit protocol -------------------------------------------------------
@@ -240,7 +250,7 @@ class ParquetStateStore:
                 f"version {version} not committed (current={self.current_version()})"
             )
         if v == 0:
-            return self.spark.createDataFrame([], DATA_STREAM_STATE_SCHEMA)
+            return self.spark.createDataFrame([], self.schema)
         if version is not None and not os.path.exists(self._manifest_file(v)):
             raise ValueError(
                 f"version {version} is outside the retention window "
@@ -253,7 +263,7 @@ class ParquetStateStore:
             }
         paths = self._bucket_paths(v, wanted)
         if not paths:
-            return self.spark.createDataFrame([], DATA_STREAM_STATE_SCHEMA)
+            return self.spark.createDataFrame([], self.schema)
         return self.spark.read.parquet(*paths)
 
     def upsert(self, updates: DataFrame, key: str = "session_id") -> None:

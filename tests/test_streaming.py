@@ -271,3 +271,42 @@ def test_streaming_exact_dedup_drops_replays(spark, tmp_path):
         assert got == [(1, 10), (2, 20), (3, 30)]
     finally:
         query.stop()
+
+
+def test_ivm_rollup_replay_is_noop(spark, tmp_path):
+    """A replayed foreachBatch id must not double-count (the meta row and
+    the merged aggregates commit in one store version)."""
+    from pyspark.sql import functions as F
+
+    from cdc_agents_data_stream_spark.streaming.ivm import ContinuousRollup
+
+    rows = [
+        (1, "2024-01-01 10:15:00", "click", 1.50),
+        (2, "2024-01-01 10:45:00", "click", 2.25),
+        (3, "2024-01-01 11:05:00", "view", 4.00),
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rollup = ContinuousRollup(spark, str(tmp_path / "rollup"))
+
+    assert rollup.merge_batch(batch, 0) is True
+    first = {(r.win_start_ms, r.event_type): (r.n_events, r.sum_cents)
+             for r in rollup.read().collect()}
+    assert len(first) == 2
+    assert list(first.values()).count((2, 375)) == 1  # two clicks, 150+225
+
+    # replay of batch 0: no-op
+    assert rollup.merge_batch(batch, 0) is False
+    assert {(r.win_start_ms, r.event_type): (r.n_events, r.sum_cents)
+            for r in rollup.read().collect()} == first
+
+    # a NEW batch touching an existing window adds onto it
+    more = spark.createDataFrame(
+        [(4, "2024-01-01 10:59:00", "click", 1.00)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert rollup.merge_batch(more, 1) is True
+    after = {(r.win_start_ms, r.event_type): (r.n_events, r.sum_cents)
+             for r in rollup.read().collect()}
+    assert list(after.values()).count((3, 475)) == 1
