@@ -97,6 +97,7 @@ def all_queries() -> dict[str, Q]:
         "window_queries",
         "sampling_queries",
         "streaming_queries",
+        "sql_queries",
     ):
         try:
             mod = __import__(f"{__package__}.{mod_name}", fromlist=["QUERIES"])

@@ -1,0 +1,104 @@
+"""Dialect-portable SQL surface queries: each query here is ONE SQL string
+executed verbatim by BOTH engines — ``spark.sql(text)`` over the registered
+lake views (sql.py::register_tables) and DuckDB over the same parquet. The
+oracle IS the query text, which pins the ``spark.sql`` entry point itself
+(parser, analyzer, null-grouping semantics, set-op semantics, window
+frames) rather than a hand-built DataFrame translation.
+
+Constraints for the shared subset:
+- money math in exact DECIMAL, cast to DOUBLE once at the end (float SUM
+  order is engine-dependent, decimal sums are not);
+- GROUPING() flags cast to BIGINT (the engines' native return types
+  differ);
+- no engine-specific temporal functions (``epoch_ms`` vs ``unix_millis``)
+  — these queries stick to keys, strings, and decimals.
+"""
+
+from __future__ import annotations
+
+from ..sql import register_tables
+from .base import Q
+
+
+def _sql_query(text: str):
+    def fn(spark, sf_dir):
+        register_tables(spark, sf_dir, include_derived=False)
+        return spark.sql(text)
+
+    return fn
+
+
+SQL_ROLLUP_AGGREGATES = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+SQL_NOT_EXISTS_CORRELATED = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
+"""
+
+SQL_SET_OPS = """
+(SELECT user_id FROM events WHERE event_type = 'purchase'
+ INTERSECT
+ SELECT user_id FROM events WHERE event_type = 'view')
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+SQL_RUNNING_WINDOW = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total
+FROM orders WHERE o_custkey % 100 = 1
+"""
+
+SQL_SCALAR_SUBQUERY = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_big,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price
+FROM orders
+WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+      (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+       FROM orders)
+GROUP BY o_orderpriority
+"""
+
+QUERIES = {
+    "sql_rollup_aggregates": Q(
+        _sql_query(SQL_ROLLUP_AGGREGATES),
+        SQL_ROLLUP_AGGREGATES,
+        "GROUP BY ROLLUP with GROUPING flags (shared SQL text)",
+    ),
+    "sql_not_exists_correlated": Q(
+        _sql_query(SQL_NOT_EXISTS_CORRELATED),
+        SQL_NOT_EXISTS_CORRELATED,
+        "correlated NOT EXISTS anti-join (shared SQL text)",
+    ),
+    "sql_set_ops": Q(
+        _sql_query(SQL_SET_OPS),
+        SQL_SET_OPS,
+        "INTERSECT / EXCEPT set operations (shared SQL text)",
+    ),
+    "sql_running_window": Q(
+        _sql_query(SQL_RUNNING_WINDOW),
+        SQL_RUNNING_WINDOW,
+        "running decimal window frame (shared SQL text)",
+    ),
+    "sql_scalar_subquery": Q(
+        _sql_query(SQL_SCALAR_SUBQUERY),
+        SQL_SCALAR_SUBQUERY,
+        "uncorrelated scalar subquery filter (shared SQL text)",
+    ),
+}
