@@ -332,3 +332,91 @@ def quality_classifier_score(
             (F.coalesce("score_micro", F.lit(0)) >= 0).alias("keep"),
         )
     )
+
+
+# --- Context-window chunking --------------------------------------------------
+
+CHUNK_TOKENS = 128
+CHUNK_STRIDE = 96  # 32-token overlap between consecutive chunks
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token chunks — the
+    context-window preparation step for embedding/retrieval pipelines
+    (chunk k covers tokens [k*stride, k*stride + chunk_tokens)).
+
+    Chunk starts come from a ``sequence`` over the token count, the text
+    from ``slice`` + ``concat_ws`` — a pure map-side explode, no shuffle,
+    no Python; total fan-out bytes ≈ chunk_tokens/stride × corpus size
+    (the overlap factor). The final short chunk is kept iff it starts
+    inside the document and contributes at least one new token; documents
+    shorter than one chunk yield exactly one chunk."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # number of chunks: 1 + ceil(max(n - chunk_tokens, 0) / stride), via
+    # integer arithmetic shared with the oracle
+    n_chunks = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n - chunk_tokens, F.lit(0)) + (stride - 1)) / stride
+        ).cast("int")
+    )
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    return (
+        df.select(
+            F.col(id_col),
+            n.cast("long").alias("n_tokens"),
+            F.explode(starts).alias("chunk_idx"),
+            toks.alias("_toks"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride).cast("long").alias("start_tok"),
+            F.concat_ws(
+                " ",
+                F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_tokens),
+            ).alias("chunk_text"),
+        )
+        .withColumn(
+            "chunk_tokens",
+            F.least(
+                F.lit(chunk_tokens).cast("long"),
+                F.col("n_tokens") - F.col("start_tok"),
+            ),
+        )
+    )
+
+
+# --- Text normalization / cleaning -------------------------------------------
+
+# Shared Java-regex ∩ RE2 subset (same discipline as PII_PATTERNS) so the
+# DuckDB oracle can run the IDENTICAL patterns.
+NORMALIZE_STEPS = (
+    # control characters (C0 minus \t\n\r) -> drop
+    (r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""),
+    # any whitespace run (incl. tabs/newlines) -> single space
+    (r"[ \t\r\n]+", " "),
+    # leading/trailing space
+    (r"^ +| +$", ""),
+)
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text cleanup (the first stage of every crawl pipeline):
+    strip control characters, collapse whitespace runs, trim. Chained
+    ``regexp_replace`` — codegen map, no shuffle; adds ``clean_text`` and
+    ``changed`` (whether cleaning modified the doc)."""
+    out = F.col(text_col)
+    for pat, rep in NORMALIZE_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return df.withColumn("clean_text", out).withColumn(
+        "changed", (F.col("clean_text") != F.col(text_col)).cast("int")
+    )

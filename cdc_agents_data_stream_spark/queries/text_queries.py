@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..operators import textops as T
 from .base import Q, load
 
@@ -376,8 +378,92 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
+def chunk_documents_q(spark, sf_dir):
+    """Context-window chunking (operators/textops.py::chunk_documents):
+    128-token chunks at stride 96 (32-token overlap), pure map-side
+    explode."""
+    return T.chunk_documents(load(spark, sf_dir, "documents"))
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (SELECT doc_id, len(t) AS n, t FROM toks),
+chunks AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, t,
+         unnest(range(0, 1 + CAST(floor((greatest(n - {T.CHUNK_TOKENS}, 0)
+                                         + {T.CHUNK_STRIDE - 1})
+                                        / {T.CHUNK_STRIDE}) AS INT))) AS chunk_idx
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * {T.CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       array_to_string(t[chunk_idx * {T.CHUNK_STRIDE} + 1
+                         : chunk_idx * {T.CHUNK_STRIDE} + {T.CHUNK_TOKENS}],
+                       ' ') AS chunk_text,
+       LEAST({T.CHUNK_TOKENS}, n_tokens - chunk_idx * {T.CHUNK_STRIDE})
+         AS chunk_tokens
+FROM chunks
+"""
+
+
+def text_normalize_q(spark, sf_dir):
+    """Cleaning normalization (operators/textops.py::normalize_text). The
+    lake docs are already clean, so the gate ALSO runs the cleaner over a
+    deliberately dirtied copy (leading space, double space, trailing tab +
+    BEL control char) — verifying idempotence on clean input and every
+    rule on dirty input."""
+    docs = load(spark, sf_dir, "documents")
+    clean = T.normalize_text(docs).select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.col("changed").alias("changed_raw"),
+    )
+    dirty = T.normalize_text(
+        docs.withColumn("text", F.concat(F.lit(" "), F.col("text"), F.lit("  tail\t\x07"))),
+    ).select(
+        "doc_id",
+        F.md5("clean_text").alias("dirty_clean_md5"),
+        F.col("changed").alias("changed_dirty"),
+    )
+    return clean.join(dirty, "doc_id")
+
+
+TEXT_NORMALIZE_SQL = """
+WITH cleaned AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+             '[ \\t\\r\\n]+', ' ', 'g'),
+             '^ +| +$', '', 'g') AS clean_text
+  FROM documents
+),
+dirtied AS (
+  SELECT doc_id, d_text,
+         regexp_replace(regexp_replace(regexp_replace(d_text,
+             '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+             '[ \\t\\r\\n]+', ' ', 'g'),
+             '^ +| +$', '', 'g') AS clean_text
+  FROM (SELECT doc_id, ' ' || text || '  tail' || chr(9) || chr(7) AS d_text
+        FROM documents)
+)
+SELECT c.doc_id,
+       md5(c.clean_text) AS clean_md5,
+       CAST(c.clean_text <> c.text AS INT) AS changed_raw,
+       md5(d.clean_text) AS dirty_clean_md5,
+       CAST(d.clean_text <> d.d_text AS INT) AS changed_dirty
+FROM cleaned c JOIN dirtied d USING (doc_id)
+"""
+
+
 QUERIES = {
     "text_token_stats": Q(text_token_stats, TEXT_TOKEN_STATS_SQL, "token statistics"),
+    "chunk_documents": Q(
+        chunk_documents_q, CHUNK_DOCUMENTS_SQL, "overlapping context-window chunking"
+    ),
+    "text_normalize": Q(
+        text_normalize_q, TEXT_NORMALIZE_SQL, "control-char/whitespace normalization"
+    ),
     "quality_classifier": Q(
         quality_classifier,
         QUALITY_CLASSIFIER_SQL,
