@@ -515,6 +515,12 @@ def dup_spans(
     token bounds (end inclusive) and gram count."""
     from pyspark.sql.window import Window
 
+    # same serialization hazard as `shingles`: a small scan arrives in ~1
+    # partition and the explode+md5 kernel runs on one core; explicit
+    # partition count so AQE cannot coalesce it back
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     toks = F.split(F.col(text_col), " ")
     grams = df.select(
         F.col(id_col),

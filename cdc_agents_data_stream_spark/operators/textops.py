@@ -302,7 +302,14 @@ def quality_classifier_score(
     mean divides two exact integers (IEEE division is deterministic) and
     rounds to 6 decimals. Docs with no tokens score 0 via the left join
     (both engines spell the same COALESCE)."""
-    W = F.array(*[F.lit(w).cast("long") for w in QC_WEIGHTS])
+    # explicit repartition before the explode+md5 kernel (the `shingles`
+    # serialization fix: a 1-partition scan would run it on one core)
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    # one ArrayType literal, not CreateArray(1024 exprs): the latter is
+    # re-evaluated per row in codegen; a Literal is materialized once
+    W = F.lit(QC_WEIGHTS).cast("array<bigint>")
     tok = F.explode(F.filter(_toks(text_col), lambda t: t != "")).alias("tok")
     bucket = (
         F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
