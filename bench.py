@@ -43,6 +43,14 @@ BENCH_QUERIES = [
     "pack_sequences_stats",
     "vocab_idf_topk",
     "pii_scrub_stats",
+    # round-3 additions: incremental dedup (map-only bloom probe),
+    # substring-span dedup (the heaviest new text kernel), model-based
+    # quality scoring, interval join, context-window chunking
+    "dedup_bloom_incremental",
+    "dedup_span_detect",
+    "quality_classifier",
+    "event_attribution_window",
+    "chunk_documents",
 ]
 
 
