@@ -602,3 +602,37 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "approx_d2")
     )
+
+
+def ivf_append(
+    emb_history: DataFrame,
+    emb_new: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 1,
+):
+    """Incremental IVF index maintenance: the coarse quantizer is trained
+    on the HISTORY corpus and then FROZEN; appended vectors are assigned
+    to the existing centroids with one broadcast pass — the standard
+    production practice (retraining the quantizer would relocate every
+    stored vector; appends must be O(batch)). Returns
+    ``(centroids, assignments)`` where assignments carry ``is_new``.
+
+    Scale shape: training touches history once (or runs on a sample); an
+    append batch costs one map-side broadcast-join pass over the batch
+    only — the existing index is never rewritten, exactly like the state
+    store's touched-bucket MERGE discipline."""
+    base_h = with_norm(emb_history, vec_col).select(F.col(id_col), "vec", "norm")
+    cents = _materialize_quantizer(kmeans_centroids(base_h, train_iters, id_col))
+    assigned_h = (
+        _assign(base_h, cents, id_col)
+        .select(id_col, "cluster")
+        .withColumn("is_new", F.lit(0))
+    )
+    base_n = with_norm(emb_new, vec_col).select(F.col(id_col), "vec", "norm")
+    assigned_n = (
+        _assign(base_n, cents, id_col)
+        .select(id_col, "cluster")
+        .withColumn("is_new", F.lit(1))
+    )
+    return cents, assigned_h.unionByName(assigned_n)

@@ -4,6 +4,8 @@ cosine formula ``dot / (norm_a * norm_b)``)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..operators import similarity as S
 from .base import Q, load
 
@@ -363,4 +365,66 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, approx_d2 FROM (
 
 QUERIES["ann_pq_trained"] = Q(
     ann_pq_trained, ANN_PQ_TRAINED_SQL, "PQ/ADC scan with k-means-trained codebooks"
+)
+
+
+def ann_ivf_append(spark, sf_dir):
+    """Incremental IVF maintenance (operators/similarity.py::ivf_append):
+    quantizer trained (1 Lloyd iteration) on the even-id HISTORY half and
+    frozen; odd-id vectors are APPENDED by assignment only. The oracle
+    trains on the same history and assigns everything — proving the
+    append path equals a from-scratch assignment under the same frozen
+    quantizer."""
+    emb = load(spark, sf_dir, "embeddings")
+    hist = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    _, assigned = S.ivf_append(hist, new, train_iters=1)
+    return assigned.select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster"),
+        F.col("is_new").cast("long").alias("is_new"),
+    )
+
+
+ANN_IVF_APPEND_SQL = f"""
+WITH {_BASE_CTE},
+hist AS (SELECT * FROM base WHERE vec_id % 2 = 0),
+cents0 AS (
+  SELECT vec_id AS centroid_id, v AS cvec, norm AS cnorm FROM hist
+  WHERE vec_id % {S.CENTROID_MOD} = 0 AND vec_id < {S.CENTROID_MOD * S.MAX_CENTROIDS}
+),
+a1 AS (
+  SELECT vec_id, v, norm, centroid_id AS cluster FROM (
+    SELECT b.vec_id, b.v, b.norm, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.v, c.cvec) / (b.norm * c.cnorm) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM hist b CROSS JOIN cents0 c
+  ) WHERE rn = 1
+),
+m1 AS (
+  SELECT cluster, g.i AS pos, ROUND(AVG(v[g.i + 1]), 6) AS mval
+  FROM a1, UNNEST(range(0, 64)) AS g(i)
+  GROUP BY cluster, g.i
+),
+cents1 AS (
+  SELECT centroid_id, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnorm FROM (
+    SELECT cluster AS centroid_id, list(mval ORDER BY pos) AS cvec
+    FROM m1 GROUP BY cluster
+  )
+)
+SELECT vec_id, CAST(centroid_id AS BIGINT) AS cluster,
+       CAST(vec_id % 2 AS BIGINT) AS is_new
+FROM (
+  SELECT b.vec_id, c.centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY b.vec_id
+           ORDER BY list_dot_product(b.v, c.cvec) / (b.norm * c.cnorm) DESC,
+                    c.centroid_id ASC) AS rn
+  FROM base b CROSS JOIN cents1 c
+) WHERE rn = 1
+"""
+
+QUERIES["ann_ivf_append"] = Q(
+    ann_ivf_append, ANN_IVF_APPEND_SQL, "incremental IVF index append (frozen quantizer)"
 )
