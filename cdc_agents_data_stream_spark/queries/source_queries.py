@@ -556,3 +556,78 @@ QUERIES = {
         "S5 consume-once test-report provider",
     ),
 }
+
+
+def cdc_apply_envelope(spark, sf_dir):
+    """Generic c/u/d envelope apply (sources/envelope.py): events become a
+    change log ('error' rows are deletes, everything else upserts), split
+    into two TIME-ordered batches applied sequentially through the real
+    store (upsert + the new delete verb). Because batches are time-ordered
+    and resolution is last-wins, the final state must equal replaying the
+    whole log at once — which is the oracle."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.envelope import apply_cdc_envelope as apply_env
+    from ..state.store import ParquetStateStore
+    from .base import ms
+
+    env = load(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("session_id"),
+        ms("ts").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        "event_id",
+    )
+    split_ms = 1705363200000  # 2024-01-16T00:00:00Z, mid-range of the data
+    base = tempfile.mkdtemp(prefix="cdc-env-")
+    try:
+        store = ParquetStateStore(
+            spark,
+            base + "/state",
+            n_buckets=16,
+            schema="session_id string, seq long, event_type string, "
+            "value_cents long, event_id long",
+        )
+        apply_env(store, env.filter(F.col("seq") < split_ms), tiebreak_col="event_id")
+        apply_env(store, env.filter(F.col("seq") >= split_ms), tiebreak_col="event_id")
+        collected = store.read().collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        collected,
+        "session_id string, seq long, event_type string, value_cents long, event_id long",
+    )
+
+
+CDC_APPLY_ENVELOPE_SQL = """
+WITH env AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS session_id,
+         epoch_ms(ts) AS seq,
+         CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+         event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+         event_id
+  FROM events
+),
+last AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY session_id ORDER BY seq DESC, event_id DESC) AS rn
+    FROM env
+  ) WHERE rn = 1
+)
+SELECT session_id, seq, event_type, value_cents, event_id
+FROM last WHERE op <> 'd'
+"""
+
+QUERIES["cdc_apply_envelope"] = Q(
+    cdc_apply_envelope,
+    CDC_APPLY_ENVELOPE_SQL,
+    "generic c/u/d CDC envelope apply with store deletes",
+)

@@ -191,7 +191,8 @@ class ParquetStateStore:
         for v in range(lo, current + 1):
             try:
                 for rel in self._manifest(v).values():
-                    retained.add(rel.split("/", 1)[0])
+                    if rel:  # "" = emptied bucket, references no dir
+                        retained.add(rel.split("/", 1)[0])
             except FileNotFoundError:
                 continue
         expired_manifests: list[str] = []
@@ -203,7 +204,8 @@ class ParquetStateStore:
                     expired_manifests.append(name)
                     try:
                         for rel in self._manifest(mv).values():
-                            expired_refs.add(rel.split("/", 1)[0])
+                            if rel:
+                                expired_refs.add(rel.split("/", 1)[0])
                     except (FileNotFoundError, ValueError):
                         continue
         for dirname in expired_refs - retained:
@@ -229,7 +231,10 @@ class ParquetStateStore:
     def _bucket_paths(self, v: int, buckets: set[int] | None = None) -> list[str]:
         man = self._manifest(v)
         items = man.items() if buckets is None else ((b, p) for b, p in man.items() if int(b) in buckets)
-        return [os.path.join(self.path, rel) for _, rel in items]
+        # "" marks a bucket DELETE emptied (a partitioned write produces no
+        # directory for an empty bucket, so the manifest points it at
+        # nothing rather than leaving it on stale data)
+        return [os.path.join(self.path, rel) for _, rel in items if rel]
 
     def read(
         self,
@@ -309,6 +314,44 @@ class ParquetStateStore:
                 self._vacuum(nv)
                 return
             shutil.rmtree(ddir, ignore_errors=True)  # lost the claim: discard, re-merge
+            v = self._wait_for_version(nv)
+
+    def delete(self, keys: DataFrame, key: str = "session_id") -> None:
+        """CDC DELETE: drop every row whose key appears in ``keys`` — the
+        third MERGE verb. Same touched-bucket discipline and optimistic
+        commit as ``upsert``; a bucket the delete empties is
+        manifest-marked ``""`` (no data) rather than left pointing at its
+        stale pre-delete directory."""
+        key_df = keys.select(key).distinct()
+        keys_b = key_df.withColumn(_BUCKET_COL, self._bucket_expr(key))
+        touched = {r[0] for r in keys_b.select(_BUCKET_COL).distinct().collect()}
+        if not touched:
+            return
+        v = self.current_version()
+        while True:
+            old_paths = self._bucket_paths(v, touched) if v else []
+            if not old_paths:
+                return  # nothing stored under these keys
+            old = self.spark.read.parquet(*old_paths).withColumn(
+                _BUCKET_COL, self._bucket_expr(key)
+            )
+            remaining = old.join(F.broadcast(key_df), key, "left_anti")
+            nv = v + 1
+            ddir = self._new_data_dir(nv)
+            remaining.repartition(F.col(_BUCKET_COL)).write.mode(
+                "overwrite"
+            ).partitionBy(_BUCKET_COL).parquet(ddir)
+            buckets = dict(self._manifest(v))
+            vname = os.path.basename(ddir)
+            for b in touched:
+                rel = f"{vname}/{_BUCKET_COL}={b}"
+                buckets[str(b)] = (
+                    rel if os.path.isdir(os.path.join(self.path, rel)) else ""
+                )
+            if self._try_commit(nv, buckets):
+                self._vacuum(nv)
+                return
+            shutil.rmtree(ddir, ignore_errors=True)
             v = self._wait_for_version(nv)
 
     # -- driver-side (pyarrow) API — the small-batch fast path -----------------

@@ -186,3 +186,39 @@ def test_time_travel_read_within_retention(spark, tmp_path):
     with pytest.raises(ValueError, match="retention window"):
         store.read(version=1)
     assert {r["sequence_number"] for r in store.read(version=store.current_version()).collect()} == {6}
+
+
+def test_delete_removes_keys_and_empty_buckets_survive(spark, tmp_path):
+    """DELETE drops rows; a bucket the delete empties is manifest-marked
+    empty (not left pointing at stale data), and later reads/upserts on
+    that bucket work."""
+    from pyspark.sql import functions as F
+
+    from cdc_agents_data_stream_spark.state.store import ParquetStateStore
+
+    schema = "session_id string, val long"
+    store = ParquetStateStore(spark, str(tmp_path / "s"), n_buckets=4, schema=schema)
+    rows = [(f"k{i}", i) for i in range(20)]
+    store.upsert(spark.createDataFrame(rows, schema))
+
+    # delete half the keys, including (deterministically) every key of at
+    # least one bucket: nuke k0..k14 — with 4 buckets, some bucket surely
+    # empties entirely
+    dels = spark.createDataFrame([(f"k{i}",) for i in range(15)], "session_id string")
+    store.delete(dels)
+    left = {r.session_id for r in store.read().collect()}
+    assert left == {f"k{i}" for i in range(15, 20)}
+
+    # deleting absent keys is a no-op
+    store.delete(spark.createDataFrame([("nope",)], "session_id string"))
+    assert {r.session_id for r in store.read().collect()} == left
+
+    # an emptied bucket accepts new rows again
+    store.upsert(spark.createDataFrame([("k0", 100)], schema))
+    out = {r.session_id: r.val for r in store.read().collect()}
+    assert out["k0"] == 100 and len(out) == 6
+
+    # vacuum over versions with ""-marked buckets never touches the root
+    for i in range(5):
+        store.upsert(spark.createDataFrame([(f"k{i}", i * 10)], schema))
+    assert store.exists() and len(store.read().collect()) >= 6
