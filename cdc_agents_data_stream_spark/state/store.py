@@ -269,7 +269,9 @@ class ParquetStateStore:
         paths = self._bucket_paths(v, wanted)
         if not paths:
             return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.parquet(*paths)
+        # mergeSchema: bucket dirs written before a schema-evolving
+        # upsert lack its new columns; the merged read nulls them in
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def upsert(self, updates: DataFrame, key: str = "session_id") -> None:
         """MERGE: rows in ``updates`` replace same-key rows, others kept.
@@ -289,12 +291,16 @@ class ParquetStateStore:
         while True:
             old_paths = self._bucket_paths(v, touched) if v else []
             if old_paths:
-                old = self.spark.read.parquet(*old_paths).withColumn(
-                    _BUCKET_COL, self._bucket_expr(key)
-                )
+                old = self.spark.read.option("mergeSchema", "true").parquet(
+                    *old_paths
+                ).withColumn(_BUCKET_COL, self._bucket_expr(key))
+                # allowMissingColumns = schema evolution on MERGE: updates
+                # may add columns (old rows read back null there) or omit
+                # columns (replaced rows carry null -- LWW replaces the
+                # whole row, not a partial patch)
                 merged = old.join(
                     F.broadcast(updates.select(key)), key, "left_anti"
-                ).unionByName(updates_b)
+                ).unionByName(updates_b, allowMissingColumns=True)
             else:
                 merged = updates_b
             nv = v + 1
@@ -332,9 +338,9 @@ class ParquetStateStore:
             old_paths = self._bucket_paths(v, touched) if v else []
             if not old_paths:
                 return  # nothing stored under these keys
-            old = self.spark.read.parquet(*old_paths).withColumn(
-                _BUCKET_COL, self._bucket_expr(key)
-            )
+            old = self.spark.read.option("mergeSchema", "true").parquet(
+                *old_paths
+            ).withColumn(_BUCKET_COL, self._bucket_expr(key))
             remaining = old.join(F.broadcast(key_df), key, "left_anti")
             nv = v + 1
             ddir = self._new_data_dir(nv)

@@ -47,13 +47,19 @@ def test_bucket_hash_matches_spark(spark, tmp_path):
 
 
 def test_spark_and_pyarrow_upserts_interleave(spark, tmp_path):
+    from cdc_agents_data_stream_spark.schemas import DATA_STREAM_STATE_SCHEMA
+
     store = ParquetStateStore(spark, str(tmp_path / "s"), n_buckets=8)
-    # v1 via Spark
-    store.upsert(spark.createDataFrame([_row("a", 1), _row("b", 1)]))
+    # v1 via Spark — rows must carry the DECLARED schema (dict inference
+    # would widen sequence_number to int64 and conflict with the pyarrow
+    # path's int32 under schema-merging reads)
+    store.upsert(
+        spark.createDataFrame([_row("a", 1), _row("b", 1)], DATA_STREAM_STATE_SCHEMA)
+    )
     # v2 via pyarrow: update a, insert c
     store.upsert_rows([_row("a", 2), _row("c", 1)])
     # v3 via Spark again: update c
-    store.upsert(spark.createDataFrame([_row("c", 3)]))
+    store.upsert(spark.createDataFrame([_row("c", 3)], DATA_STREAM_STATE_SCHEMA))
 
     rows = {r["session_id"]: r["sequence_number"] for r in store.read().collect()}
     assert rows == {"a": 2, "b": 1, "c": 3}
@@ -222,3 +228,25 @@ def test_delete_removes_keys_and_empty_buckets_survive(spark, tmp_path):
     for i in range(5):
         store.upsert(spark.createDataFrame([(f"k{i}", i * 10)], schema))
     assert store.exists() and len(store.read().collect()) >= 6
+
+
+def test_upsert_schema_evolution(spark, tmp_path):
+    """A later upsert may ADD columns: old rows read back with nulls there
+    (mergeSchema), and rows replaced by a narrower update carry nulls in
+    the columns it omitted (LWW replaces whole rows)."""
+    from cdc_agents_data_stream_spark.state.store import ParquetStateStore
+
+    store = ParquetStateStore(
+        spark, str(tmp_path / "s"), n_buckets=4, schema="session_id string, a long"
+    )
+    store.upsert(spark.createDataFrame([("k1", 1), ("k2", 2)], "session_id string, a long"))
+    # evolve: add column b
+    store.upsert(
+        spark.createDataFrame([("k3", 3, 30)], "session_id string, a long, b long")
+    )
+    out = {r.session_id: (r.a, r.b) for r in store.read().collect()}
+    assert out == {"k1": (1, None), "k2": (2, None), "k3": (3, 30)}
+    # narrow update replaces the whole row (b -> null)
+    store.upsert(spark.createDataFrame([("k3", 33)], "session_id string, a long"))
+    out = {r.session_id: (r.a, r.b) for r in store.read().collect()}
+    assert out["k3"] == (33, None)
