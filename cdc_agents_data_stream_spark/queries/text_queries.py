@@ -456,6 +456,44 @@ FROM cleaned c JOIN dirtied d USING (doc_id)
 """
 
 
+def quality_percentile_filter(spark, sf_dir):
+    """Relative quality filtering: keep docs scoring at or above their
+    language's P25 of the classifier mean — thresholds adapt per domain
+    instead of one global cutoff (the practice for multilingual corpora,
+    where absolute score scales differ by language). Exact interpolated
+    percentile (Spark ``percentile`` ≡ DuckDB ``quantile_cont``), rounded
+    before the comparison so the keep decision is engine-stable."""
+    docs = load(spark, sf_dir, "documents")
+    scored = T.quality_classifier_score(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    thr = scored.groupBy("lang").agg(
+        F.round(F.expr("percentile(mean_w, 0.25)"), 5).alias("lang_p25")
+    )
+    return scored.join(F.broadcast(thr), "lang").select(
+        "doc_id",
+        "lang",
+        "mean_w",
+        "lang_p25",
+        (F.col("mean_w") >= F.col("lang_p25")).alias("kept"),
+    )
+
+
+QUALITY_PERCENTILE_FILTER_SQL = f"""
+WITH sc AS (SELECT * FROM ({QUALITY_CLASSIFIER_SQL}) q),
+jl AS (
+  SELECT s.doc_id, d.lang, s.mean_w FROM sc s JOIN documents d USING (doc_id)
+),
+thr AS (
+  SELECT lang, ROUND(quantile_cont(mean_w, 0.25), 5) AS lang_p25
+  FROM jl GROUP BY lang
+)
+SELECT j.doc_id, j.lang, j.mean_w, t.lang_p25,
+       j.mean_w >= t.lang_p25 AS kept
+FROM jl j JOIN thr t USING (lang)
+"""
+
+
 QUERIES = {
     "text_token_stats": Q(text_token_stats, TEXT_TOKEN_STATS_SQL, "token statistics"),
     "chunk_documents": Q(
@@ -468,6 +506,11 @@ QUERIES = {
         quality_classifier,
         QUALITY_CLASSIFIER_SQL,
         "hashed bag-of-words linear quality classifier",
+    ),
+    "quality_percentile_filter": Q(
+        quality_percentile_filter,
+        QUALITY_PERCENTILE_FILTER_SQL,
+        "per-language P25 relative quality filter",
     ),
     "corpus_profile_stats": Q(
         corpus_profile_stats, CORPUS_PROFILE_SQL, "corpus length/token percentiles profile"
