@@ -310,3 +310,58 @@ def test_ivm_rollup_replay_is_noop(spark, tmp_path):
     after = {(r.win_start_ms, r.event_type): (r.n_events, r.sum_cents)
              for r in rollup.read().collect()}
     assert list(after.values()).count((3, 475)) == 1
+
+
+def test_envelope_apply_streams_with_deletes(spark, tmp_path):
+    """c/u/d envelopes through a LIVE foreachBatch stream: the second tick
+    deletes a key the first created, updates another, inserts a third."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from cdc_agents_data_stream_spark.sources.envelope import apply_cdc_envelope
+    from cdc_agents_data_stream_spark.state.store import ParquetStateStore
+
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    schema = pa.schema(
+        [("session_id", pa.string()), ("seq", pa.int64()), ("op", pa.string()),
+         ("val", pa.int64())]
+    )
+    ticks = [
+        [("a", 1, "c", 10), ("b", 2, "c", 20)],
+        [("a", 3, "d", 0), ("b", 4, "u", 25), ("c", 5, "c", 30)],
+    ]
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for i, rows in enumerate(ticks):
+        pq.write_table(
+            pa.Table.from_pylist(
+                [dict(zip(("session_id", "seq", "op", "val"), r)) for r in rows],
+                schema=schema,
+            ),
+            str(indir / f"tick-{i}.parquet"),
+        )
+        os.utime(indir / f"tick-{i}.parquet", (1000 + i, 1000 + i))
+    store = ParquetStateStore(
+        spark, str(tmp_path / "state"), n_buckets=4,
+        schema="session_id string, seq long, val long",
+    )
+    q = (
+        spark.readStream.schema("session_id string, seq long, op string, val long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+        .writeStream.foreachBatch(
+            lambda bdf, bid: apply_cdc_envelope(store, bdf, tiebreak_col="val")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout=120)
+    finally:
+        q.stop()
+    out = {r.session_id: (r.seq, r.val) for r in store.read().collect()}
+    assert out == {"b": (4, 25), "c": (5, 30)}  # a deleted, b updated, c inserted
