@@ -98,6 +98,7 @@ def all_queries() -> dict[str, Q]:
         "sampling_queries",
         "streaming_queries",
         "sql_queries",
+        "sketch_queries",
     ):
         try:
             mod = __import__(f"{__package__}.{mod_name}", fromlist=["QUERIES"])
