@@ -89,3 +89,66 @@ def hll_distinct(
             3,
         ).alias("hll_estimate"),
     )
+
+
+# --- Count-min sketch ---------------------------------------------------------
+
+CMS_D = 3  # hash rows
+CMS_W = 1024  # counters per row
+
+
+def cms_build(df: DataFrame, value_col: str) -> DataFrame:
+    """Count-min sketch of ``value_col`` frequencies: (j, bucket, cnt) —
+    d×w integer counters. All-integer, so the sketch is exact-identical
+    in any engine; the build is one partial-aggregated count keyed
+    (j, bucket), shuffle rows bounded by d×w regardless of input."""
+    rows = []
+    for j in range(CMS_D):
+        b = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(value_col).cast("string"), F.lit(f":{j}"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(CMS_W),
+        )
+        rows.append(F.struct(F.lit(j).alias("j"), b.alias("bucket")))
+    return (
+        df.select(F.explode(F.array(*rows)).alias("x"))
+        .groupBy(F.col("x.j").alias("j"), F.col("x.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, values: DataFrame, value_col: str) -> DataFrame:
+    """Point-estimate each value's frequency: min over the d counters its
+    hashes land in (>= truth always; error bounded by n·e/w w.h.p.). The
+    sketch side is d×w rows — broadcast — so estimation is a map over the
+    probe values."""
+    probes = []
+    for j in range(CMS_D):
+        b = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(value_col).cast("string"), F.lit(f":{j}"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(CMS_W),
+        )
+        probes.append(F.struct(F.lit(j).alias("j"), b.alias("bucket")))
+    exploded = values.select(
+        F.col(value_col), F.explode(F.array(*probes)).alias("x")
+    ).select(value_col, F.col("x.j").alias("j"), F.col("x.bucket").alias("bucket"))
+    return (
+        exploded.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy(value_col)
+        .agg(F.min("cnt").cast("long").alias("cms_est"))
+    )

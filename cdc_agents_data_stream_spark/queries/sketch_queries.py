@@ -58,10 +58,47 @@ SELECT g.event_type,
 FROM g JOIN t USING (event_type)
 """
 
+def cms_user_frequencies(spark, sf_dir):
+    """Count-min frequency estimates for every user next to exact counts:
+    the sketch (d×w integer counters) is built in one bounded-shuffle
+    aggregation, broadcast, and probed with a map — cms_est >= true
+    always, equal in the absence of collisions."""
+    ev = load(spark, sf_dir, "events")
+    sketch = K.cms_build(ev, "user_id")
+    est = K.cms_estimate(sketch, ev.select("user_id").distinct(), "user_id")
+    true_counts = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("true_cnt"))
+    return est.join(true_counts, "user_id").select("user_id", "true_cnt", "cms_est")
+
+
+CMS_USER_FREQUENCIES_SQL = f"""
+WITH probes AS (
+  SELECT user_id, j,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+                             1, 15) AS BIGINT) % {K.CMS_W} AS bucket
+  FROM events, UNNEST([0, 1, 2]) AS t(j)
+),
+sketch AS (SELECT j, bucket, COUNT(*) AS cnt FROM probes GROUP BY j, bucket),
+uprobe AS (SELECT DISTINCT user_id, j, bucket FROM probes),
+est AS (
+  SELECT u.user_id, CAST(MIN(s.cnt) AS BIGINT) AS cms_est
+  FROM uprobe u JOIN sketch s USING (j, bucket)
+  GROUP BY u.user_id
+),
+t AS (SELECT user_id, COUNT(*) AS true_cnt FROM events GROUP BY user_id)
+SELECT est.user_id, CAST(t.true_cnt AS BIGINT) AS true_cnt, est.cms_est
+FROM est JOIN t USING (user_id)
+"""
+
+
 QUERIES = {
     "hll_distinct_events": Q(
         hll_distinct_events,
         HLL_DISTINCT_EVENTS_SQL,
         "deterministic HyperLogLog distinct sketch",
+    ),
+    "cms_user_frequencies": Q(
+        cms_user_frequencies,
+        CMS_USER_FREQUENCIES_SQL,
+        "count-min frequency sketch with exact-count comparison",
     ),
 }
