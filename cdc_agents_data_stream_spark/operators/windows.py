@@ -91,3 +91,53 @@ def watermarked_tumbling_agg(
     return tumbling_agg(
         stream.withWatermark(ts_col, delay), ts_col, window, keys, value_col
     )
+
+
+def time_gapfill(
+    df: DataFrame,
+    key_col: str,
+    ts_ms_col: str,
+    value_col: str,
+    step_ms: int = 86_400_000,
+) -> DataFrame:
+    """Gap-filled time series with last-observation-carried-forward — the
+    hypertable ``time_bucket_gapfill`` + ``locf`` shape: per key, every
+    ``step_ms`` bucket between that key's first and last observation
+    exists in the output; buckets without data carry the previous
+    bucket's aggregate and are flagged ``is_gap``.
+
+    Shape: one partial-aggregated rollup to (key, bucket), a tiny per-key
+    min/max, grid generation by ``sequence`` explode (fan-out = series
+    length, the SEMANTIC output size), then a single window pass for the
+    carry-forward — two key-partitioned shuffles total, reusable between
+    the rollup and the window."""
+    from pyspark.sql.window import Window
+
+    bucket = F.floor(F.col(ts_ms_col) / step_ms).cast("long")
+    obs = (
+        df.select(F.col(key_col), bucket.alias("bucket_idx"), F.col(value_col))
+        .groupBy(key_col, "bucket_idx")
+        .agg(F.sum(value_col).cast("long").alias("bucket_val"))
+    )
+    grid = (
+        obs.groupBy(key_col)
+        .agg(F.min("bucket_idx").alias("_lo"), F.max("bucket_idx").alias("_hi"))
+        .select(
+            F.col(key_col),
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("bucket_idx"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, [key_col, "bucket_idx"], "left")
+        .select(
+            F.col(key_col),
+            "bucket_idx",
+            F.last("bucket_val", ignorenulls=True).over(w).alias("filled_val"),
+            F.col("bucket_val").isNull().alias("is_gap"),
+        )
+    )

@@ -3,8 +3,10 @@ oracle (both engines align buckets to the epoch origin)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..operators.windows import tumbling_agg
-from .base import Q, load
+from .base import Q, load, ms
 
 
 def events_hourly_rollup(spark, sf_dir):
@@ -85,3 +87,51 @@ FROM events e JOIN dim d ON e.event_type = d.event_type
 """
 
 QUERIES["skew_salted_join"] = Q(skew_salted_join, SKEW_SALTED_JOIN_SQL, "salted skew join")
+
+
+def user_daily_gapfill(spark, sf_dir):
+    """Gap-filled per-user daily spend (operators/windows.py::
+    time_gapfill): every day between a user's first and last event exists,
+    gap days carry the previous day's total (LOCF) and are flagged."""
+    from ..operators.windows import time_gapfill
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        ms("ts").alias("t_ms"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return time_gapfill(ev, "user_id", "t_ms", "cents").select(
+        "user_id",
+        "bucket_idx",
+        "filled_val",
+        F.col("is_gap").cast("int").alias("is_gap"),
+    )
+
+
+USER_DAILY_GAPFILL_SQL = """
+WITH obs AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS bucket_idx,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS bucket_val
+  FROM events GROUP BY user_id, epoch_ms(ts) // 86400000
+),
+grid AS (
+  SELECT user_id, unnest(range(lo, hi + 1)) AS bucket_idx
+  FROM (SELECT user_id, MIN(bucket_idx) AS lo, MAX(bucket_idx) AS hi
+        FROM obs GROUP BY user_id)
+),
+j AS (
+  SELECT g.user_id, g.bucket_idx, o.bucket_val
+  FROM grid g LEFT JOIN obs o USING (user_id, bucket_idx)
+)
+SELECT user_id, CAST(bucket_idx AS BIGINT) AS bucket_idx,
+       CAST(last_value(bucket_val IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS filled_val,
+       CAST(bucket_val IS NULL AS INT) AS is_gap
+FROM j
+"""
+
+QUERIES["user_daily_gapfill"] = Q(
+    user_daily_gapfill, USER_DAILY_GAPFILL_SQL, "time_bucket gapfill + LOCF"
+)

@@ -76,3 +76,25 @@ def test_bloom_probe_is_map_only(spark, registry):
     # the probe is a literal-array bit test: no join, no shuffle
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_partitioned_lake_write_prunes_partitions(spark, tmp_path):
+    """Date-partitioned lake layout: a day filter must prune to that
+    day's directory at plan time (PartitionFilters), not scan-and-filter."""
+    from pyspark.sql import functions as F
+
+    from cdc_agents_data_stream_spark.queries.base import load
+
+    ev = load(spark, SF_DIR, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = str(tmp_path / "events_by_day")
+    ev.write.partitionBy("day").parquet(out)
+
+    got = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    plan = _plan(got)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "2024-01-05" in pf[0]
+    # and the pruned read returns exactly that day's rows
+    want = ev.filter(F.col("day") == "2024-01-05").count()
+    assert got.count() == want > 0
