@@ -494,8 +494,111 @@ FROM jl j JOIN thr t USING (lang)
 """
 
 
+def corpus_build_pipeline(spark, sf_dir):
+    """Round-3 capstone composition — the corpus build a training run
+    actually executes, as ONE declarative chain: normalize → exact-dedup
+    keepers → model-based quality gate → temperature domain mixing →
+    per-language funnel counts. Every stage is an already-gated operator;
+    this query pins that they COMPOSE (column contracts, no stage breaks
+    another's determinism)."""
+    from ..operators import dedup as D
+    from ..operators import sampling as SA
+
+    docs = load(spark, sf_dir, "documents")
+    cleaned = T.normalize_text(docs).select(
+        "doc_id", "lang", F.col("clean_text").alias("text")
+    )
+    keepers = D.exact_dup_groups(cleaned).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    kept = cleaned.join(keepers, "doc_id", "left_semi")
+    scored = T.quality_classifier_score(kept).select("doc_id", "score_micro")
+    quality = kept.join(scored, "doc_id").filter(F.col("score_micro") >= 0)
+    mixed = SA.temperature_mix(
+        quality.select("doc_id", "lang"), alpha=0.5, strata_col="lang", salt="t1"
+    )
+
+    def per_lang(df, name):
+        return df.groupBy("lang").agg(F.count("*").cast("long").alias(name))
+
+    return (
+        per_lang(docs, "n_docs")
+        .join(per_lang(kept, "n_unique"), "lang", "left")
+        .join(per_lang(quality, "n_quality"), "lang", "left")
+        .join(per_lang(mixed, "n_mixed"), "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.coalesce("n_quality", F.lit(0)).cast("long").alias("n_quality"),
+            F.coalesce("n_mixed", F.lit(0)).cast("long").alias("n_mixed"),
+        )
+    )
+
+
+_CLEAN_EXPR = (
+    "regexp_replace(regexp_replace(regexp_replace(text,"
+    " '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),"
+    " '[ \\t\\r\\n]+', ' ', 'g'),"
+    " '^ +| +$', '', 'g')"
+)
+
+CORPUS_BUILD_PIPELINE_SQL = f"""
+WITH cleaned AS (
+  SELECT doc_id, lang, {_CLEAN_EXPR} AS ct FROM documents
+),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM cleaned GROUP BY md5(ct)),
+kept AS (SELECT c.* FROM cleaned c JOIN keepers k USING (doc_id)),
+wl AS (SELECT {_QC_WLIST} AS w),
+toks AS (SELECT doc_id, unnest(string_split(ct, ' ')) AS tok FROM kept),
+tw AS (
+  SELECT doc_id,
+         w[CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {T.QC_DIM} AS INT) + 1] AS wt
+  FROM toks, wl WHERE tok <> ''
+),
+sc AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS score FROM tw GROUP BY doc_id),
+quality AS (
+  SELECT k.doc_id, k.lang FROM kept k LEFT JOIN sc USING (doc_id)
+  WHERE COALESCE(sc.score, 0) >= 0
+),
+qc AS (SELECT lang, COUNT(*) AS n_dom FROM quality GROUP BY lang),
+qt AS (
+  SELECT lang, n_dom, SUM(n_dom) OVER () AS n_total,
+         CAST(ROUND(sqrt(n_dom / (SUM(n_dom) OVER ())) * 1e6) AS BIGINT) AS w_micro
+  FROM qc
+),
+qr AS (
+  SELECT lang, n_dom,
+         LEAST(CAST(ROUND((w_micro / (SUM(w_micro) OVER ())) * n_total / n_dom * 1e6)
+                    AS BIGINT), 1000000) AS rate_micro
+  FROM qt
+),
+mixed AS (
+  SELECT q.doc_id, q.lang
+  FROM quality q JOIN qr USING (lang)
+  WHERE CAST('0x' || substr(md5(CAST(q.doc_id AS VARCHAR) || ':t1'), 1, 15) AS BIGINT)
+          % 1000000 < qr.rate_micro
+)
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       CAST(COALESCE(ku.n, 0) AS BIGINT) AS n_unique,
+       CAST(COALESCE(qu.n, 0) AS BIGINT) AS n_quality,
+       CAST(COALESCE(mx.n, 0) AS BIGINT) AS n_mixed
+FROM documents d
+LEFT JOIN (SELECT lang, COUNT(*) AS n FROM kept GROUP BY lang) ku USING (lang)
+LEFT JOIN (SELECT lang, COUNT(*) AS n FROM quality GROUP BY lang) qu USING (lang)
+LEFT JOIN (SELECT lang, COUNT(*) AS n FROM mixed GROUP BY lang) mx USING (lang)
+GROUP BY d.lang, ku.n, qu.n, mx.n
+"""
+
+
 QUERIES = {
     "text_token_stats": Q(text_token_stats, TEXT_TOKEN_STATS_SQL, "token statistics"),
+    "corpus_build_pipeline": Q(
+        corpus_build_pipeline,
+        CORPUS_BUILD_PIPELINE_SQL,
+        "normalize→dedup→quality→mix corpus funnel",
+    ),
     "chunk_documents": Q(
         chunk_documents_q, CHUNK_DOCUMENTS_SQL, "overlapping context-window chunking"
     ),
