@@ -75,7 +75,37 @@ WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
 GROUP BY o_orderpriority
 """
 
+SQL_CUBE_FILTERED = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (WHERE o_custkey % 3 = 0) AS n_cust3,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_custkey % 2 = 0) AS DOUBLE) AS even_cust_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+SQL_CASE_PIVOT = """
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
 QUERIES = {
+    "sql_cube_filtered": Q(
+        _sql_query(SQL_CUBE_FILTERED),
+        SQL_CUBE_FILTERED,
+        "CUBE grouping with FILTER-clause aggregates (shared SQL text)",
+    ),
+    "sql_case_pivot": Q(
+        _sql_query(SQL_CASE_PIVOT),
+        SQL_CASE_PIVOT,
+        "conditional-aggregation pivot (shared SQL text)",
+    ),
     "sql_rollup_aggregates": Q(
         _sql_query(SQL_ROLLUP_AGGREGATES),
         SQL_ROLLUP_AGGREGATES,
