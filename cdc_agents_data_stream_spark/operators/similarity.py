@@ -636,3 +636,43 @@ def ivf_append(
         .withColumn("is_new", F.lit(1))
     )
     return cents, assigned_h.unionByName(assigned_n)
+
+
+def group_centroids(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean embedding — the dataset-cartography profile (domain
+    centroids for mixing diagnostics, cluster summaries, drift checks).
+
+    Same exact-mean machinery as the k-means step: posexplode fans each
+    vector into (group, pos, val) scalars, a partial-aggregated AVG per
+    (group, pos) does the only shuffle (map-side combine bounds it by
+    groups × dim), and components round to 6 decimals so float summation
+    order cannot leak engine/partition dependence into the result. Also
+    reports group size and the centroid's norm."""
+    v = F.col(vec_col).cast("array<double>")
+    per_pos = (
+        emb.select(F.col(group_col), F.posexplode(v).alias("pos", "val"))
+        .groupBy(group_col, "pos")
+        .agg(F.avg("val").alias("m"), F.count("*").alias("n"))
+    )
+    return (
+        per_pos.groupBy(group_col)
+        .agg(
+            F.max("n").cast("long").alias("n_vectors"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda x: F.round(x["m"], 6),
+            ).alias("centroid"),
+        )
+        .select(
+            group_col,
+            "n_vectors",
+            "centroid",
+            F.round(F.sqrt(_dot(F.col("centroid"), F.col("centroid"))), 6).alias(
+                "centroid_norm"
+            ),
+        )
+    )

@@ -428,3 +428,50 @@ FROM (
 QUERIES["ann_ivf_append"] = Q(
     ann_ivf_append, ANN_IVF_APPEND_SQL, "incremental IVF index append (frozen quantizer)"
 )
+
+
+def embedding_group_centroids(spark, sf_dir):
+    """Per-label mean embedding (operators/similarity.py::group_centroids):
+    exact 6-decimal-rounded component means — the oracle reproduces the
+    centroid array bit-for-bit, serialized as a CSV string for portable
+    hashing."""
+    out = S.group_centroids(load(spark, sf_dir, "embeddings"), group_col="label")
+    # serialize components as 1e-6-unit integers: double→string rendering
+    # differs across engines (scientific vs decimal for small values), but
+    # integers render identically everywhere
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        "n_vectors",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "centroid", lambda x: F.round(x * 1e6).cast("long").cast("string")
+            ),
+        ).alias("centroid_csv"),
+        "centroid_norm",
+    )
+
+
+EMBEDDING_GROUP_CENTROIDS_SQL = """
+WITH per_pos AS (
+  SELECT label, g.i AS pos, AVG(v[g.i + 1]) AS m, COUNT(*) AS n
+  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       UNNEST(range(0, 64)) AS g(i)
+  GROUP BY label, g.i
+),
+cent AS (
+  SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors,
+         list(ROUND(m, 6) ORDER BY pos) AS c
+  FROM per_pos GROUP BY label
+)
+SELECT CAST(label AS BIGINT) AS label, n_vectors,
+       array_to_string(list_transform(c, x -> CAST(CAST(ROUND(x * 1e6) AS BIGINT) AS VARCHAR)), ',') AS centroid_csv,
+       ROUND(sqrt(list_dot_product(c, c)), 6) AS centroid_norm
+FROM cent
+"""
+
+QUERIES["embedding_group_centroids"] = Q(
+    embedding_group_centroids,
+    EMBEDDING_GROUP_CENTROIDS_SQL,
+    "per-label mean embedding (dataset cartography)",
+)
