@@ -365,3 +365,58 @@ def test_envelope_apply_streams_with_deletes(spark, tmp_path):
         q.stop()
     out = {r.session_id: (r.seq, r.val) for r in store.read().collect()}
     assert out == {"b": (4, 25), "c": (5, 30)}  # a deleted, b updated, c inserted
+
+
+def test_pipeline_restart_from_checkpoint(spark, tmp_path):
+    """Crash-recovery contract: stop the pipeline mid-history, start a NEW
+    query on the same checkpoint dir with more ticks staged — the restarted
+    query must resume from the source offsets (not reprocess absorbed
+    ticks) and converge to the same state a single uninterrupted run
+    produces: seq == n_ticks, one diff per tick, no duplicates."""
+    (tmp_path / "writes").mkdir()
+    (tmp_path / "cps").mkdir()
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    log = ParquetAppendLog(spark, str(tmp_path / "diffs"))
+
+    for tick in range(3):
+        _drop_tick(tmp_path, tick)
+    q1 = run_foreachbatch_pipeline(
+        spark,
+        str(tmp_path / "writes"),
+        str(tmp_path / "cps"),
+        store,
+        log,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    assert {r["sequence_number"] for r in store.read().collect()} == {3}
+
+    # "crash": the query object is gone; stage two more ticks and restart
+    # on the SAME checkpoint location with the same store
+    for tick in range(3, 5):
+        _drop_tick(tmp_path, tick)
+    q2 = run_foreachbatch_pipeline(
+        spark,
+        str(tmp_path / "writes"),
+        str(tmp_path / "cps"),
+        store,
+        log,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = {r["session_id"]: r for r in store.read().collect()}
+    # absorbed exactly the 2 new ticks on top of the pre-restart state
+    assert rows["thread-0"]["sequence_number"] == 5
+    content = json.loads(rows["thread-0"]["cdc_content"])
+    assert len(content["3_task__start__"]) == 5  # one __start__ item per tick
+    diffs = log.read(dedup=True).collect()
+    assert sorted(d["sequence_number"] for d in diffs) == [1, 2, 3, 4, 5]
