@@ -99,6 +99,7 @@ def all_queries() -> dict[str, Q]:
         "streaming_queries",
         "sql_queries",
         "sketch_queries",
+        "ml_queries",
     ):
         try:
             mod = __import__(f"{__package__}.{mod_name}", fromlist=["QUERIES"])
