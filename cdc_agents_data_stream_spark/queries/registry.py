@@ -100,6 +100,7 @@ def all_queries() -> dict[str, Q]:
         "sql_queries",
         "sketch_queries",
         "ml_queries",
+        "zorder_queries",
     ):
         try:
             mod = __import__(f"{__package__}.{mod_name}", fromlist=["QUERIES"])
