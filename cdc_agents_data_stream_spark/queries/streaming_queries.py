@@ -498,6 +498,156 @@ GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def stream_stream_attribution(spark, sf_dir):
+    """LIVE stream-stream interval join: a click stream and a purchase
+    stream, both watermarked, inner-joined per user on ``purchase.ts ∈
+    [click.ts, click.ts + 1h]`` — the attribution join Structured
+    Streaming keeps bounded state for (click state evicted once the
+    watermark passes ``click.ts + 1h``).
+
+    Determinism: both streams are staged as three tick files split by the
+    SAME global time boundaries (each tick strictly newer than the last).
+    For any watermark delay δ ≥ 0, every arriving purchase p then
+    satisfies p.ts > watermark, so the clicks it can match
+    (c ≥ p.ts − 1h > watermark − 1h) are all still in state — no match is
+    ever lost to eviction — and inner-join matches are emitted in the
+    micro-batch they form, so the final result equals the static interval
+    join, which is the oracle. Ancient purchases (event_id % 13 == 1,
+    rewritten 2 days before the stream's start) ride in the last tick to
+    exercise state-watermark filtering without affecting the result set
+    (no click exists that far back)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark.conf.set(
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false"
+    )
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .filter(F.col("event_id") % 3 == 0)
+        .select("event_id", "ts", "user_id", "event_type")
+        .toPandas()
+    )
+    min_ts = ev["ts"].min()
+    late = (ev["event_type"] == "purchase") & (ev["event_id"] % 13 == 1)
+    ev.loc[late, "ts"] = min_ts - pd.Timedelta(days=2) + pd.to_timedelta(
+        (ev.loc[late, "event_id"] % 3600), unit="s"
+    )
+    punctual = ev[~late]
+    bounds = punctual["ts"].quantile([1 / 3, 2 / 3]).tolist()
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="stream-ssjoin-")
+    try:
+        now = _time.time()
+        for side in ("clicks", "purchases"):
+            os.makedirs(f"{base}/{side}")
+        for tick in range(3):
+            lo = punctual["ts"] > bounds[tick - 1] if tick > 0 else True
+            hi = punctual["ts"] <= bounds[tick] if tick < 2 else True
+            part = punctual[lo & hi]
+            for side, etype in (("clicks", "click"), ("purchases", "purchase")):
+                sub = part[part["event_type"] == etype]
+                if side == "purchases" and tick == 2:
+                    sub = pd.concat([sub, ev[late]])
+                path = f"{base}/{side}/tick-{tick}.parquet"
+                pq.write_table(
+                    pa.Table.from_pandas(
+                        sub[["event_id", "ts", "user_id"]],
+                        schema=schema,
+                        preserve_index=False,
+                    ),
+                    path,
+                )
+                os.utime(path, (now - 30 + tick * 10, now - 30 + tick * 10))
+
+        def src(side):
+            return (
+                spark.readStream.schema("event_id long, ts timestamp, user_id long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{base}/{side}")
+                .withWatermark("ts", "30 minutes")
+            )
+
+        clicks = src("clicks").select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            "user_id",
+        )
+        purchases = src("purchases").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("user_id").alias("p_user_id"),
+        )
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                "user_id = p_user_id AND purchase_ts >= click_ts "
+                "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+            ),
+            "inner",
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_ssjoin_sink")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout=300)
+        finally:
+            q.stop()
+        out = spark.table("stream_ssjoin_sink").select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            ((F.unix_millis("purchase_ts") - F.unix_millis("click_ts")) / 1000)
+            .cast("long")
+            .alias("gap_s"),
+        )
+        collected = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.catalog.dropTempView("stream_ssjoin_sink")
+    return spark.createDataFrame(
+        collected, "user_id long, click_id long, purchase_id long, gap_s long"
+    ).orderBy("user_id", "click_id", "purchase_id")
+
+
+STREAM_STREAM_ATTRIBUTION_SQL = """
+WITH s AS (
+  SELECT * FROM events
+  WHERE event_type IN ('click', 'purchase') AND event_id % 3 = 0
+),
+c AS (SELECT event_id AS click_id, ts AS click_ts, user_id
+      FROM s WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id
+      FROM s WHERE event_type = 'purchase' AND event_id % 13 <> 1)
+SELECT c.user_id, c.click_id, p.purchase_id,
+       CAST((epoch_ms(p.purchase_ts) - epoch_ms(c.click_ts)) // 1000 AS BIGINT)
+         AS gap_s
+FROM c JOIN p
+  ON c.user_id = p.user_id
+ AND p.purchase_ts >= c.click_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+ORDER BY c.user_id, c.click_id, p.purchase_id
+"""
+
+
 QUERIES = {
     "stream_pipeline_state": Q(
         stream_pipeline_state,
@@ -518,5 +668,10 @@ QUERIES = {
         difflog_compaction,
         DIFFLOG_COMPACTION_SQL,
         "append-log pointer-swap compaction lifecycle",
+    ),
+    "stream_stream_attribution": Q(
+        stream_stream_attribution,
+        STREAM_STREAM_ATTRIBUTION_SQL,
+        "live watermarked stream-stream interval join (attribution)",
     ),
 }
