@@ -628,6 +628,164 @@ def stream_stream_attribution(spark, sf_dir):
     ).orderBy("user_id", "click_id", "purchase_id")
 
 
+def stream_stream_left_outer(spark, sf_dir):
+    """LIVE left-outer stream-stream join: every click, attributed or not.
+
+    The hard part of outer streaming joins is WHEN the null side is
+    emitted: an unmatched click can only be released once the watermark
+    proves no future purchase can match it (click_ts + 1h < watermark);
+    clicks whose join window is still open at termination are withheld by
+    append mode. Staging is identical to `stream_stream_attribution`
+    (time-split ticks ⇒ no match ever lost to eviction), so the result is
+    deterministic: matched pairs = the static interval join; null rows =
+    unmatched clicks with ``click_ts + 1h`` strictly below the FINAL
+    GLOBAL watermark — Spark tracks one watermark per source and takes
+    the MIN, so the oracle uses least(max click_ts, max purchase_ts) − δ.
+    The availableNow no-data final batch flushes eligible null rows. The
+    oracle reproduces exactly that closed-window rule."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark.conf.set(
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false"
+    )
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .filter(F.col("event_id") % 4 == 0)
+        .select("event_id", "ts", "user_id", "event_type")
+        .toPandas()
+    )
+    bounds = ev["ts"].quantile([1 / 3, 2 / 3]).tolist()
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="stream-ssloj-")
+    try:
+        now = _time.time()
+        for side in ("clicks", "purchases"):
+            os.makedirs(f"{base}/{side}")
+        for tick in range(3):
+            lo = ev["ts"] > bounds[tick - 1] if tick > 0 else True
+            hi = ev["ts"] <= bounds[tick] if tick < 2 else True
+            part = ev[lo & hi]
+            for side, etype in (("clicks", "click"), ("purchases", "purchase")):
+                sub = part[part["event_type"] == etype]
+                path = f"{base}/{side}/tick-{tick}.parquet"
+                pq.write_table(
+                    pa.Table.from_pandas(
+                        sub[["event_id", "ts", "user_id"]],
+                        schema=schema,
+                        preserve_index=False,
+                    ),
+                    path,
+                )
+                os.utime(path, (now - 30 + tick * 10, now - 30 + tick * 10))
+
+        def src(side):
+            return (
+                spark.readStream.schema("event_id long, ts timestamp, user_id long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{base}/{side}")
+                .withWatermark("ts", "30 minutes")
+            )
+
+        clicks = src("clicks").select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            "user_id",
+        )
+        purchases = src("purchases").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("user_id").alias("p_user_id"),
+        )
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                "user_id = p_user_id AND purchase_ts >= click_ts "
+                "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+            ),
+            "left_outer",
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_ssloj_sink")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout=300)
+        finally:
+            q.stop()
+        out = spark.table("stream_ssloj_sink").select(
+            "user_id",
+            "click_id",
+            F.col("purchase_id").alias("purchase_id"),
+            F.when(F.col("purchase_id").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("matched"),
+        )
+        collected = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.catalog.dropTempView("stream_ssloj_sink")
+    return spark.createDataFrame(
+        collected, "user_id long, click_id long, purchase_id long, matched int"
+    ).orderBy("user_id", "click_id", "purchase_id")
+
+
+STREAM_STREAM_LEFT_OUTER_SQL = """
+WITH s AS (
+  SELECT * FROM events
+  WHERE event_type IN ('click', 'purchase') AND event_id % 4 = 0
+),
+c AS (SELECT event_id AS click_id, ts AS click_ts, user_id
+      FROM s WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, ts AS purchase_ts, user_id
+      FROM s WHERE event_type = 'purchase'),
+-- the GLOBAL watermark is the MIN over sources of (side max - delay):
+-- Spark advances each source's watermark independently and takes the min
+wm AS (SELECT LEAST((SELECT MAX(click_ts) FROM c),
+                    (SELECT MAX(purchase_ts) FROM p))
+              - INTERVAL 30 MINUTE AS w),
+matched AS (
+  SELECT c.user_id, c.click_id, p.purchase_id, 1 AS matched
+  FROM c JOIN p
+    ON c.user_id = p.user_id
+   AND p.purchase_ts >= c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+),
+unmatched AS (
+  SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+         0 AS matched
+  FROM c
+  WHERE NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.user_id = c.user_id
+            AND p.purchase_ts >= c.click_ts
+            AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+    AND c.click_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+)
+SELECT user_id, click_id, purchase_id, CAST(matched AS INT) AS matched
+FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+ORDER BY user_id, click_id, purchase_id
+"""
+
+
 STREAM_STREAM_ATTRIBUTION_SQL = """
 WITH s AS (
   SELECT * FROM events
@@ -673,5 +831,10 @@ QUERIES = {
         stream_stream_attribution,
         STREAM_STREAM_ATTRIBUTION_SQL,
         "live watermarked stream-stream interval join (attribution)",
+    ),
+    "stream_stream_left_outer": Q(
+        stream_stream_left_outer,
+        STREAM_STREAM_LEFT_OUTER_SQL,
+        "live left-outer stream-stream join with watermark-gated nulls",
     ),
 }
