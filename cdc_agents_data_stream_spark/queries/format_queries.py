@@ -1,0 +1,96 @@
+"""Source-format breadth: prove the engine ingests JSONL and CSV lakes
+losslessly, not just parquet.
+
+The gate stages the events table as JSON-lines and CSV via DISTRIBUTED
+writes (``df.write.json/csv`` — executor-side, no driver funnel), reads
+each back with an explicit schema (schema inference is a full extra scan
+at 100 TB — never rely on it), and emits one identical aggregate row per
+format. Text formats carry timestamps as epoch-ms BIGINT and values on
+the micro grid: float→text→float round-trips and timezone formatting are
+exactly the hazards a lake pipeline must design out, and the integer
+columns make the parity bit-exact. The oracle computes the same
+aggregates straight off the parquet table once per format label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .base import Q, load
+
+_FORMATS = ("parquet", "jsonl", "csv")
+
+
+def format_roundtrip_parity(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "event_type",
+        F.round(F.col("value") * 1e6).cast("long").alias("value_micro"),
+    )
+    schema = "event_id long, ts_ms long, event_type string, value_micro long"
+    base = tempfile.mkdtemp(prefix="fmt-parity-")
+    try:
+        ev.write.mode("overwrite").json(f"{base}/jsonl")
+        ev.write.mode("overwrite").option("header", "true").csv(f"{base}/csv")
+        readers = {
+            "parquet": ev,
+            "jsonl": spark.read.schema(schema).json(f"{base}/jsonl"),
+            "csv": spark.read.schema(schema)
+            .option("header", "true")
+            .csv(f"{base}/csv"),
+        }
+        aggs = [
+            df.agg(
+                F.lit(fmt).alias("fmt"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("event_id").cast("long").alias("sum_id"),
+                F.sum(F.col("ts_ms").cast("decimal(38,0)"))
+                .cast("double")
+                .alias("sum_ts_ms"),
+                F.sum("value_micro").cast("long").alias("sum_value_micro"),
+                F.countDistinct("event_type").cast("long").alias("n_types"),
+            )
+            for fmt, df in readers.items()
+        ]
+        out = aggs[0]
+        for a in aggs[1:]:
+            out = out.unionAll(a)
+        collected = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        collected,
+        "fmt string, n_rows long, sum_id long, sum_ts_ms double, "
+        "sum_value_micro long, n_types long",
+    ).orderBy("fmt")
+
+
+FORMAT_ROUNDTRIP_PARITY_SQL = f"""
+WITH base AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(event_id) AS BIGINT) AS sum_id,
+         CAST(CAST(SUM(CAST(epoch_ms(ts) AS DECIMAL(38,0))) AS DECIMAL(38,0))
+              AS DOUBLE) AS sum_ts_ms,
+         CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT)
+           AS sum_value_micro,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+  FROM events
+)
+SELECT f.fmt, b.n_rows, b.sum_id, b.sum_ts_ms, b.sum_value_micro, b.n_types
+FROM (VALUES {", ".join(f"('{f}')" for f in sorted(_FORMATS))}) AS f(fmt)
+CROSS JOIN base b
+ORDER BY f.fmt
+"""
+
+
+QUERIES = {
+    "format_roundtrip_parity": Q(
+        format_roundtrip_parity,
+        FORMAT_ROUNDTRIP_PARITY_SQL,
+        "lossless JSONL/CSV lake ingestion parity vs parquet",
+    ),
+}

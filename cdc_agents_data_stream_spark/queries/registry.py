@@ -101,6 +101,7 @@ def all_queries() -> dict[str, Q]:
         "sketch_queries",
         "ml_queries",
         "zorder_queries",
+        "format_queries",
     ):
         try:
             mod = __import__(f"{__package__}.{mod_name}", fromlist=["QUERIES"])
