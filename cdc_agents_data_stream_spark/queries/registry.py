@@ -102,6 +102,7 @@ def all_queries() -> dict[str, Q]:
         "ml_queries",
         "zorder_queries",
         "format_queries",
+        "quality_queries",
     ):
         try:
             mod = __import__(f"{__package__}.{mod_name}", fromlist=["QUERIES"])
