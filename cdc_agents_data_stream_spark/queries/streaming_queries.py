@@ -628,6 +628,107 @@ def stream_stream_attribution(spark, sf_dir):
     ).orderBy("user_id", "click_id", "purchase_id")
 
 
+def stream_static_enrich(spark, sf_dir):
+    """LIVE stream-static broadcast enrichment — the standard CDC
+    pattern: a fact stream joined per micro-batch against a slow-changing
+    dimension snapshot. The dimension (each user's first signup time) is
+    a plain batch DataFrame broadcast into every micro-batch; no state,
+    no watermark — the result equals the static join, which is the
+    oracle. At 100 TB of stream the dimension is still user-count-sized,
+    so the broadcast is the right plan at any scale."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark.conf.set(
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false"
+    )
+    ev = load(spark, sf_dir, "events")
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_millis(F.col("ts").cast("timestamp"))).alias("signup_ms"))
+    )
+    facts = (
+        ev.filter(F.col("event_type") == "click")
+        .filter(F.col("event_id") % 5 == 2)
+        .select("event_id", "ts", "user_id")
+        .toPandas()
+    )
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="stream-enrich-")
+    try:
+        os.makedirs(f"{base}/in")
+        now = _time.time()
+        n = len(facts)
+        facts = facts.sort_values("ts")
+        for tick in range(3):
+            part = facts.iloc[tick * n // 3 : (tick + 1) * n // 3]
+            path = f"{base}/in/tick-{tick}.parquet"
+            pq.write_table(
+                pa.Table.from_pandas(part, schema=schema, preserve_index=False),
+                path,
+            )
+            os.utime(path, (now - 30 + tick * 10, now - 30 + tick * 10))
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/in")
+        )
+        enriched = stream.join(F.broadcast(dim), "user_id", "inner").select(
+            "user_id",
+            "event_id",
+            (F.unix_millis(F.col("ts").cast("timestamp")) - F.col("signup_ms"))
+            .cast("long")
+            .alias("age_ms"),
+        )
+        q = (
+            enriched.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_enrich_sink")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout=300)
+        finally:
+            q.stop()
+        collected = spark.table("stream_enrich_sink").collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.catalog.dropTempView("stream_enrich_sink")
+    return spark.createDataFrame(
+        collected, "user_id long, event_id long, age_ms long"
+    ).orderBy("user_id", "event_id")
+
+
+STREAM_STATIC_ENRICH_SQL = """
+WITH dim AS (
+  SELECT user_id, MIN(epoch_ms(ts)) AS signup_ms
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+facts AS (
+  SELECT event_id, ts, user_id FROM events
+  WHERE event_type = 'click' AND event_id % 5 = 2
+)
+SELECT f.user_id, f.event_id,
+       CAST(epoch_ms(f.ts) - d.signup_ms AS BIGINT) AS age_ms
+FROM facts f JOIN dim d USING (user_id)
+ORDER BY f.user_id, f.event_id
+"""
+
+
 def stream_stream_left_outer(spark, sf_dir):
     """LIVE left-outer stream-stream join: every click, attributed or not.
 
@@ -831,6 +932,11 @@ QUERIES = {
         stream_stream_attribution,
         STREAM_STREAM_ATTRIBUTION_SQL,
         "live watermarked stream-stream interval join (attribution)",
+    ),
+    "stream_static_enrich": Q(
+        stream_static_enrich,
+        STREAM_STATIC_ENRICH_SQL,
+        "live stream-static broadcast dimension enrichment",
     ),
     "stream_stream_left_outer": Q(
         stream_stream_left_outer,
