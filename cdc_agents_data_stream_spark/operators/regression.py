@@ -75,6 +75,93 @@ def grouped_ols(
     )
 
 
+def grouped_normal_equations(
+    df: DataFrame,
+    group_col: str,
+    x_cols: list[str],
+    y_col: str,
+) -> DataFrame:
+    """Per-group multi-feature sufficient statistics for OLS/ridge: the
+    upper triangle of XᵀX (with an implicit intercept column of ones) and
+    Xᵀy, all as exact DECIMAL(38,0) sums cast to double. One partially
+    aggregated groupBy — the d(d+3)/2 statistics per group are the ONLY
+    thing that crosses the wire; the solve is an O(d³) driver/test-side
+    step on a bounded artifact. Columns: n, s_<xi>, s_<xi>_<xj> (i≤j),
+    sy, s_<xi>_y.
+    """
+    aggs = [F.count("*").cast(_D).cast("double").alias("n")]
+    for i, xi in enumerate(x_cols):
+        aggs.append(F.sum(F.col(xi).cast(_D)).cast("double").alias(f"s_{xi}"))
+    for i, xi in enumerate(x_cols):
+        for xj in x_cols[i:]:
+            aggs.append(
+                F.sum(F.col(xi).cast(_D) * F.col(xj).cast(_D))
+                .cast("double")
+                .alias(f"s_{xi}_{xj}")
+            )
+    aggs.append(F.sum(F.col(y_col).cast(_D)).cast("double").alias("sy"))
+    for xi in x_cols:
+        aggs.append(
+            F.sum(F.col(xi).cast(_D) * F.col(y_col).cast(_D))
+            .cast("double")
+            .alias(f"s_{xi}_y")
+        )
+    return df.groupBy(group_col).agg(*aggs)
+
+
+def normal_equations_oracle_sql(
+    table_expr: str,
+    group_col: str,
+    x_exprs: dict,
+    y_expr: str,
+) -> str:
+    """DuckDB oracle for :func:`grouped_normal_equations`; ``x_exprs``
+    maps column name → SQL expression."""
+    names = list(x_exprs)
+    sel = [
+        f"CAST({e} AS DECIMAL(38,0)) AS {n}" for n, e in x_exprs.items()
+    ] + [f"CAST({y_expr} AS DECIMAL(38,0)) AS yv"]
+    aggs = ["CAST(CAST(COUNT(*) AS DECIMAL(38,0)) AS DOUBLE) AS n"]
+    for xi in names:
+        aggs.append(f"CAST(SUM({xi}) AS DOUBLE) AS s_{xi}")
+    for i, xi in enumerate(names):
+        for xj in names[i:]:
+            aggs.append(f"CAST(SUM({xi}*{xj}) AS DOUBLE) AS s_{xi}_{xj}")
+    aggs.append("CAST(SUM(yv) AS DOUBLE) AS sy")
+    for xi in names:
+        aggs.append(f"CAST(SUM({xi}*yv) AS DOUBLE) AS s_{xi}_y")
+    agg_sql = ",\n       ".join(aggs)
+    return f"""
+WITH pts AS (
+  SELECT {group_col} AS g, {", ".join(sel)}
+  FROM {table_expr}
+)
+SELECT g AS {group_col},
+       {agg_sql}
+FROM pts GROUP BY g
+"""
+
+
+def solve_normal_equations(row: dict, x_cols: list[str]) -> list:
+    """Driver-side closed-form solve for one group's coefficients
+    [intercept, b_1..b_d] from a :func:`grouped_normal_equations` row —
+    an O(d³) numpy solve on the bounded sufficient-statistic artifact."""
+    import numpy as np
+
+    d = len(x_cols)
+    A = np.zeros((d + 1, d + 1))
+    b = np.zeros(d + 1)
+    A[0, 0] = row["n"]
+    b[0] = row["sy"]
+    for i, xi in enumerate(x_cols):
+        A[0, i + 1] = A[i + 1, 0] = row[f"s_{xi}"]
+        b[i + 1] = row[f"s_{xi}_y"]
+        for j in range(i, d):
+            xj = x_cols[j]
+            A[i + 1, j + 1] = A[j + 1, i + 1] = row[f"s_{xi}_{xj}"]
+    return np.linalg.solve(A, b).tolist()
+
+
 def ols_oracle_sql(
     table_expr: str,
     group_col: str,

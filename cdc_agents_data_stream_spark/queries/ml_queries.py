@@ -52,6 +52,41 @@ EVENT_VALUE_TREND_SQL = R.ols_oracle_sql(
 ) + " ORDER BY event_type"
 
 
+def grouped_normal_eq(spark, sf_dir):
+    """Per-event-type multi-feature sufficient statistics (XᵀX upper
+    triangle + Xᵀy with x₁ = seconds since 2024-01-01, x₂ = hour of day,
+    y = value micro-units): the d-feature generalization of
+    `event_value_trend` — the coefficients solve driver-side from this
+    bounded artifact (tests/test_linalg.py pins the solve against numpy
+    lstsq on raw data)."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        (
+            (F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(1000)).cast(
+                "bigint"
+            )
+            - F.lit(_X_BASE_S)
+        ).alias("x1"),
+        F.hour(F.col("ts").cast("timestamp")).cast("bigint").alias("x2"),
+        F.round(F.col("value") * 1e6).cast("bigint").alias("y_micro"),
+    )
+    return R.grouped_normal_equations(
+        pts, "event_type", ["x1", "x2"], "y_micro"
+    ).orderBy("event_type")
+
+
+GROUPED_NORMAL_EQ_SQL = R.normal_equations_oracle_sql(
+    "events",
+    "event_type",
+    {
+        "x1": f"(epoch_ms(ts) // 1000 - {_X_BASE_S})",
+        "x2": "EXTRACT(hour FROM ts)",
+    },
+    "CAST(ROUND(value * 1e6) AS BIGINT)",
+) + " ORDER BY event_type"
+
+
 def embedding_covariance(spark, sf_dir):
     """Exact second-moment matrix of the embedding corpus: 2080 (i≤j)
     rows from per-batch numpy outer products — the PCA precursor whose
@@ -84,6 +119,11 @@ QUERIES = {
         event_value_trend,
         EVENT_VALUE_TREND_SQL,
         "grouped OLS via normal-equation sufficient statistics",
+    ),
+    "grouped_normal_eq": Q(
+        grouped_normal_eq,
+        GROUPED_NORMAL_EQ_SQL,
+        "multi-feature XᵀX/Xᵀy sufficient statistics per group",
     ),
     "embedding_covariance": Q(
         embedding_covariance,

@@ -102,6 +102,32 @@ def test_rp_exact_int_and_signs():
     assert signs == L.rp_signs(4, 3)  # deterministic
 
 
+def test_normal_equations_solve_matches_lstsq(spark):
+    """The driver-side solve of the distributed sufficient statistics must
+    equal numpy lstsq run on the raw collected points."""
+    from pyspark.sql import functions as F
+
+    ev = load(spark, SF, "events").select(
+        "event_type",
+        ((F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(1000)).cast("bigint")
+         - F.lit(1_704_067_200)).alias("x1"),
+        F.hour(F.col("ts").cast("timestamp")).cast("bigint").alias("x2"),
+        F.round(F.col("value") * 1e6).cast("bigint").alias("y"),
+    ).cache()
+    stats = {
+        r["event_type"]: r.asDict()
+        for r in R.grouped_normal_equations(ev, "event_type", ["x1", "x2"], "y").collect()
+    }
+    raw = ev.collect()
+    for etype, row in stats.items():
+        coef = R.solve_normal_equations(row, ["x1", "x2"])
+        pts = [(r["x1"], r["x2"], r["y"]) for r in raw if r["event_type"] == etype]
+        X = np.array([[1.0, p[0], p[1]] for p in pts])
+        y = np.array([p[2] for p in pts], dtype=np.float64)
+        ref, *_ = np.linalg.lstsq(X, y, rcond=None)
+        assert np.allclose(coef, ref, rtol=1e-6, atol=1e-3), (etype, coef, ref)
+
+
 def test_grouped_ols_exact_and_degenerate(spark):
     data = [
         # g=a: y = 3x + 10 exactly
