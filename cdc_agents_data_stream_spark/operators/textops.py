@@ -187,6 +187,83 @@ def vocab_doc_freq(
     )
 
 
+def tfidf_retrieve(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse lexical retrieval: rank documents against a literal term
+    query by tf·idf, with idf on a log-free integer grid.
+
+    Scale shape: the token explode is filtered to the query terms
+    MAP-SIDE (a literal isin — Catalyst folds it into the scan stage), so
+    only (matching doc, term) pairs ever shuffle: the classic inverted-
+    index posting-list restriction. Per-term document frequencies are a
+    |q|-row artifact joined back by broadcast; the final ranking is a
+    TakeOrdered(k), never a full sort.
+
+    Cross-engine exactness: idf_micro = (N·1e6) DIV df (integer division —
+    the reciprocal-df surrogate for log idf; monotone in df, which is all
+    ranking needs), score = Σ tf·idf_micro exact int64. Ties break on
+    ``doc_id``.
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    hits = (
+        df.select(F.col(id_col), F.explode(_toks(text_col)).alias("token"))
+        .filter(F.array_contains(terms, F.col("token")))
+    )
+    tf = hits.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "idf_micro",
+            # true integer division (DIV) — a float divide-then-floor can
+            # straddle an integer boundary after rounding
+            F.expr(f"CAST({n_docs} AS BIGINT) * 1000000 DIV df"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("idf_micro")).cast("long").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def tfidf_retrieve_oracle_sql(
+    query_terms: list[str], k: int = 20, table: str = "documents"
+) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM {table}
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+  WHERE token IN ({terms}) GROUP BY doc_id, token
+),
+dfreq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM {table}),
+idf AS (
+  SELECT token,
+         (SELECT n_docs FROM n) * 1000000 // df AS idf_micro
+  FROM dfreq
+),
+scored AS (
+  SELECT tf.doc_id, CAST(SUM(tf.tf * idf.idf_micro) AS BIGINT) AS score
+  FROM tf JOIN idf USING (token) GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
 def corpus_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-row corpus profile — the quick look a pipeline owner takes
     before sizing a run: doc count, token/byte means and exact

@@ -634,3 +634,24 @@ QUERIES = {
     "doc_fingerprint": Q(doc_fingerprint, DOC_FINGERPRINT_SQL, "set fingerprint + min-hash"),
     "token_count_bpe": Q(token_count_bpe, TOKEN_COUNT_BPE_SQL, "BPE-ish token count"),
 }
+
+
+def tfidf_retrieval_topk(spark, sf_dir):
+    """Sparse lexical retrieval (operators/textops.py::tfidf_retrieve):
+    rank documents against a 4-term query by tf·idf with the log-free
+    integer-grid idf. The explode is filtered to the query terms map-side
+    — only posting-list rows shuffle, the inverted-index restriction that
+    makes lexical retrieval tractable at lake scale."""
+    docs = load(spark, sf_dir, "documents")
+    return T.tfidf_retrieve(docs, ["vector", "merge", "stream", "window"], k=20)
+
+
+TFIDF_RETRIEVAL_TOPK_SQL = T.tfidf_retrieve_oracle_sql(
+    ["vector", "merge", "stream", "window"], k=20
+)
+
+QUERIES["tfidf_retrieval_topk"] = Q(
+    tfidf_retrieval_topk,
+    TFIDF_RETRIEVAL_TOPK_SQL,
+    "sparse tf-idf ranked retrieval with integer-grid idf",
+)

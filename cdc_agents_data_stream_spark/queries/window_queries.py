@@ -135,3 +135,116 @@ FROM j
 QUERIES["user_daily_gapfill"] = Q(
     user_daily_gapfill, USER_DAILY_GAPFILL_SQL, "time_bucket gapfill + LOCF"
 )
+
+
+def funnel_conversion(spark, sf_dir):
+    """Ordered conversion funnel: signup → first click at-or-after the
+    signup → first purchase at-or-after that click, one row per stage
+    with the surviving user count. Three aggregations all keyed on
+    ``user_id`` — the exchanges reuse one partitioning — and each stage's
+    min-timestamp artifact is user-count-sized."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", ms("ts").alias("ts_ms")
+    )
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("s_ms"))
+    )
+    cl = (
+        ev.filter(F.col("event_type") == "click")
+        .join(su, "user_id")
+        .filter(F.col("ts_ms") >= F.col("s_ms"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("c_ms"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cl, "user_id")
+        .filter(F.col("ts_ms") >= F.col("c_ms"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("p_ms"))
+    )
+    stages = [
+        su.agg(F.lit("1_signup").alias("stage"), F.count("*").cast("long").alias("n_users")),
+        cl.agg(F.lit("2_click_after_signup").alias("stage"), F.count("*").cast("long").alias("n_users")),
+        pu.agg(F.lit("3_purchase_after_click").alias("stage"), F.count("*").cast("long").alias("n_users")),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("stage")
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+su AS (SELECT user_id, MIN(ts_ms) AS s_ms FROM e
+       WHERE event_type = 'signup' GROUP BY user_id),
+cl AS (SELECT e.user_id, MIN(e.ts_ms) AS c_ms
+       FROM e JOIN su USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts_ms >= su.s_ms
+       GROUP BY e.user_id),
+pu AS (SELECT e.user_id, MIN(e.ts_ms) AS p_ms
+       FROM e JOIN cl USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts_ms >= cl.c_ms
+       GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT '1_signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM su
+  UNION ALL
+  SELECT '2_click_after_signup', CAST(COUNT(*) AS BIGINT) FROM cl
+  UNION ALL
+  SELECT '3_purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM pu
+)
+ORDER BY stage
+"""
+
+QUERIES["funnel_conversion"] = Q(
+    funnel_conversion, FUNNEL_CONVERSION_SQL, "ordered signup→click→purchase funnel"
+)
+
+
+def cohort_retention(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by epoch-aligned signup
+    week, counted per later activity-week offset — the classic retention
+    triangle. Integer week arithmetic (epoch_ms // 1w) keeps both engines
+    on the same grid; two user-keyed aggregations plus one count-distinct
+    rollup per (cohort, offset)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        # true integer DIV — float divide-then-cast can straddle a week
+        # boundary after double rounding
+        F.expr("unix_millis(CAST(ts AS TIMESTAMP)) DIV 604800000").alias("week"),
+    )
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+    )
+    act = ev.select("user_id", "week").distinct()
+    return (
+        act.join(cohort, "user_id")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH e AS (SELECT user_id, event_type,
+                  epoch_ms(ts) // 604800000 AS week FROM events),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM e
+           WHERE event_type = 'signup' GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, week FROM e)
+SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM act a JOIN cohort c USING (user_id)
+WHERE a.week >= c.cohort_week
+GROUP BY c.cohort_week, week_offset
+ORDER BY c.cohort_week, week_offset
+"""
+
+QUERIES["cohort_retention"] = Q(
+    cohort_retention, COHORT_RETENTION_SQL, "weekly signup-cohort retention triangle"
+)
