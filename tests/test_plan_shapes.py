@@ -98,3 +98,49 @@ def test_partitioned_lake_write_prunes_partitions(spark, tmp_path):
     # and the pruned read returns exactly that day's rows
     want = ev.filter(F.col("day") == "2024-01-05").count()
     assert got.count() == want > 0
+
+
+def test_tfidf_retrieval_is_takeordered_broadcast(spark, registry):
+    """Ranking must be TakeOrdered (never a full sort) and the per-term
+    document frequencies must come back via broadcast; the query-term
+    restriction must sit below the explode's shuffle."""
+    plan = _plan(registry["tfidf_retrieval_topk"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_covariance_shuffles_only_partials(spark, registry):
+    """The raw embedding column must never reach an exchange — only the
+    d(d+1)/2-row partial moments do (treeAggregate shape)."""
+    plan = _plan(registry["embedding_covariance"].fn(spark, SF_DIR))
+    # one mapInPandas stage before any exchange
+    pos_map = plan.find("MapInPandas")
+    assert pos_map != -1
+    # every Exchange sits AFTER the python stage in the plan tree string
+    # (executed plans print leaves last: the scan/python stage appears
+    # below the exchange, i.e. at a LARGER offset)
+    pos_ex = plan.find("Exchange")
+    assert pos_ex != -1 and pos_ex < pos_map
+    # the exchange carries the tiny partial schema, not the vector column
+    assert "embedding" not in plan.split("Exchange")[1].split("\n")[0]
+
+
+def test_rp_projection_is_map_only(spark, registry):
+    """The JL projection must be a pure map: no exchange other than the
+    final presentation orderBy, no python runner at all."""
+    from cdc_agents_data_stream_spark.operators import linalg as L
+    from cdc_agents_data_stream_spark.queries.base import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    plan = _plan(L.rp_project(emb, "embedding", 64, 16))
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_grouped_ols_single_partial_agg(spark, registry):
+    """The OLS plan is one hash aggregate pair (partial+final) over one
+    exchange — the sufficient-statistics shape."""
+    plan = _plan(registry["event_value_trend"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "HashAggregate" in plan
