@@ -94,3 +94,80 @@ QUERIES = {
         "lossless JSONL/CSV lake ingestion parity vs parquet",
     ),
 }
+
+
+def applog_source_scan(spark, sf_dir):
+    """Custom Python DataSource end-to-end (sources/pylog.py): stage the
+    events table as 4 tab-separated .applog shard files, read them back
+    through ``spark.read.format("applog")`` — one InputPartition per
+    shard, executor-side parsing — and aggregate per kind. Oracle: the
+    same rollup straight off parquet."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.pylog import register
+
+    register(spark)
+    ev = load(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("key"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.col("event_type").alias("kind"),
+        F.concat(F.lit("v="), F.round(F.col("value") * 1e6).cast("long")).alias(
+            "payload"
+        ),
+        (F.col("event_id") % 4).alias("shard"),
+    )
+    rows = ev.collect()
+    base = tempfile.mkdtemp(prefix="applog-")
+    try:
+        for shard in range(4):
+            with open(os.path.join(base, f"part-{shard}.applog"), "w") as fh:
+                fh.write("# applog v1\n")
+                for r in rows:
+                    if r["shard"] == shard:
+                        fh.write(
+                            f"{r['key']}\t{r['ts_ms']}\t{r['kind']}\t{r['payload']}\n"
+                        )
+        logs = spark.read.format("applog").option("path", base).load()
+        out = (
+            logs.groupBy("kind")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.countDistinct("key").cast("long").alias("n_keys"),
+                F.sum(F.col("ts_ms").cast("decimal(38,0)"))
+                .cast("double")
+                .alias("sum_ts_ms"),
+                F.sum(F.expr("CAST(substring(payload, 3) AS BIGINT)"))
+                .cast("long")
+                .alias("sum_value_micro"),
+            )
+            .orderBy("kind")
+        )
+        collected = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        collected,
+        "kind string, n long, n_keys long, sum_ts_ms double, sum_value_micro long",
+    )
+
+
+APPLOG_SOURCE_SCAN_SQL = """
+SELECT event_type AS kind,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+       CAST(CAST(SUM(CAST(epoch_ms(ts) AS DECIMAL(38,0))) AS DECIMAL(38,0))
+            AS DOUBLE) AS sum_ts_ms,
+       CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT)
+         AS sum_value_micro
+FROM events
+GROUP BY event_type
+ORDER BY kind
+"""
+
+QUERIES["applog_source_scan"] = Q(
+    applog_source_scan,
+    APPLOG_SOURCE_SCAN_SQL,
+    "custom Python DataSource (partition-per-shard applog reader)",
+)
