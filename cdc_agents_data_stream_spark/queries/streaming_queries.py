@@ -628,6 +628,115 @@ def stream_stream_attribution(spark, sf_dir):
     ).orderBy("user_id", "click_id", "purchase_id")
 
 
+def stream_tws_running_totals(spark, sf_dir):
+    """LIVE typed keyed state (streaming/tws.py): per-user running
+    totals across three micro-batches — via Spark 4's
+    ``transformWithStateInPandas`` where the environment has protobuf,
+    else the ``applyInPandasWithState`` equivalent (capability probe,
+    same pattern as the optional PIL decoder)
+    (ticks split by ``event_id % 3`` — additive totals are
+    order-insensitive). The sink keeps every per-batch emission; the
+    final totals per key are the emission with the largest ``n`` (counts
+    strictly increase), and they must equal the plain batch GROUP BY —
+    the oracle."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..streaming.tws import running_totals
+
+    spark.conf.set(
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false"
+    )
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            F.round(F.col("value") * 1e6).cast("long").alias("value_micro"),
+        )
+        .toPandas()
+    )
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts_ms", pa.int64()),
+            ("value_micro", pa.int64()),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="stream-tws-")
+    try:
+        os.makedirs(f"{base}/in")
+        now = _time.time()
+        for tick in range(3):
+            part = ev[ev["event_id"] % 3 == tick]
+            path = f"{base}/in/tick-{tick}.parquet"
+            pq.write_table(
+                pa.Table.from_pandas(part, schema=schema, preserve_index=False),
+                path,
+            )
+            os.utime(path, (now - 30 + tick * 10, now - 30 + tick * 10))
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts_ms long, value_micro long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/in")
+        )
+        q = (
+            running_totals(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("stream_tws_sink")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout=300)
+        finally:
+            q.stop()
+        from pyspark.sql import Window
+
+        emissions = spark.table("stream_tws_sink")
+        final = (
+            emissions.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(F.col("n").desc())
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("user_id", "n", "sum_micro", "max_ms")
+        )
+        collected = final.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.catalog.dropTempView("stream_tws_sink")
+    return spark.createDataFrame(
+        collected, "user_id long, n long, sum_micro long, max_ms long"
+    ).orderBy("user_id")
+
+
+STREAM_TWS_RUNNING_TOTALS_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro,
+       CAST(MAX(epoch_ms(ts)) AS BIGINT) AS max_ms
+FROM events
+WHERE event_id % 7 = 0
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def stream_static_enrich(spark, sf_dir):
     """LIVE stream-static broadcast enrichment — the standard CDC
     pattern: a fact stream joined per micro-batch against a slow-changing
@@ -932,6 +1041,11 @@ QUERIES = {
         stream_stream_attribution,
         STREAM_STREAM_ATTRIBUTION_SQL,
         "live watermarked stream-stream interval join (attribution)",
+    ),
+    "stream_tws_running_totals": Q(
+        stream_tws_running_totals,
+        STREAM_TWS_RUNNING_TOTALS_SQL,
+        "transformWithState typed keyed state (running totals)",
     ),
     "stream_static_enrich": Q(
         stream_static_enrich,

@@ -420,3 +420,18 @@ def test_pipeline_restart_from_checkpoint(spark, tmp_path):
     assert len(content["3_task__start__"]) == 5  # one __start__ item per tick
     diffs = log.read(dedup=True).collect()
     assert sorted(d["sequence_number"] for d in diffs) == [1, 2, 3, 4, 5]
+
+
+def test_tws_api_capability_probe():
+    """The TWS operator must pick transformWithStateInPandas only when
+    the protobuf runtime exists; in this container the probe documents
+    whichever path is active (both are oracle-gated identically)."""
+    from cdc_agents_data_stream_spark.streaming import tws
+
+    ok = tws.has_tws_support()
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        assert ok
+    except ImportError:
+        assert not ok
