@@ -88,3 +88,31 @@ def test_similarity_on_empty(spark):
     # trained paths must tolerate an empty training corpus too
     cents, assigned = S.ivf_index(emb, train_iters=1)
     assert assigned.count() == 0
+
+
+def test_regression_and_linalg_on_empty(spark):
+    from cdc_agents_data_stream_spark.operators import linalg as L
+    from cdc_agents_data_stream_spark.operators import regression as R
+
+    empty_pts = spark.createDataFrame([], "g string, x long, y long")
+    assert R.grouped_ols(empty_pts, "g", "x", "y").count() == 0
+    assert (
+        R.grouped_normal_equations(empty_pts, "g", ["x"], "y").count() == 0
+    )
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert L.embedding_moments(empty_emb, "embedding", 4).count() == 0
+    assert L.rp_project(empty_emb, "embedding", 4, 2).count() == 0
+
+
+def test_zorder_and_retrieval_on_empty(spark, empty_docs):
+    from cdc_agents_data_stream_spark.operators import textops as T
+    from cdc_agents_data_stream_spark.operators import zorder as Z
+
+    empty_norm = spark.createDataFrame([], "event_id long, ux long, vy long")
+    keyed = Z.with_zorder_key(empty_norm, ["ux", "vy"], 8)
+    assert keyed.count() == 0 and "zval" in keyed.columns
+    assert Z.zorder_layout(empty_norm, ["ux", "vy"], 8, num_files=2).count() == 0
+    got = T.tfidf_retrieve(empty_docs, ["a", "b"], k=5)
+    assert got.count() == 0 and got.columns == ["doc_id", "score"]
