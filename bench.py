@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     # d2-bounded covariance partials, JL projection (map-only), and the
     # z-order clustering key (pure codegen bit math)
     "event_value_trend",
+    "ann_ivfpq",
     "embedding_covariance",
     "embedding_rp_project",
     "zorder_events_key",

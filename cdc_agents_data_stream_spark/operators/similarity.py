@@ -604,6 +604,142 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids_below: int = 5,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = PQ_M,
+    dim: int = _DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Composed IVF-PQ with residual encoding — the billion-scale index
+    shape (FAISS ``IVFx,PQy``): a coarse quantizer routes each vector to a
+    cluster, PQ encodes the RESIDUAL (vector − centroid, where quantization
+    error is small), and queries scan only their ``nprobe`` probed
+    clusters with per-(query, cluster) ADC distance tables over the query
+    residual.
+
+    Scale shape: centroids and codebooks are broadcast-bounded artifacts;
+    residuals are a zip_with map (exact IEEE subtraction — no rounding
+    needed for the oracle, both engines subtract the same doubles); the
+    encode is the vectorized map-only pass; the scan joins the encoded
+    corpus to the distance table on (cluster, s, code) — docs outside the
+    probed clusters never join, which is the entire point of IVF.
+
+    The deterministic-sample quantizer/codebooks keep the oracle replay
+    cheap; the trained variants (``kmeans_centroids`` /
+    ``pq_train_codebooks``) drop in unchanged.
+    """
+    sub_len = dim // m
+    base = with_norm(emb, vec_col).select(F.col(id_col), "vec", "norm")
+    cents = base.filter(
+        (F.col(id_col) % CENTROID_MOD == 0)
+        & (F.col(id_col) < CENTROID_MOD * MAX_CENTROIDS)
+    ).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    assigned = _assign(base, cents, id_col)
+    # residual = vec − centroid (exact double subtraction, map-only after
+    # one broadcast join on the cluster id)
+    res = assigned.join(
+        F.broadcast(cents.select(F.col("centroid_id").alias("cluster"), "cvec")),
+        "cluster",
+    ).select(
+        F.col(id_col),
+        "cluster",
+        F.zip_with("vec", "cvec", lambda a, b: a - b).alias("rvec"),
+    )
+    rsub = res.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("rvec", s * sub_len + 1, sub_len).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("x"),
+    ).select(F.col(id_col), F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+    codes = rsub.filter(
+        (F.col(id_col) % PQ_CODE_MOD == 0)
+        & (F.col(id_col) < PQ_CODE_MOD * PQ_MAX_CODES)
+    ).select(F.col(id_col).alias("code_id"), "s", F.col("sv").alias("cv"))
+    code_rows = codes.collect()
+    enc = _pq_assign_vectorized(rsub, code_rows, sub_len, id_col).join(
+        res.select(F.col(id_col), "cluster"), id_col
+    )
+    codes_lit = emb.sparkSession.createDataFrame(code_rows, schema=codes.schema)
+
+    # query side: probe the nprobe nearest centroids, residualize the
+    # query against EACH probed centroid, build per-(query, cluster)
+    # distance tables
+    q = assigned.filter(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    qsim = _dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qcsim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "qvec", "centroid_id", "cvec", qsim.alias("qcsim")
+        )
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(
+            "query_id",
+            F.col("centroid_id").alias("cluster"),
+            F.zip_with("qvec", "cvec", lambda a, b: a - b).alias("qres"),
+        )
+    )
+    qrsub = probes.select(
+        "query_id",
+        "cluster",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("qres", s * sub_len + 1, sub_len).alias("qv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("x"),
+    ).select("query_id", "cluster", F.col("x.s").alias("s"), F.col("x.qv").alias("qv"))
+    dtable = qrsub.join(codes_lit, "s").select(
+        "query_id",
+        "cluster",
+        "s",
+        F.col("code_id").alias("code"),
+        _d2_scaled(F.col("qv"), F.col("cv"), sub_len).alias("dt"),
+    )
+    approx = (
+        enc.join(F.broadcast(dtable), ["cluster", "s", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("dt").cast("long").alias("approx_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        approx.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_d2")
+    )
+
+
 def ivf_append(
     emb_history: DataFrame,
     emb_new: DataFrame,

@@ -475,3 +475,88 @@ QUERIES["embedding_group_centroids"] = Q(
     EMBEDDING_GROUP_CENTROIDS_SQL,
     "per-label mean embedding (dataset cartography)",
 )
+
+
+def ann_ivfpq(spark, sf_dir):
+    """Composed IVF-PQ with residual encoding
+    (operators/similarity.py::ivfpq_topk): coarse quantizer routes, PQ
+    codes the residuals, queries scan only their nprobe probed clusters
+    with per-(query, cluster) ADC tables over the query residual — the
+    billion-scale index composition (FAISS IVFx,PQy)."""
+    return S.ivfpq_topk(load(spark, sf_dir, "embeddings"), query_ids_below=5, k=10, nprobe=2)
+
+
+ANN_IVFPQ_SQL = f"""
+WITH {_BASE_CTE},
+cents AS (
+  SELECT vec_id AS centroid_id, v AS cvec, norm AS cnorm FROM base
+  WHERE vec_id % {S.CENTROID_MOD} = 0 AND vec_id < {S.CENTROID_MOD * S.MAX_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, v, norm, centroid_id AS cluster FROM (
+    SELECT b.vec_id, b.v, b.norm, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.v, c.cvec) / (b.norm * c.cnorm) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM base b CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+res AS (
+  SELECT a.vec_id, a.cluster,
+         list_transform(range(1, {S._DIM} + 1), i -> a.v[i] - c.cvec[i]) AS rvec
+  FROM assigned a JOIN cents c ON c.centroid_id = a.cluster
+),
+rsub AS (
+  SELECT vec_id, cluster, m.s,
+         rvec[m.s * {_PQ_SUB_LEN} + 1 : (m.s + 1) * {_PQ_SUB_LEN}] AS sv
+  FROM res, (VALUES {", ".join(f"({s})" for s in range(S.PQ_M))}) AS m(s)
+),
+codes AS (
+  SELECT vec_id AS code_id, s, sv AS cv FROM rsub
+  WHERE vec_id % {S.PQ_CODE_MOD} = 0 AND vec_id < {S.PQ_CODE_MOD * S.PQ_MAX_CODES}
+),
+enc AS (
+  SELECT vec_id, cluster, s, code_id AS code FROM (
+    SELECT a.vec_id, a.cluster, a.s, c.code_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id, a.s
+             ORDER BY {_PQ_D2_INT.format(a="a.sv", b="c.cv")}, c.code_id) AS rn
+    FROM rsub a JOIN codes c USING (s)
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, a.v AS qvec, a.norm AS qnorm
+      FROM assigned a WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, cluster, qres FROM (
+    SELECT q.query_id, c.centroid_id AS cluster,
+           list_transform(range(1, {S._DIM} + 1), i -> q.qvec[i] - c.cvec[i]) AS qres,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qvec, c.cvec) / (q.qnorm * c.cnorm) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= 2
+),
+dtable AS (
+  SELECT p.query_id, p.cluster, c.s, c.code_id AS code,
+         {_PQ_D2_INT.format(a="p.qres[c.s * " + str(_PQ_SUB_LEN) + " + 1 : (c.s + 1) * " + str(_PQ_SUB_LEN) + "]", b="c.cv")} AS dt
+  FROM probes p CROSS JOIN codes c
+),
+approx AS (
+  SELECT d.query_id, e.vec_id AS neighbor_id, CAST(SUM(d.dt) AS BIGINT) AS approx_d2
+  FROM enc e JOIN dtable d
+    ON d.cluster = e.cluster AND d.s = e.s AND d.code = e.code
+  WHERE e.vec_id <> d.query_id
+  GROUP BY d.query_id, e.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, approx_d2 FROM (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY approx_d2, neighbor_id) AS rank
+  FROM approx
+) WHERE rank <= 10
+"""
+
+QUERIES["ann_ivfpq"] = Q(
+    ann_ivfpq, ANN_IVFPQ_SQL, "composed IVF-PQ residual index (FAISS IVFx,PQy shape)"
+)
