@@ -560,3 +560,61 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, approx_d2 FROM (
 QUERIES["ann_ivfpq"] = Q(
     ann_ivfpq, ANN_IVFPQ_SQL, "composed IVF-PQ residual index (FAISS IVFx,PQy shape)"
 )
+
+
+def ann_ivf_recall(spark, sf_dir):
+    """Measured recall@5 of the IVF probe path against the exact
+    brute-force ranking — the quality/efficiency trade quantified as a
+    first-class query (what an index owner monitors in production). Hard
+    signal is the integer hit count per query; the oracle recomputes both
+    rankings and the same intersection."""
+    emb = load(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, query_ids_below=5, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = S.ivf_topk(emb, query_ids_below=5, k=5, nprobe=2).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_hit")
+    )
+    n_exact = exact.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    return (
+        n_exact.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "recall_pct",
+            F.round(F.col("n_hit") * 100 / F.col("n_exact"), 6),
+        )
+        .orderBy("query_id")
+    )
+
+
+ANN_IVF_RECALL_SQL = f"""
+WITH exact10 AS ({ANN_COSINE_TOPK_SQL}),
+exact AS (SELECT * FROM exact10 WHERE rank <= 5),
+approx AS ({ANN_IVF_PROBE_SQL}),
+hits AS (
+  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM exact e JOIN approx a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+),
+ne AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+       FROM exact GROUP BY query_id)
+SELECT ne.query_id, ne.n_exact,
+       CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
+       ROUND(COALESCE(hits.n_hit, 0) * 100 / ne.n_exact, 6) AS recall_pct
+FROM ne LEFT JOIN hits USING (query_id)
+ORDER BY ne.query_id
+"""
+
+QUERIES["ann_ivf_recall"] = Q(
+    ann_ivf_recall, ANN_IVF_RECALL_SQL, "measured recall@5 of IVF vs brute force"
+)

@@ -248,3 +248,51 @@ ORDER BY c.cohort_week, week_offset
 QUERIES["cohort_retention"] = Q(
     cohort_retention, COHORT_RETENTION_SQL, "weekly signup-cohort retention triangle"
 )
+
+
+def user_rolling_7d(spark, sf_dir):
+    """Event-time RANGE-frame rolling aggregate: for every event, the
+    user's trailing-7-day event count and micro-unit value sum
+    ([ts−7d, ts], peers included — RANGE, not ROWS). One user-keyed
+    shuffle + sort; the frame is evaluated streamingly within each
+    partition, so a year of history per user costs one pass."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        ms("ts").alias("ts_ms"),
+        F.round(F.col("value") * 1e6).cast("long").alias("v_micro"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(-604800000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.count("*").over(w).cast("long").alias("n_7d"),
+        F.sum("v_micro").over(w).cast("long").alias("sum_micro_7d"),
+    ).orderBy("event_id")
+
+
+USER_ROLLING_7D_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         CAST(ROUND(value * 1e6) AS BIGINT) AS v_micro
+  FROM events
+)
+SELECT event_id, user_id, ts_ms,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+       CAST(SUM(v_micro) OVER w AS BIGINT) AS sum_micro_7d
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+             RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+QUERIES["user_rolling_7d"] = Q(
+    user_rolling_7d, USER_ROLLING_7D_SQL, "trailing-7-day RANGE-frame rolling aggregate"
+)
