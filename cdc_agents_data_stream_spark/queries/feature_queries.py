@@ -1,0 +1,187 @@
+"""Feature-engineering gates — the tabular prep steps between a raw
+lake and a training run: outlier winsorization, leave-one-out target
+encoding, and the deterministic hash split. Each is one or two
+partial-aggregated passes; nothing collects, nothing is keyed on more
+than the feature's own cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .base import Q, load
+
+
+def winsorize_stats(spark, sf_dir):
+    """Per-event-type P01/P99 winsorization: values clipped into the
+    interpolated-percentile band, with clip counts and the exact
+    micro-grid sum of the clipped column. Two passes over one
+    type-keyed partition: percentile aggregate (bounded digest per
+    group), then a broadcast join + map-side clip."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")).alias("cv"),
+        (F.col("value") < F.col("p01")).cast("long").alias("lo"),
+        (F.col("value") > F.col("p99")).cast("long").alias("hi"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("lo").cast("long").alias("n_clip_low"),
+            F.sum("hi").cast("long").alias("n_clip_high"),
+            F.sum(F.round(F.col("cv") * 1e6).cast("long"))
+            .cast("long")
+            .alias("sum_clipped_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+WINSORIZE_STATS_SQL = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS p01,
+         quantile_cont(value, 0.99) AS p99
+  FROM events GROUP BY event_type
+),
+c AS (
+  SELECT e.event_type, e.value,
+         LEAST(GREATEST(e.value, b.p01), b.p99) AS cv,
+         CASE WHEN e.value < b.p01 THEN 1 ELSE 0 END AS lo,
+         CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END AS hi
+  FROM events e JOIN b USING (event_type)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(lo) AS BIGINT) AS n_clip_low,
+       CAST(SUM(hi) AS BIGINT) AS n_clip_high,
+       CAST(SUM(CAST(ROUND(cv * 1e6) AS BIGINT)) AS BIGINT) AS sum_clipped_micro
+FROM c GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def target_encode_loo(spark, sf_dir):
+    """Leave-one-out target encoding of ``event_type`` against the value
+    target: enc(row) = (Σ_group − v) / (n_group − 1) on the exact micro
+    grid — the standard leakage-safe categorical encoding. One grouped
+    aggregate (category-cardinality artifact, broadcast back) + a map;
+    singleton groups encode null rather than divide by zero."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1e6).cast("long").alias("v_micro"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.sum(F.col("v_micro").cast("decimal(38,0)")).alias("s"),
+        F.count("*").cast("long").alias("n"),
+    )
+    enc = (
+        (F.col("s").cast("double") - F.col("v_micro"))
+        / (F.col("n") - F.lit(1))
+    )
+    return (
+        ev.join(F.broadcast(g), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "v_micro",
+            F.when(F.col("n") > 1, F.round(enc, 6)).alias("loo_enc_micro"),
+        )
+        .orderBy("event_id")
+    )
+
+
+TARGET_ENCODE_LOO_SQL = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(value * 1e6) AS BIGINT) AS v_micro
+  FROM events
+),
+g AS (
+  SELECT event_type, CAST(SUM(CAST(v_micro AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.v_micro,
+       CASE WHEN g.n > 1
+            THEN ROUND((CAST(g.s AS DOUBLE) - e.v_micro) / (g.n - 1), 6)
+            END AS loo_enc_micro
+FROM e JOIN g USING (event_type)
+ORDER BY e.event_id
+"""
+
+
+def train_val_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 hash split: the split of a row is a pure
+    function of its id (md5 bucket), so reruns, backfills, and other
+    engines agree row-for-row — no random() anywhere. Output: per
+    (event_type, split) counts plus the exact id-sum as the
+    membership-hash signal (counts alone could mask swapped rows)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 100"
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        ev.select("event_type", split.alias("split"), "event_id")
+        .groupBy("event_type", "split")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("event_id").cast("decimal(38,0)"))
+            .cast("double")
+            .alias("sum_id"),
+        )
+        .orderBy("event_type", "split")
+    )
+
+
+TRAIN_VAL_TEST_SPLIT_SQL = """
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % 100 AS bucket
+  FROM events
+)
+SELECT event_type,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(event_id AS DECIMAL(38,0))) AS DECIMAL(38,0))
+            AS DOUBLE) AS sum_id
+FROM e
+GROUP BY event_type, split
+ORDER BY event_type, split
+"""
+
+
+QUERIES = {
+    "winsorize_stats": Q(
+        winsorize_stats,
+        WINSORIZE_STATS_SQL,
+        "per-group P01/P99 winsorization with clip counts",
+    ),
+    "target_encode_loo": Q(
+        target_encode_loo,
+        TARGET_ENCODE_LOO_SQL,
+        "leave-one-out target encoding (leakage-safe)",
+    ),
+    "train_val_test_split": Q(
+        train_val_test_split,
+        TRAIN_VAL_TEST_SPLIT_SQL,
+        "deterministic md5 80/10/10 split with membership signal",
+    ),
+}

@@ -103,6 +103,7 @@ def all_queries() -> dict[str, Q]:
         "zorder_queries",
         "format_queries",
         "quality_queries",
+        "feature_queries",
     ):
         try:
             mod = __import__(f"{__package__}.{mod_name}", fromlist=["QUERIES"])
