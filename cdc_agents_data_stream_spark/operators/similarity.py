@@ -740,6 +740,73 @@ def ivfpq_topk(
     )
 
 
+def sq8_encode_stats(
+    emb: DataFrame,
+    dim: int = _DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar quantization (SQ8, the FAISS ``SQ8`` shape): each dimension
+    mapped to a uint8 code against per-dimension [min, max] bounds —
+    4× compression with near-lossless recall for well-conditioned
+    embeddings, and the cheapest quantizer to maintain incrementally
+    (bounds are a one-pass min/max aggregate).
+
+    Returns one row per dimension: the micro-grid bounds, the exact
+    integer sum of codes, and the micro-grid sum of absolute
+    reconstruction error — the quality signal an index owner monitors.
+    Shape: posexplode → one (pos)-keyed partial-agg pass for bounds →
+    broadcast back → one more partial-agg pass for code/error sums; the
+    shuffled rows are scalar triples both times, with map-side combine.
+    Degenerate dimensions (max == min) code to 0 with zero error.
+    """
+    comp = emb.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"),
+    )
+    bounds = comp.groupBy("pos").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    scaled = comp.join(F.broadcast(bounds), "pos").select(
+        "pos",
+        "v",
+        "vmin",
+        "vmax",
+        F.when(
+            F.col("vmax") > F.col("vmin"),
+            F.round(
+                (F.col("v") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * 255
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("code"),
+    )
+    recon = F.when(
+        F.col("vmax") > F.col("vmin"),
+        F.col("vmin")
+        + F.col("code") * (F.col("vmax") - F.col("vmin")) / 255,
+    ).otherwise(F.col("vmin"))
+    return (
+        scaled.select(
+            "pos",
+            "vmin",
+            "vmax",
+            "code",
+            F.round(F.abs(F.col("v") - recon) * 1e6).cast("long").alias("err_micro"),
+        )
+        .groupBy("pos")
+        .agg(
+            F.round(F.first("vmin") * 1e6).cast("long").alias("vmin_micro"),
+            F.round(F.first("vmax") * 1e6).cast("long").alias("vmax_micro"),
+            F.sum("code").cast("long").alias("code_sum"),
+            F.sum("err_micro").cast("long").alias("abs_err_micro_sum"),
+        )
+        .orderBy("pos")
+    )
+
+
 def ivf_append(
     emb_history: DataFrame,
     emb_new: DataFrame,

@@ -618,3 +618,46 @@ ORDER BY ne.query_id
 QUERIES["ann_ivf_recall"] = Q(
     ann_ivf_recall, ANN_IVF_RECALL_SQL, "measured recall@5 of IVF vs brute force"
 )
+
+
+def ann_sq8_stats(spark, sf_dir):
+    """Scalar quantization SQ8 (operators/similarity.py::sq8_encode_stats):
+    per-dimension uint8 codes against one-pass min/max bounds, with the
+    exact code sums and micro-grid reconstruction-error sums as the hard
+    signal — completing the quantization family (IVF routes, PQ codes
+    subvectors, JL projects, SQ8 compresses scalars)."""
+    return S.sq8_encode_stats(load(spark, sf_dir, "embeddings"))
+
+
+ANN_SQ8_STATS_SQL = """
+WITH comp AS (
+  SELECT vec_id, g.i AS pos, CAST(embedding[g.i + 1] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(0, 64)) AS g(i)
+),
+b AS (SELECT pos, MIN(v) AS vmin, MAX(v) AS vmax FROM comp GROUP BY pos),
+s AS (
+  SELECT c.pos, c.v, b.vmin, b.vmax,
+         CASE WHEN b.vmax > b.vmin
+              THEN CAST(ROUND((c.v - b.vmin) / (b.vmax - b.vmin) * 255) AS BIGINT)
+              ELSE 0 END AS code
+  FROM comp c JOIN b USING (pos)
+),
+e AS (
+  SELECT pos, vmin, vmax, code,
+         CAST(ROUND(ABS(v - (CASE WHEN vmax > vmin
+                                  THEN vmin + code * (vmax - vmin) / 255
+                                  ELSE vmin END)) * 1e6) AS BIGINT) AS err_micro
+  FROM s
+)
+SELECT pos,
+       CAST(ROUND(MIN(vmin) * 1e6) AS BIGINT) AS vmin_micro,
+       CAST(ROUND(MIN(vmax) * 1e6) AS BIGINT) AS vmax_micro,
+       CAST(SUM(code) AS BIGINT) AS code_sum,
+       CAST(SUM(err_micro) AS BIGINT) AS abs_err_micro_sum
+FROM e GROUP BY pos
+ORDER BY pos
+"""
+
+QUERIES["ann_sq8_stats"] = Q(
+    ann_sq8_stats, ANN_SQ8_STATS_SQL, "SQ8 scalar quantization bounds + reconstruction error"
+)
