@@ -244,6 +244,63 @@ def minhash_lsh_pairs(
     return _pair_jaccard(sh_cand, candidates).filter(F.col("jaccard") >= threshold)
 
 
+def minhash_lsh_incremental(
+    df_hist: DataFrame,
+    df_new: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental near-dup: probe a NEW batch against the corpus's
+    stored LSH index — the maintenance mode of `minhash_lsh_pairs`
+    (which rebuilds pair candidates over everything).
+
+    The history side's band buckets are the persisted index (in
+    production: the parquet artifact `minhash_band_buckets` writes once;
+    here recomputed so the gate is self-contained). The probe is an
+    equi-join on (band, bucket) between the SMALL new batch's buckets and
+    the index — cost scales with the batch, never with history size — and
+    only candidate docs from either side are re-shingled for the exact
+    Jaccard verify. New-vs-new duplicates are intentionally out of scope
+    (run the batch variant within the batch); this operator answers "is
+    anything in this drop a near-dup of what we already have", the
+    decontamination-style question every incremental corpus build asks.
+    Output: (doc_new, doc_hist, jaccard ≥ threshold).
+    """
+    bh = minhash_band_buckets(minhash_signatures(shingles(df_hist, text_col, n, id_col)))
+    bn = minhash_band_buckets(minhash_signatures(shingles(df_new, text_col, n, id_col)))
+    candidates = (
+        bn.alias("n")
+        .join(
+            bh.alias("h"),
+            (F.col("n.band") == F.col("h.band"))
+            & (F.col("n.bucket") == F.col("h.bucket")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_a"), F.col("h.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    cand_docs = candidates.select(
+        F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+    ).distinct()
+    both = df_new.unionByName(df_hist)
+    sh_cand = shingles(
+        both.join(cand_docs, id_col, "left_semi"), text_col, n, id_col
+    )
+    return (
+        _pair_jaccard(sh_cand, candidates)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("doc_a").alias("doc_new"),
+            F.col("doc_b").alias("doc_hist"),
+            "jaccard",
+        )
+    )
+
+
 def simhash_values(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """(doc_id, simhash): sign-aggregated token-hash bits (token occurrences
     weighted, not distinct).

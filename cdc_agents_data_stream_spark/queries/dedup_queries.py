@@ -5,6 +5,8 @@ reproduces the signatures bit-for-bit."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..operators import dedup as D
 from .base import Q, load
 
@@ -366,4 +368,60 @@ QUERIES["dedup_span_detect"] = Q(
     dedup_span_detect,
     DEDUP_SPAN_SQL,
     "duplicated-substring spans (suffix-array approximation)",
+)
+
+
+def dedup_minhash_incremental(spark, sf_dir):
+    """Incremental near-dup (operators/dedup.py::minhash_lsh_incremental):
+    the odd-id half of the corpus arrives as a NEW batch and probes the
+    even-id half's stored LSH band index — cost scales with the batch,
+    never the history. Answers the incremental corpus build's question:
+    is anything in this drop a near-dup of what we already have."""
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return D.minhash_lsh_incremental(hist, new, threshold=0.5)
+
+
+DEDUP_MINHASH_INCREMENTAL_SQL = f"""
+WITH {_SHINGLE_CTES},
+perms AS (SELECT * FROM (VALUES {_PERM_VALUES}) p(i, a, b)),
+h0 AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {D.MERSENNE_P} AS h0
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id, i, MIN((a * h0 + b) % {D.MERSENNE_P}) AS sig
+  FROM h0 CROSS JOIN perms GROUP BY doc_id, i
+),
+buckets AS (
+  SELECT doc_id, (i // {D.BAND_SIZE}) AS band,
+         md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bucket
+  FROM sigs GROUP BY doc_id, (i // {D.BAND_SIZE})
+),
+cands AS (
+  SELECT DISTINCT n.doc_id AS doc_new, h.doc_id AS doc_hist
+  FROM buckets n JOIN buckets h
+    ON n.band = h.band AND n.bucket = h.bucket
+  WHERE n.doc_id % 2 = 1 AND h.doc_id % 2 = 0
+),
+inter AS (
+  SELECT c.doc_new, c.doc_hist, COUNT(*) AS inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_new
+  JOIN sh b ON b.doc_id = c.doc_hist AND b.shingle = a.shingle
+  GROUP BY c.doc_new, c.doc_hist
+)
+SELECT i.doc_new, i.doc_hist,
+       ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_new
+JOIN sizes sb ON sb.doc_id = i.doc_hist
+WHERE ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.5
+"""
+
+QUERIES["dedup_minhash_incremental"] = Q(
+    dedup_minhash_incremental,
+    DEDUP_MINHASH_INCREMENTAL_SQL,
+    "incremental MinHash probe of a new batch vs the stored LSH index",
 )
