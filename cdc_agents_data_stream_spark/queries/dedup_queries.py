@@ -425,3 +425,56 @@ QUERIES["dedup_minhash_incremental"] = Q(
     DEDUP_MINHASH_INCREMENTAL_SQL,
     "incremental MinHash probe of a new batch vs the stored LSH index",
 )
+
+
+def dedup_keeper_by_quality(spark, sf_dir):
+    """Quality-aware canonical selection: within each near-dup cluster
+    keep the LONGEST document (ties → smallest doc_id) instead of the
+    min-id default — the policy real corpus builds use (the longest
+    variant usually carries the most content). One grouped max_by over
+    the component labels joined to the doc lengths."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.simhash_pairs(docs, max_hamming=3)
+    comps = D.connected_components(pairs)
+    members = comps.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    ).join(docs.select("doc_id", "n_chars"), "doc_id")
+    return (
+        members.groupBy("component")
+        .agg(
+            F.max_by(
+                F.col("doc_id"), F.struct(F.col("n_chars"), -F.col("doc_id"))
+            ).cast("long").alias("keeper_doc_id"),
+            F.max("n_chars").cast("long").alias("keeper_n_chars"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+        .orderBy("component")
+    )
+
+
+DEDUP_KEEPER_BY_QUALITY_SQL = f"""
+WITH RECURSIVE {_CLOSURE_CTES},
+members AS (
+  SELECT c.component, c.doc_id, d.n_chars
+  FROM comps c JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT component, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM members
+)
+SELECT m.component,
+       CAST(r.doc_id AS BIGINT) AS keeper_doc_id,
+       CAST(MAX(m.n_chars) AS BIGINT) AS keeper_n_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM members m JOIN ranked r ON r.component = m.component AND r.rn = 1
+GROUP BY m.component, r.doc_id
+ORDER BY m.component
+"""
+
+QUERIES["dedup_keeper_by_quality"] = Q(
+    dedup_keeper_by_quality,
+    DEDUP_KEEPER_BY_QUALITY_SQL,
+    "quality-aware (longest-doc) canonical keeper per near-dup cluster",
+)
