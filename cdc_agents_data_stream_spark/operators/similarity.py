@@ -426,6 +426,7 @@ def _pq_assign_vectorized(
     sub_len: int,
     id_col: str = "vec_id",
     keep_sv: bool = False,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Nearest-code assignment as an Arrow-vectorized numpy matmul.
 
@@ -462,6 +463,8 @@ def _pq_assign_vectorized(
     out_fields = f"{id_col} long, s int, code long"
     if keep_sv:
         out_fields += ", sv array<double>"
+    for pc, pt in passthrough:
+        out_fields += f", {pc} {pt}"
 
     def assign(batches):
         for pdf in batches:
@@ -482,9 +485,11 @@ def _pq_assign_vectorized(
             }
             if keep_sv:
                 out["sv"] = pdf["sv"]
+            for pc, _ in passthrough:
+                out[pc] = pdf[pc].to_numpy()
             yield pd.DataFrame(out)
 
-    cols = [id_col, "s", "sv"]
+    cols = [id_col, "s", "sv"] + [pc for pc, _ in passthrough]
     return sub.select(*cols).mapInPandas(assign, schema=out_fields)
 
 
@@ -655,6 +660,7 @@ def ivfpq_topk(
     )
     rsub = res.select(
         F.col(id_col),
+        "cluster",
         F.explode(
             F.array(
                 *[
@@ -666,14 +672,18 @@ def ivfpq_topk(
                 ]
             )
         ).alias("x"),
-    ).select(F.col(id_col), F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+    ).select(
+        F.col(id_col), "cluster", F.col("x.s").alias("s"), F.col("x.sv").alias("sv")
+    )
     codes = rsub.filter(
         (F.col(id_col) % PQ_CODE_MOD == 0)
         & (F.col(id_col) < PQ_CODE_MOD * PQ_MAX_CODES)
     ).select(F.col(id_col).alias("code_id"), "s", F.col("sv").alias("cv"))
     code_rows = codes.collect()
-    enc = _pq_assign_vectorized(rsub, code_rows, sub_len, id_col).join(
-        res.select(F.col(id_col), "cluster"), id_col
+    # cluster rides through the encode as a passthrough column — joining
+    # it back on vec_id afterwards would be a corpus-sized shuffle
+    enc = _pq_assign_vectorized(
+        rsub, code_rows, sub_len, id_col, passthrough=(("cluster", "long"),)
     )
     codes_lit = emb.sparkSession.createDataFrame(code_rows, schema=codes.schema)
 
