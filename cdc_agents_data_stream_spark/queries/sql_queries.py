@@ -132,3 +132,48 @@ QUERIES = {
         "uncorrelated scalar subquery filter (shared SQL text)",
     ),
 }
+
+
+def sql_udf_surface(spark, sf_dir):
+    """The registered-function surface (sql.py::register_functions) driven
+    entirely through ``spark.sql``: SQL scalar functions (zmorton /
+    tok_count / quality_ratio — inlined into codegen, zero UDF overhead)
+    over the documents table. The oracle expands the same expressions
+    DuckDB-side, proving the function bodies are dialect-portable."""
+    from ..sql import register_functions
+
+    load_mod = __import__(
+        f"{__package__}.base", fromlist=["load"]
+    )
+    load_mod.load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    register_functions(spark)
+    return spark.sql(
+        """
+        SELECT doc_id,
+               tok_count(text) AS n_toks,
+               quality_ratio(text) AS q_micro,
+               zmorton(doc_id % 1024, LEAST(n_chars, 1023)) AS zkey
+        FROM documents ORDER BY doc_id
+        """
+    )
+
+
+def _udf_surface_oracle() -> str:
+    from ..operators.zorder import zorder_expr_sql
+
+    z = zorder_expr_sql(["(doc_id % 1024)", "LEAST(n_chars, 1023)"], 10)
+    return f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       CAST(ROUND(length(regexp_replace(text, '[^a-z ]', '', 'g'))
+            * 1e6 / GREATEST(length(text), 1)) AS BIGINT) AS q_micro,
+       CAST({z} AS BIGINT) AS zkey
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES["sql_udf_surface"] = Q(
+    sql_udf_surface,
+    _udf_surface_oracle(),
+    "registered SQL scalar functions driven through spark.sql",
+)

@@ -75,3 +75,55 @@ def register_derived_views(spark: SparkSession) -> list[str]:
         ).createOrReplaceTempView("events_ms")
         names.append("events_ms")
     return names
+
+
+def register_functions(spark: SparkSession) -> list[str]:
+    """Register the engine's kernels as SQL-callable functions, making
+    ``spark.sql`` a complete surface:
+
+    - ``zmorton(x, y)`` / ``tok_count(t)`` / ``quality_ratio(t)`` are SQL
+      scalar functions (CREATE TEMPORARY FUNCTION ... RETURN <expr>) — the
+      body inlines into the calling plan, so they cost NOTHING over
+      writing the expression by hand (whole-stage codegen, pushdown, the
+      lot). This is the right way to package reusable lake expressions.
+    - ``myers_diff_json(before, after)`` / ``json_canon(s)`` wrap the
+      Python kernels (functions/diffkernel.py, functions/jsoncanon.py)
+      for ad-hoc SQL use; the production path for bulk diffing stays the
+      Arrow-batched keyed pipeline (streaming/pipeline.py) — a per-row
+      Python UDF is the documented slow lane here, priced for
+      interactive queries, not scans.
+    """
+    import json as _json
+
+    from .functions.diffkernel import diff_lines
+    from .functions.jsoncanon import canonicalize_lines
+    from .operators.zorder import zorder_expr_sql
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION zmorton(x BIGINT, y BIGINT) "
+        "RETURNS BIGINT RETURN " + zorder_expr_sql(["x", "y"], 10)
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tok_count(t STRING) "
+        "RETURNS BIGINT RETURN CAST(size(split(t, ' ')) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION quality_ratio(t STRING) "
+        "RETURNS BIGINT RETURN CAST(ROUND(length(regexp_replace(t, '[^a-z ]', '')) "
+        "* 1e6 / GREATEST(length(t), 1)) AS BIGINT)"
+    )
+    spark.udf.register(
+        "myers_diff_json",
+        lambda a, b: _json.dumps(
+            diff_lines(
+                a.split("\n") if a else [], b.split("\n") if b else []
+            )
+        ),
+        "string",
+    )
+    spark.udf.register(
+        "json_canon",
+        lambda s: "\n".join(canonicalize_lines(s)) if s is not None else None,
+        "string",
+    )
+    return ["zmorton", "tok_count", "quality_ratio", "myers_diff_json", "json_canon"]
