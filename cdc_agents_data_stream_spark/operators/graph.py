@@ -1,0 +1,123 @@
+"""Graph analytics over DataFrame joins — PageRank on an integer grid.
+
+The reference has no graph operator; this extends the engine the way the
+near-dup clustering did (``operators/dedup.py::connected_components``):
+iterative label/mass propagation expressed as the same join + partial-agg
+primitives Spark already optimizes, so the 100 TB story is unchanged —
+each round is one edge⋈rank equi-join (shuffle on ``src``) and one grouped
+sum (partial aggregation on ``dst``), with the edge list persisted once
+and reused across rounds.
+
+Determinism: the classic float PageRank is NOT cross-engine reproducible
+(float addition order varies by partitioning), so ranks live on an exact
+integer grid — parts-per-million BIGINTs, integer division everywhere.
+``a DIV b`` (Spark) and ``a // b`` (DuckDB) agree on non-negative
+operands, and BIGINT sums are order-free, so a DuckDB oracle that unrolls
+the same iterations reproduces every rank bit-for-bit.
+
+Dangling mass (nodes with no out-edges — e.g. customers with no orders at
+small SFs) is redistributed uniformly each round, as in the original
+formulation: ``rank' = teleport + d·(Σ contrib + dangling_sum/N)``, all
+on the ppm grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Rank grid: parts-per-million. damping d = 0.85 → teleport (1-d) = 0.15.
+PR_INIT_PPM = 1_000_000
+PR_TELEPORT_PPM = 150_000
+PR_DAMP_MILLI = 850
+PR_ITERATIONS = 3
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = PR_ITERATIONS,
+) -> DataFrame:
+    """``(node, rank_ppm)`` after ``iterations`` synchronous PageRank
+    rounds. ``nodes`` is one ``node: long`` column (the full vertex set,
+    including isolated vertices); ``edges`` is ``(src, dst)`` directed,
+    pre-deduplicated by the caller.
+
+    Scale shape: ``edges ⋈ deg`` is computed once, persisted, and reused
+    every round — the rank side is the only thing that changes, so each
+    round shuffles |E| rows on ``src`` (join) and |E| partially-aggregated
+    rows on ``dst`` (grouped sum). The dangling-mass and vertex-count
+    scalars are 1-row aggregates broadcast into the update — no
+    ``collect`` of anything unbounded. ``localCheckpoint`` truncates the
+    rank lineage each round (same discipline as connected_components).
+    """
+    edges = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    nodes = nodes.select(F.col("node").cast("long").alias("node")).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    ed = edges.join(deg, "src").persist()
+    # Vertex count: a bounded dimension-table count (the node set is
+    # metadata-scale even when the edge list is not).
+    n_nodes = nodes.count()
+    ranks = nodes.select("node", F.lit(PR_INIT_PPM).cast("long").alias("rank_ppm"))
+    for _ in range(iterations):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("rank_ppm DIV outdeg")).alias("contrib"))
+            .select(F.col("dst").alias("node"), "contrib")
+        )
+        dangling = (
+            ranks.join(deg.select(F.col("src").alias("node")), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank_ppm"), F.lit(0)).cast("long").alias("dsum"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(PR_TELEPORT_PPM)
+                    + F.expr(
+                        f"({PR_DAMP_MILLI} * (coalesce(contrib, 0)"
+                        f" + dsum DIV {n_nodes})) DIV 1000"
+                    )
+                )
+                .cast("long")
+                .alias("rank_ppm"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    ed.unpersist()
+    return ranks
+
+
+def pagerank_oracle_iterations(iterations: int = PR_ITERATIONS) -> str:
+    """CTE chain ``r1 .. r{iterations}`` unrolling the same integer-grid
+    update for DuckDB; expects ``nodes(node)``, ``edges(src, dst)``,
+    ``deg(src, outdeg)``, ``nn(n)`` and ``r0(node, rank_ppm)`` CTEs to be
+    in scope."""
+    parts = []
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(
+            f"""
+c{i} AS (
+  SELECT e.dst AS node, SUM(r.rank_ppm // d.outdeg) AS contrib
+  FROM edges e JOIN deg d USING (src) JOIN r{p} r ON r.node = e.src
+  GROUP BY e.dst
+),
+d{i} AS (
+  SELECT COALESCE(SUM(r.rank_ppm), 0) AS dsum
+  FROM r{p} r LEFT JOIN deg d ON r.node = d.src WHERE d.src IS NULL
+),
+r{i} AS (
+  SELECT nd.node,
+         CAST({PR_TELEPORT_PPM} + ({PR_DAMP_MILLI} * (COALESCE(c.contrib, 0)
+              + (SELECT dsum FROM d{i}) // (SELECT n FROM nn))) // 1000
+              AS BIGINT) AS rank_ppm
+  FROM nodes nd LEFT JOIN c{i} c USING (node)
+)"""
+        )
+    return ",".join(parts)

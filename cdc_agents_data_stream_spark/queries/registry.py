@@ -104,6 +104,7 @@ def all_queries() -> dict[str, Q]:
         "format_queries",
         "quality_queries",
         "feature_queries",
+        "graph_queries",
     ):
         try:
             mod = __import__(f"{__package__}.{mod_name}", fromlist=["QUERIES"])

@@ -1,0 +1,59 @@
+"""PageRank unit tests: hand-computed integer-grid fixtures covering the
+update rule, dangling-mass redistribution, and isolated vertices."""
+
+from __future__ import annotations
+
+from cdc_agents_data_stream_spark.operators import graph as G
+
+
+def _ranks(spark, nodes, edges, iterations):
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    out = G.pagerank(ndf, edf, iterations=iterations)
+    return {r["node"]: r["rank_ppm"] for r in out.collect()}
+
+
+def test_two_node_cycle_is_stationary(spark):
+    # 1 <-> 2: each node always receives exactly the other's full rank,
+    # so rank stays at 150000 + 850*1000000//1000 = 1000000 every round.
+    got = _ranks(spark, [1, 2], [(1, 2), (2, 1)], iterations=3)
+    assert got == {1: 1_000_000, 2: 1_000_000}
+
+
+def test_one_iteration_hand_computed(spark):
+    # Graph: 1->2, 1->3, 2->3. No dangling (3 has no out-edges -> 3 IS
+    # dangling). N=3, init 1000000 each.
+    #   contribs: node2 <- 1000000//2 = 500000
+    #             node3 <- 500000 + 1000000 = 1500000
+    #   dangling sum = rank(3) = 1000000; per-node share = 1000000//3 = 333333
+    #   r(1) = 150000 + (850 * (0 + 333333)) // 1000       = 433333
+    #   r(2) = 150000 + (850 * (500000 + 333333)) // 1000  = 858333
+    #   r(3) = 150000 + (850 * (1500000 + 333333)) // 1000 = 1708333
+    got = _ranks(spark, [1, 2, 3], [(1, 2), (1, 3), (2, 3)], iterations=1)
+    assert got == {1: 433_333, 2: 858_333, 3: 1_708_333}
+
+
+def test_isolated_vertex_gets_teleport_plus_dangling_share(spark):
+    # 1 <-> 2 plus isolated vertex 9: vertex 9 contributes its whole rank
+    # to the dangling pool and receives only teleport + its share back.
+    got = _ranks(spark, [1, 2, 9], [(1, 2), (2, 1)], iterations=1)
+    share = 1_000_000 // 3
+    expect_9 = 150_000 + (850 * share) // 1000
+    expect_12 = 150_000 + (850 * (1_000_000 + share)) // 1000
+    assert got[9] == expect_9
+    assert got[1] == got[2] == expect_12
+
+
+def test_total_mass_is_conserved_up_to_floor_loss(spark):
+    # Integer floors only ever LOSE mass; after any round the total is
+    # bounded by N * init and stays within the cumulative floor loss
+    # (at most 1 ppm per division site per round).
+    nodes = list(range(1, 8))
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (2, 7)]
+    got = _ranks(spark, nodes, edges, iterations=3)
+    total = sum(got.values())
+    assert total <= len(nodes) * G.PR_INIT_PPM
+    # loss bound: per round, <= |E| + 2N division floors, 3 rounds
+    assert total >= len(nodes) * G.PR_INIT_PPM - 3 * (len(edges) + 2 * len(nodes)) * 1000
+    # in-degree-0 node 7's rank must exceed pure teleport (dangling share)
+    assert got[7] >= 150_000
