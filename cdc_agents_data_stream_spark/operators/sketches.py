@@ -152,3 +152,33 @@ def cms_estimate(sketch: DataFrame, values: DataFrame, value_col: str) -> DataFr
         .groupBy(value_col)
         .agg(F.min("cnt").cast("long").alias("cms_est"))
     )
+
+
+def hll_registers(df: DataFrame, value_col: str, group_cols: tuple = ()) -> DataFrame:
+    """``(*group_cols, bucket, m_j)`` — the HLL sketch in its mergeable
+    register form. Register-wise MAX over ANY partition of the input
+    equals the registers of the union (max is associative, commutative,
+    idempotent), which is the property that lets shard-local sketches
+    roll up to the global one without touching raw data again — the
+    two-level merge `hll_distinct`'s partial aggregation already
+    performs, exposed here so the parity can be PROVEN as a query."""
+    h = F.expr(
+        f"CAST(conv(substring(md5(CAST({value_col} AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    prepared = df.select(
+        *[F.col(c) for c in group_cols],
+        F.pmod(h, F.lit(HLL_M)).alias("bucket"),
+        F.expr(
+            f"CAST(conv(substring(md5(CAST({value_col} AS STRING)), 1, 15), 16, 10)"
+            f" AS BIGINT) DIV {HLL_M}"
+        ).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(_W_BITS + 1)).otherwise(
+        F.lit(_W_BITS) - F.length(F.conv(F.col("w"), 10, 2)) + 1
+    )
+    return (
+        prepared.withColumn("rho", F.least(rho, F.lit(RHO_CAP)).cast("int"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )

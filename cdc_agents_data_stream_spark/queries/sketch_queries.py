@@ -102,3 +102,66 @@ QUERIES = {
         "count-min frequency sketch with exact-count comparison",
     ),
 }
+
+
+def hll_merge_parity(spark, sf_dir):
+    """PROOF of sketch mergeability as a query: day-sharded HLL registers
+    rolled up with register-wise MAX equal the registers built over the
+    whole corpus in one pass, bucket for bucket. This is the property
+    that makes HLL safe to pre-aggregate per partition/day and merge at
+    rollup time without re-reading raw data — asserted here as a hard
+    signal (every row's registers_match), not just claimed."""
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    shard = K.hll_registers(ev, "event_id", ("day",))
+    merged = shard.groupBy("bucket").agg(
+        F.max("m_j").cast("int").alias("merged_m_j"),
+        F.countDistinct("day").cast("long").alias("n_shards_hit"),
+    )
+    glob = K.hll_registers(ev, "event_id").select(
+        "bucket", F.col("m_j").cast("int").alias("global_m_j")
+    )
+    return (
+        merged.join(glob, "bucket")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_shards_hit",
+            "merged_m_j",
+            "global_m_j",
+            (F.col("merged_m_j") == F.col("global_m_j")).alias("registers_match"),
+        )
+        .orderBy("bucket")
+    )
+
+
+HLL_MERGE_PARITY_SQL = f"""
+WITH h AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+  FROM events
+),
+b AS (SELECT day, hv % {K.HLL_M} AS bucket, hv // {K.HLL_M} AS w FROM h),
+r AS (
+  SELECT day, bucket,
+         LEAST(CASE WHEN w = 0 THEN {60 - K.HLL_B + 1}
+                    ELSE {60 - K.HLL_B} - length(bin(w)) + 1 END,
+               {K.RHO_CAP}) AS rho
+  FROM b
+),
+shard AS (SELECT day, bucket, MAX(rho) AS m_j FROM r GROUP BY 1, 2),
+merged AS (
+  SELECT bucket, MAX(m_j) AS mm, COUNT(DISTINCT day) AS nsh FROM shard GROUP BY bucket
+),
+gsk AS (SELECT bucket, MAX(rho) AS gm FROM r GROUP BY bucket)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(nsh AS BIGINT) AS n_shards_hit,
+       CAST(mm AS INT) AS merged_m_j,
+       CAST(gm AS INT) AS global_m_j,
+       mm = gm AS registers_match
+FROM merged JOIN gsk USING (bucket) ORDER BY bucket
+"""
+
+QUERIES["hll_merge_parity"] = Q(
+    hll_merge_parity,
+    HLL_MERGE_PARITY_SQL,
+    "day-sharded HLL registers merge exactly to the global sketch (mergeability proof)",
+)

@@ -296,3 +296,61 @@ ORDER BY event_id
 QUERIES["user_rolling_7d"] = Q(
     user_rolling_7d, USER_ROLLING_7D_SQL, "trailing-7-day RANGE-frame rolling aggregate"
 )
+
+
+def event_pattern_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-style sequence pattern detection: each user's
+    event history becomes one ordered symbol string (event types map to
+    their distinct first letters: c/e/p/s/v), and a regex counts the
+    non-overlapping view+→click*→purchase runs — the row-pattern-match
+    shape (Flink/Oracle MATCH_RECOGNIZE) expressed as grouped ordered
+    collect + codegen regexp. One user-keyed shuffle; the per-user
+    symbol string is bounded by the user's own history, and the regex
+    runs JVM-side. Tie-break on (ts_ms, event_id) makes the string —
+    and therefore every downstream count — deterministic cross-engine."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        ms("ts").alias("ts_ms"),
+        F.substring("event_type", 1, 1).alias("code"),
+    )
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts_ms", "event_id", "code"))),
+                    lambda s: s["code"],
+                ),
+                "",
+            ).alias("seq"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+    return seq.select(
+        "user_id",
+        "seq",
+        "n_events",
+        F.coalesce(F.regexp_count("seq", F.lit("v+c*p")), F.lit(0))
+        .cast("long")
+        .alias("n_funnel_runs"),
+    ).orderBy("user_id")
+
+
+EVENT_PATTERN_MATCH_SQL = """
+WITH s AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY epoch_ms(ts), event_id) AS seq,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, seq, n_events,
+       CAST(len(regexp_extract_all(seq, 'v+c*p')) AS BIGINT) AS n_funnel_runs
+FROM s ORDER BY user_id
+"""
+
+QUERIES["event_pattern_match"] = Q(
+    event_pattern_match,
+    EVENT_PATTERN_MATCH_SQL,
+    "row-pattern (MATCH_RECOGNIZE-style) funnel-run counting over ordered per-user event strings",
+)
