@@ -1058,3 +1058,120 @@ QUERIES = {
         "live left-outer stream-stream join with watermark-gated nulls",
     ),
 }
+
+
+def stream_sessionization(spark, sf_dir):
+    """LIVE streaming gap-sessionization — `user_sessionization`'s
+    semantics (session_window, inclusive gap — 96 h here, sized so the
+    testdata's ~6-day per-user spacing yields real multi-event sessions:
+    427 sessions, 192 spanning >1 event at sf0.01) run as a real
+    readStream where sessions MERGE ACROSS MICRO-BATCHES in the state
+    store: the sampled events are staged as three tick files split by
+    event time, so most users' sessions span tick boundaries and the
+    final result only exists if Spark's session-merge state machine is
+    correct. Watermark 30 min; the availableNow no-data batch flushes
+    every session whose end (last event + gap) <= final watermark —
+    sessions still open at termination are withheld by append mode, and
+    the oracle reproduces exactly that closed-session set via
+    gaps-and-islands."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark.conf.set(
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false"
+    )
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 13 == 0)
+        .select("event_id", "ts", "user_id")
+        .toPandas()
+        .sort_values("ts")
+    )
+    n = len(ev)
+    base = tempfile.mkdtemp(prefix="stream-sess-")
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")), ("user_id", pa.int64())]
+    )
+    try:
+        os.makedirs(f"{base}/in")
+        now = _time.time()
+        for tick in range(3):
+            part = ev.iloc[tick * n // 3 : (tick + 1) * n // 3]
+            path = f"{base}/in/tick-{tick}.parquet"
+            pq.write_table(
+                pa.Table.from_pandas(part, schema=schema, preserve_index=False), path
+            )
+            os.utime(path, (now - 30 + tick * 10, now - 30 + tick * 10))
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/in")
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.session_window("ts", "96 hours").alias("w"), "user_id")
+            .agg(F.count("*").cast("long").alias("n_events"))
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_sessionization_sink")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout=300)
+        finally:
+            q.stop()
+        out = spark.table("stream_sessionization_sink").select(
+            "user_id",
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end").cast("timestamp")).alias("session_end_ms"),
+            "n_events",
+        )
+        collected = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.catalog.dropTempView("stream_sessionization_sink")
+    return spark.createDataFrame(
+        collected,
+        "user_id long, session_start_ms long, session_end_ms long, n_events long",
+    ).orderBy("user_id", "session_start_ms")
+
+
+STREAM_SESSIONIZATION_SQL = """
+WITH s AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_id % 13 = 0
+),
+wm AS (SELECT MAX(ts_ms) - 1800000 AS w FROM s),
+marked AS (
+  SELECT user_id, ts_ms,
+         CASE WHEN LAG(ts_ms) OVER w IS NULL
+                OR ts_ms - LAG(ts_ms) OVER w > 345600000 THEN 1 ELSE 0 END AS new_sess
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+),
+sessioned AS (
+  SELECT user_id, ts_ms,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts_ms) AS session_start_ms,
+       MAX(ts_ms) + 345600000 AS session_end_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessioned
+GROUP BY user_id, sid
+HAVING MAX(ts_ms) + 345600000 <= (SELECT w FROM wm)
+ORDER BY user_id, session_start_ms
+"""
+
+QUERIES["stream_sessionization"] = Q(
+    stream_sessionization,
+    STREAM_SESSIONIZATION_SQL,
+    "LIVE streaming session windows merging across micro-batches, append-mode closed-session emission",
+)
