@@ -121,3 +121,54 @@ r{i} AS (
 )"""
         )
     return ",".join(parts)
+
+
+def triangle_counts(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """``(node, n_triangles)`` for every vertex on >=1 triangle of the
+    undirected graph given as canonical pairs (``a < b``, deduplicated).
+
+    Degree-oriented node-iterator: every edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, wedges are built only
+    between a vertex's ORIENTED out-neighbors, and a triangle is found
+    when the closing oriented edge exists — each triangle enumerated
+    exactly once. Orienting by degree (not id) is the scale choice: the
+    per-vertex wedge fan-out is bounded by the graph's arboricity
+    (out-degrees stay small even at power-law hubs), where id-ordering
+    would square the hub degree. The orientation key packs (degree, id)
+    into one BIGINT so the comparison stays scalar codegen."""
+    e0 = pairs.select(
+        F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
+    )
+    sym = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    keyed = (
+        sym.join(deg.select(F.col("u"), (F.col("d") * F.lit(1 << 32) + F.col("u")).alias("ku")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), (F.col("d") * F.lit(1 << 32) + F.col("u")).alias("kv")),
+            "v",
+        )
+    )
+    o = (
+        keyed.filter(F.col("ku") < F.col("kv"))
+        .select("u", "v", "kv")
+        .localCheckpoint()  # reused three times below; don't re-derive
+    )
+    wedges = (
+        o.select("u", F.col("v").alias("x"), F.col("kv").alias("kx"))
+        .join(o.select("u", F.col("v").alias("y"), F.col("kv").alias("ky")), "u")
+        .filter(F.col("kx") < F.col("ky"))
+        .select("u", "x", "y")
+    )
+    tri = wedges.join(
+        o.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
+    )
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("x").alias("node")))
+        .unionByName(tri.select(F.col("y").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )

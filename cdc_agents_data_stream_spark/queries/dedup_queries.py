@@ -478,3 +478,96 @@ QUERIES["dedup_keeper_by_quality"] = Q(
     DEDUP_KEEPER_BY_QUALITY_SQL,
     "quality-aware (longest-doc) canonical keeper per near-dup cluster",
 )
+
+
+def dedup_lsh_recall(spark, sf_dir):
+    """Measured recall of the MinHash-LSH candidate generator against the
+    exact n-gram-Jaccard truth set at the gate threshold (J >= 0.5) — the
+    dedup-side analogue of ann_ivf_recall: the banding scheme's recall
+    claim (~1-(1-J^4)^8) quantified on real data as a hard integer
+    signal. Also reports how many candidates the exact verify rejects
+    (banding false positives — the work the verify stage pays for)."""
+    docs = load(spark, sf_dir, "documents")
+    truth = D.ngram_jaccard_pairs(docs, threshold=0.5, exact=True).select(
+        "doc_a", "doc_b"
+    )
+    buckets = D.minhash_band_buckets(D.minhash_signatures(D.shingles(docs)))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    hit = truth.join(cands, ["doc_a", "doc_b"])
+    n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
+    n_cand = cands.agg(F.count("*").cast("long").alias("n_candidates"))
+    n_hit = hit.agg(F.count("*").cast("long").alias("n_hit"))
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            (F.col("n_candidates") - F.col("n_hit")).alias("n_cand_rejected"),
+            F.expr("(n_hit * 1000000) DIV n_true").cast("long").alias("recall_ppm"),
+        )
+    )
+
+
+DEDUP_LSH_RECALL_SQL = f"""
+WITH {_SHINGLE_CTES},
+inter_all AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter_all i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.5
+),
+perms AS (SELECT * FROM (VALUES {_PERM_VALUES}) p(i, a, b)),
+h0 AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {D.MERSENNE_P} AS h0
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id, i, MIN((a * h0 + b) % {D.MERSENNE_P}) AS sig
+  FROM h0 CROSS JOIN perms GROUP BY doc_id, i
+),
+buckets AS (
+  SELECT doc_id, (i // {D.BAND_SIZE}) AS band,
+         md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bucket
+  FROM sigs GROUP BY doc_id, (i // {D.BAND_SIZE})
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+hit AS (SELECT * FROM truth INTERSECT SELECT * FROM cands),
+c AS (
+  SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+         CAST((SELECT COUNT(*) FROM cands) AS BIGINT) AS n_candidates,
+         CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit
+)
+SELECT n_true, n_candidates, n_hit,
+       n_candidates - n_hit AS n_cand_rejected,
+       CAST((n_hit * 1000000) // n_true AS BIGINT) AS recall_ppm
+FROM c
+"""
+
+QUERIES["dedup_lsh_recall"] = Q(
+    dedup_lsh_recall,
+    DEDUP_LSH_RECALL_SQL,
+    "measured LSH candidate recall vs exact Jaccard truth at J>=0.5",
+)

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import graph as G
+from ..operators.graph import triangle_counts
 from .base import Q, load
 
 
@@ -79,3 +80,63 @@ QUERIES = {
         "3-iteration integer-grid PageRank over the purchase graph",
     ),
 }
+
+
+def graph_triangle_counts(spark, sf_dir):
+    """Per-document triangle participation in the simhash near-dup graph
+    (operators/graph.py::triangle_counts) — triangle density is the
+    classic cluster-cohesion signal (a quasi-clique of duplicates is
+    triangle-rich; a chain of borderline matches is not). Degree-oriented
+    wedge enumeration keeps the join fan-out arboricity-bounded; the
+    oracle enumerates the same triangle set id-canonically."""
+    from ..operators import dedup as D
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.simhash_pairs(docs, max_hamming=3)
+    return (
+        triangle_counts(pairs)
+        .select(F.col("node").alias("doc_id"), "n_triangles")
+        .orderBy("doc_id")
+    )
+
+
+_SIMHASH_PAIR_CTES = """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h0 FROM toks),
+bits AS (
+  SELECT doc_id, j, CASE WHEN (h0 >> j) & 1 = 1 THEN 1 ELSE -1 END AS c
+  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS j) jj
+),
+perbit AS (SELECT doc_id, j, SUM(c) AS s FROM bits GROUP BY doc_id, j),
+sv AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS simhash
+  FROM perbit GROUP BY doc_id
+),
+prs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sv a JOIN sv b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+)"""
+
+GRAPH_TRIANGLE_COUNTS_SQL = f"""
+WITH {_SIMHASH_PAIR_CTES},
+tris AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM prs e1
+  JOIN prs e2 ON e2.doc_a = e1.doc_b
+  JOIN prs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+corners AS (
+  SELECT a AS doc_id FROM tris
+  UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["graph_triangle_counts"] = Q(
+    graph_triangle_counts,
+    GRAPH_TRIANGLE_COUNTS_SQL,
+    "degree-oriented triangle counting over the near-dup graph",
+)

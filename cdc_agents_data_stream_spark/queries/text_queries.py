@@ -655,3 +655,69 @@ QUERIES["tfidf_retrieval_topk"] = Q(
     TFIDF_RETRIEVAL_TOPK_SQL,
     "sparse tf-idf ranked retrieval with integer-grid idf",
 )
+
+
+def ngram_lm_topnext(spark, sf_dir):
+    """Distributed bigram language-model estimation — the counting side
+    of LM-based corpus scoring: per-context next-token counts, maximum-
+    likelihood conditional probability on the ppm integer grid
+    (p = cnt·10⁶ DIV ctx — no float division), and the top-3 next tokens
+    per context (row_number over cnt DESC, token ASC). Bigrams are built
+    map-side by zipping each doc's token array with its own tail (no
+    self-join, no python); one partial-agg groupBy does the counting, so
+    shuffle volume is bounded by the distinct-bigram vocabulary, not the
+    corpus."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(F.split("text", " ").alias("toks"))
+    z = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(toks, 1, size(toks)-1)").alias("w1"),
+                F.expr("slice(toks, 2, size(toks)-1)").alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bg = z.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("cnt"))
+    ctx = bg.groupBy("w1").agg(F.sum("cnt").cast("long").alias("ctx_cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("w1").orderBy(F.col("cnt").desc(), F.col("w2"))
+    return (
+        bg.join(ctx, "w1")
+        .filter(F.col("ctx_cnt") >= 20)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            "ctx_cnt",
+            F.expr("(cnt * 1000000) DIV ctx_cnt").cast("long").alias("p_ppm"),
+            "rnk",
+        )
+        .orderBy("w1", "rnk")
+    )
+
+
+NGRAM_LM_TOPNEXT_SQL = """
+WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+idx AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM d),
+bg0 AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM idx),
+bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg0 GROUP BY w1, w2),
+cx AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS ctx_cnt FROM bg GROUP BY w1),
+r AS (
+  SELECT bg.w1, bg.w2, bg.cnt, cx.ctx_cnt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY bg.w1
+                                 ORDER BY bg.cnt DESC, bg.w2) AS BIGINT) AS rnk
+  FROM bg JOIN cx USING (w1) WHERE cx.ctx_cnt >= 20
+)
+SELECT w1, w2, cnt, ctx_cnt,
+       CAST((cnt * 1000000) // ctx_cnt AS BIGINT) AS p_ppm, rnk
+FROM r WHERE rnk <= 3 ORDER BY w1, rnk
+"""
+
+QUERIES["ngram_lm_topnext"] = Q(
+    ngram_lm_topnext,
+    NGRAM_LM_TOPNEXT_SQL,
+    "bigram LM counts: ppm conditional probabilities and top-3 next tokens per context",
+)

@@ -354,3 +354,52 @@ QUERIES["event_pattern_match"] = Q(
     EVENT_PATTERN_MATCH_SQL,
     "row-pattern (MATCH_RECOGNIZE-style) funnel-run counting over ordered per-user event strings",
 )
+
+
+def events_sliding_rollup(spark, sf_dir):
+    """Sliding (hopping) window rollup — 1-hour windows every 15 minutes,
+    so each event contributes to exactly 4 overlapping windows. Spark
+    assigns all four in one codegen projection (`F.window` with a slide
+    emits the window array inline — no self-join); the shuffle is the
+    same single partial-agg groupBy as the tumbling case, just with 4×
+    the (window, type) key volume. The oracle reconstructs the window
+    set by exploding the 4 slide offsets per event."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias("win_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_cents",
+        )
+        .orderBy("win_start_ms", "event_type")
+    )
+
+
+EVENTS_SLIDING_ROLLUP_SQL = """
+WITH w AS (
+  SELECT epoch_ms(time_bucket(INTERVAL '15 minutes', ts)) - k.k * 900000 AS win_start_ms,
+         event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events, UNNEST([0, 1, 2, 3]) AS k(k)
+)
+SELECT win_start_ms, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM w
+GROUP BY win_start_ms, event_type
+ORDER BY win_start_ms, event_type
+"""
+
+QUERIES["events_sliding_rollup"] = Q(
+    events_sliding_rollup,
+    EVENTS_SLIDING_ROLLUP_SQL,
+    "1-hour windows sliding every 15 minutes (4 windows per event, no self-join)",
+)
