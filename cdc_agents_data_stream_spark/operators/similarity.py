@@ -675,6 +675,12 @@ def ivfpq_topk(
     ).select(
         F.col(id_col), "cluster", F.col("x.s").alias("s"), F.col("x.sv").alias("sv")
     )
+    # NOTE: materializing rsub (localCheckpoint) to dedupe its two
+    # consumers was A/B-measured at sf0.1: 2.27-2.94 s → 2.26-2.50 s —
+    # within host noise, because at this corpus size the cost is fixed
+    # per-job overhead, not the subtree. Left unmaterialized: at 100 TB
+    # the encode input should be persisted EXPLICITLY by the caller (a
+    # real index build writes the encoded corpus to a table anyway).
     codes = rsub.filter(
         (F.col(id_col) % PQ_CODE_MOD == 0)
         & (F.col(id_col) < PQ_CODE_MOD * PQ_MAX_CODES)
