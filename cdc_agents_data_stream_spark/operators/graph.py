@@ -172,3 +172,73 @@ def triangle_counts(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
     return corners.groupBy("node").agg(
         F.count("*").cast("long").alias("n_triangles")
     )
+
+
+LPA_ITERATIONS = 3
+
+
+def label_propagation(
+    nodes: DataFrame, edges: DataFrame, iterations: int = LPA_ITERATIONS
+) -> DataFrame:
+    """``(node, label)`` after ``iterations`` SYNCHRONOUS majority-vote
+    label-propagation rounds (community detection). Classic async LPA is
+    run-order-dependent; this variant is fully deterministic: every node
+    simultaneously adopts its neighbors' most frequent label, ties broken
+    by the SMALLEST label, isolated nodes keep their own. Same per-round
+    scale shape as pagerank: one edge⋈label equi-join + a two-level
+    grouped argmax (count per (node,label), then max_by per node) — all
+    partial-aggregated."""
+    edges = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).localCheckpoint()
+    nodes = nodes.select(F.col("node").cast("long").alias("node")).localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iterations):
+        nbr = (
+            edges.join(labels.select(F.col("node").alias("src"), "label"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        best = nbr.groupBy("node").agg(
+            F.max_by("label", F.struct(F.col("cnt"), -F.col("label"))).alias("nlabel")
+        )
+        labels = (
+            nodes.join(best, "node", "left")
+            .select(
+                "node",
+                # isolated nodes never receive votes; their label is their
+                # own id for every round, so coalescing to `node` is exact
+                F.coalesce("nlabel", F.col("node")).cast("long").alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def lpa_oracle_iterations(iterations: int = LPA_ITERATIONS) -> str:
+    """CTE chain ``l1 .. l{iterations}`` unrolling the same synchronous
+    majority-vote update for DuckDB; expects ``nodes(node)``,
+    ``edges(src, dst)`` and ``l0(node, label)`` in scope."""
+    parts = []
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(
+            f"""
+n{i} AS (
+  SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+  FROM edges e JOIN l{p} l ON l.node = e.src
+  GROUP BY e.dst, l.label
+),
+b{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+    FROM n{i}
+  ) WHERE rn = 1
+),
+l{i} AS (
+  SELECT nd.node, CAST(COALESCE(b.label, nd.node) AS BIGINT) AS label
+  FROM nodes nd LEFT JOIN b{i} b USING (node)
+)"""
+        )
+    return ",".join(parts)

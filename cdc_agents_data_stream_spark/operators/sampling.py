@@ -226,3 +226,45 @@ def temperature_mix(
         .withColumn("keep_bucket", bucket)
         .filter(F.col("keep_bucket") < F.col("rate_micro"))
     )
+
+
+NEG_P1 = 2_654_435_761  # Knuth multiplicative hash constants — shared
+NEG_P2 = 40_503         # with the oracle so both engines derive the
+                        # same negative ids
+
+
+def negative_samples(
+    df, k: int = 4, id_col: str = "doc_id", payload_cols: tuple = ()
+):
+    """k deterministic in-batch negatives per anchor for contrastive
+    training: neg_id(a, j) = (a·P1 + j·P2 + 17) mod N over a contiguous
+    id space — a pure function of the anchor id, so reruns and other
+    engines agree row-for-row (the same property as the md5 split).
+    Slots that collide with their own anchor are dropped, exactly as a
+    real pipeline discards accidental positives.
+
+    Scale shape: the slot fan-out is a map-side explode (k rows per
+    anchor, no shuffle), the negative lookup is ONE equi-join on the
+    computed id. N is a dimension-scale count (stored in table metadata
+    in a real deployment). Overflow bound: (N−1)·P1 < 2⁶³ holds for
+    N ≤ 2³¹."""
+    from pyspark.sql import functions as F
+
+    n = df.count()
+    anchors = df.select(F.col(id_col).alias("anchor_id"))
+    slots = anchors.select(
+        "anchor_id", F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("slot")
+    )
+    neg = slots.select(
+        "anchor_id",
+        "slot",
+        F.expr(
+            f"(anchor_id * {NEG_P1}L + slot * {NEG_P2}L + 17L) % {n}L"
+        ).cast("long").alias("neg_id"),
+    ).filter(F.col("neg_id") != F.col("anchor_id"))
+    side = df.select(
+        F.col(id_col).alias("neg_id"), *[F.col(c).alias(f"neg_{c}") for c in payload_cols]
+    )
+    return neg.join(side, "neg_id").select(
+        "anchor_id", "slot", "neg_id", *[f"neg_{c}" for c in payload_cols]
+    )

@@ -140,3 +140,76 @@ QUERIES["graph_triangle_counts"] = Q(
     GRAPH_TRIANGLE_COUNTS_SQL,
     "degree-oriented triangle counting over the near-dup graph",
 )
+
+
+def graph_label_communities(spark, sf_dir):
+    """Deterministic synchronous label-propagation communities
+    (operators/graph.py::label_propagation) over the same bidirectional
+    purchase graph as `graph_pagerank`, with each node's final label and
+    its community size — the community-detection checkbox next to
+    connected components (transitive closure) and PageRank (centrality)."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("ck"),
+            F.col("l_suppkey").cast("long").alias("sk"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        (F.col("ck") * 2).alias("src"), (F.col("sk") * 2 + 1).alias("dst")
+    ).unionByName(
+        pairs.select((F.col("sk") * 2 + 1).alias("src"), (F.col("ck") * 2).alias("dst"))
+    )
+    nodes = (
+        load(spark, sf_dir, "customer")
+        .select((F.col("c_custkey").cast("long") * 2).alias("node"))
+        .unionByName(
+            load(spark, sf_dir, "supplier").select(
+                (F.col("s_suppkey").cast("long") * 2 + 1).alias("node")
+            )
+        )
+    )
+    labels = G.label_propagation(nodes, edges)
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        "node", "label", "community_size"
+    ).orderBy("node")
+
+
+GRAPH_LABEL_COMMUNITIES_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS ck,
+                  CAST(l.l_suppkey AS BIGINT) AS sk
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+  SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT sk * 2 + 1, ck * 2 FROM pairs
+),
+nodes AS (
+  SELECT CAST(c_custkey AS BIGINT) * 2 AS node FROM customer
+  UNION
+  SELECT CAST(s_suppkey AS BIGINT) * 2 + 1 FROM supplier
+),
+l0 AS (SELECT node, node AS label FROM nodes),
+{G.lpa_oracle_iterations()},
+sizes AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+  FROM l{G.LPA_ITERATIONS} GROUP BY label
+)
+SELECT l.node, l.label, s.community_size
+FROM l{G.LPA_ITERATIONS} l JOIN sizes s USING (label)
+ORDER BY l.node
+"""
+
+QUERIES["graph_label_communities"] = Q(
+    graph_label_communities,
+    GRAPH_LABEL_COMMUNITIES_SQL,
+    "deterministic synchronous label-propagation communities over the purchase graph",
+)

@@ -211,3 +211,40 @@ QUERIES = {
         "temperature-scaled domain mixing (alpha=0.5)",
     ),
 }
+
+
+def contrastive_negatives(spark, sf_dir):
+    """Deterministic negative sampling for contrastive embedding training
+    (operators/sampling.py::negative_samples): 4 hash-derived negatives
+    per anchor document, joined back to the corpus for their payload —
+    the pair-construction step between dedup/quality and the training
+    run. Anchor-id collisions are dropped (accidental positives)."""
+    docs = load(spark, sf_dir, "documents")
+    return S.negative_samples(docs, k=4, payload_cols=("n_chars",)).orderBy(
+        "anchor_id", "slot"
+    )
+
+
+CONTRASTIVE_NEGATIVES_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+slots AS (
+  SELECT doc_id AS anchor_id, j.j AS slot
+  FROM documents, UNNEST([0, 1, 2, 3]) AS j(j)
+),
+neg AS (
+  SELECT anchor_id, slot,
+         (anchor_id * {S.NEG_P1} + slot * {S.NEG_P2} + 17) % (SELECT n FROM n) AS neg_id
+  FROM slots
+)
+SELECT g.anchor_id, g.slot, CAST(g.neg_id AS BIGINT) AS neg_id,
+       d.n_chars AS neg_n_chars
+FROM neg g JOIN documents d ON d.doc_id = g.neg_id
+WHERE g.neg_id <> g.anchor_id
+ORDER BY g.anchor_id, g.slot
+"""
+
+QUERIES["contrastive_negatives"] = Q(
+    contrastive_negatives,
+    CONTRASTIVE_NEGATIVES_SQL,
+    "deterministic hash-derived contrastive negatives joined to corpus payload",
+)

@@ -177,3 +177,64 @@ QUERIES["sql_udf_surface"] = Q(
     _udf_surface_oracle(),
     "registered SQL scalar functions driven through spark.sql",
 )
+
+
+def sql_udtf_ngrams(spark, sf_dir):
+    """The Python UDTF extension point (Spark 4 `spark.udtf.register`) —
+    a user-defined TABLE function driven through SQL's LATERAL join, the
+    modern replacement for RDD flatMap-style custom expansion. The UDTF
+    emits (pos, 3-gram) rows per document; the query aggregates back to a
+    bounded per-doc signature (count, distinct count, exact md5-prefix
+    sum reduced mod 2^61-1 — integer end to end, no float rounding) so the hard signal covers every emitted row
+    without shipping 100k rows through the comparator. Python UDTFs are
+    the slow path (per-row eval) — this gate pins the API surface and its
+    exact semantics, not a hot-path recommendation; the engine's hot
+    n-gram kernels (shingles, chunking) stay in codegen."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, ngram: string")
+    class NGrams:
+        def eval(self, text: str, n: int):
+            toks = text.split(" ")
+            for i in range(len(toks) - n + 1):
+                yield i, " ".join(toks[i : i + n])
+
+    spark.udtf.register("ngrams_udtf", NGrams)
+    load_mod = __import__(f"{__package__}.base", fromlist=["load"])
+    load_mod.load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+               CAST(COUNT(DISTINCT g.ngram) AS BIGINT) AS n_distinct,
+               CAST(SUM(CAST(CAST(conv(substring(md5(concat(CAST(g.pos AS STRING), ':', g.ngram)), 1, 15), 16, 10) AS BIGINT) AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT) AS hash_mod
+        FROM documents d, LATERAL ngrams_udtf(d.text, 3) g
+        GROUP BY d.doc_id ORDER BY d.doc_id
+        """
+    )
+
+
+SQL_UDTF_NGRAMS_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(len(toks) - 2, 0))) AS pos,
+         toks
+  FROM t
+),
+e AS (
+  SELECT doc_id, pos, array_to_string(toks[pos + 1:pos + 3], ' ') AS ngram FROM g
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(COUNT(DISTINCT ngram) AS BIGINT) AS n_distinct,
+       CAST(SUM(CAST(CAST('0x' || substr(md5(CAST(pos AS VARCHAR) || ':' || ngram), 1, 15) AS BIGINT) AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT) AS hash_mod
+FROM e
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["sql_udtf_ngrams"] = Q(
+    sql_udtf_ngrams,
+    SQL_UDTF_NGRAMS_SQL,
+    "Python UDTF (LATERAL table function) n-gram expansion with exact per-doc signature",
+)
