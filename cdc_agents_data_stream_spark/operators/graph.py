@@ -183,21 +183,26 @@ def label_propagation(
     """``(node, label)`` after ``iterations`` SYNCHRONOUS majority-vote
     label-propagation rounds (community detection). Classic async LPA is
     run-order-dependent; this variant is fully deterministic: every node
-    simultaneously adopts its neighbors' most frequent label, ties broken
-    by the SMALLEST label, isolated nodes keep their own. Same per-round
-    scale shape as pagerank: one edge⋈label equi-join + a two-level
-    grouped argmax (count per (node,label), then max_by per node) — all
-    partial-aggregated."""
+    simultaneously adopts the most frequent label among its neighbors
+    PLUS ITSELF (the self-vote breaks the 2-cycle oscillation synchronous
+    LPA is known for — without it a connected pair swaps labels forever),
+    ties broken by the SMALLEST label; isolated nodes keep their own.
+    Same per-round scale shape as pagerank: one edge⋈label equi-join + a
+    two-level grouped argmax (count per (node,label), then max_by per
+    node) — all partial-aggregated."""
     edges = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
     ).localCheckpoint()
     nodes = nodes.select(F.col("node").cast("long").alias("node")).localCheckpoint()
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(iterations):
-        nbr = (
-            edges.join(labels.select(F.col("node").alias("src"), "label"), "src")
-            .groupBy(F.col("dst").alias("node"), "label")
-            .agg(F.count("*").cast("long").alias("cnt"))
+        votes = edges.join(
+            labels.select(F.col("node").alias("src"), "label"), "src"
+        ).select(F.col("dst").alias("node"), "label").unionByName(
+            labels.select("node", "label")  # self-vote
+        )
+        nbr = votes.groupBy("node", "label").agg(
+            F.count("*").cast("long").alias("cnt")
         )
         best = nbr.groupBy("node").agg(
             F.max_by("label", F.struct(F.col("cnt"), -F.col("label"))).alias("nlabel")
@@ -225,9 +230,11 @@ def lpa_oracle_iterations(iterations: int = LPA_ITERATIONS) -> str:
         parts.append(
             f"""
 n{i} AS (
-  SELECT e.dst AS node, l.label, COUNT(*) AS cnt
-  FROM edges e JOIN l{p} l ON l.node = e.src
-  GROUP BY e.dst, l.label
+  SELECT node, label, COUNT(*) AS cnt FROM (
+    SELECT e.dst AS node, l.label FROM edges e JOIN l{p} l ON l.node = e.src
+    UNION ALL
+    SELECT node, label FROM l{p}
+  ) GROUP BY node, label
 ),
 b{i} AS (
   SELECT node, label FROM (

@@ -116,3 +116,21 @@ def test_zorder_and_retrieval_on_empty(spark, empty_docs):
     assert Z.zorder_layout(empty_norm, ["ux", "vy"], 8, num_files=2).count() == 0
     got = T.tfidf_retrieve(empty_docs, ["a", "b"], k=5)
     assert got.count() == 0 and got.columns == ["doc_id", "score"]
+
+
+def test_graph_ops_on_empty(spark, empty_docs):
+    from cdc_agents_data_stream_spark.operators import graph as G
+    from cdc_agents_data_stream_spark.operators import sampling as S
+
+    empty_nodes = spark.createDataFrame([], "node long")
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    # pagerank over an empty vertex set: no rows, rank schema intact
+    pr = G.pagerank(empty_nodes, empty_edges, iterations=1)
+    assert pr.count() == 0 and pr.columns == ["node", "rank_ppm"]
+    lp = G.label_propagation(empty_nodes, empty_edges, iterations=1)
+    assert lp.count() == 0 and lp.columns == ["node", "label"]
+    empty_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    tc = G.triangle_counts(empty_pairs)
+    assert tc.count() == 0 and tc.columns == ["node", "n_triangles"]
+    ns = S.negative_samples(empty_docs, k=2, payload_cols=("n_chars",))
+    assert ns.count() == 0 and ns.columns == ["anchor_id", "slot", "neg_id", "neg_n_chars"]

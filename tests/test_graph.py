@@ -57,3 +57,57 @@ def test_total_mass_is_conserved_up_to_floor_loss(spark):
     assert total >= len(nodes) * G.PR_INIT_PPM - 3 * (len(edges) + 2 * len(nodes)) * 1000
     # in-degree-0 node 7's rank must exceed pure teleport (dangling share)
     assert got[7] >= 150_000
+
+
+def test_triangle_counts_k4(spark):
+    # K4: 4 triangles; every vertex lies on C(3,2) = 3 of them.
+    from itertools import combinations
+
+    pairs = list(combinations([1, 2, 3, 4], 2))
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in G.triangle_counts(pdf).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_path_has_none(spark):
+    pdf = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long")
+    assert G.triangle_counts(pdf).count() == 0
+
+
+def test_triangle_counts_two_disjoint_triangles(spark):
+    pdf = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["node"]: r["n_triangles"] for r in G.triangle_counts(pdf).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 12: 1}
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    # Two 3-cliques {1,2,3} and {7,8,9} joined by one bridge 3-7: with
+    # the self-vote, round 1 collapses each clique to its minimum label
+    # (all votes tie -> smallest); the bridge pulls 7 toward label 3 for
+    # one round, but its own clique's majority reclaims it — final
+    # communities are exactly the two cliques.
+    import itertools
+
+    def clique(nodes):
+        return [(a, b) for a, b in itertools.permutations(nodes, 2) if a != b]
+
+    edges = clique([1, 2, 3]) + clique([7, 8, 9]) + [(3, 7), (7, 3)]
+    ndf = spark.createDataFrame([(n,) for n in [1, 2, 3, 7, 8, 9]], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in G.label_propagation(ndf, edf, iterations=3).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7}
+
+
+def test_label_propagation_isolated_keeps_own_label(spark):
+    ndf = spark.createDataFrame([(1,), (2,), (9,)], "node long")
+    edf = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r["node"]: r["label"] for r in G.label_propagation(ndf, edf).collect()}
+    # self-vote keeps the 1<->2 pair stable at the smaller label (no
+    # synchronous-LPA swap oscillation); isolated 9 keeps its own label
+    assert got == {1: 1, 2: 1, 9: 9}
