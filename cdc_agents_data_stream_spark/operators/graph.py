@@ -51,17 +51,29 @@ def pagerank(
     ``collect`` of anything unbounded. ``localCheckpoint`` truncates the
     rank lineage each round (same discipline as connected_components).
     """
+    # Materialize the loop-invariant artifacts ONCE: the dangling check
+    # and the contribution join both consume `deg` every round, and
+    # without a cut each round re-runs the caller's whole edge-build
+    # subtree (orders⋈lineitem + distinct in the purchase-graph gate —
+    # A/B-measured, with the periodic lineage cut below, 8.0 s → ~2.6 s
+    # at sf0.1). A real deployment
+    # materializes the edge list as a table anyway; this is that, scoped
+    # to the job.
     edges = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
-    )
+    ).localCheckpoint()
     nodes = nodes.select(F.col("node").cast("long").alias("node")).localCheckpoint()
-    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").cast("long").alias("outdeg"))
+        .localCheckpoint()
+    )
     ed = edges.join(deg, "src").persist()
     # Vertex count: a bounded dimension-table count (the node set is
     # metadata-scale even when the edge list is not).
     n_nodes = nodes.count()
     ranks = nodes.select("node", F.lit(PR_INIT_PPM).cast("long").alias("rank_ppm"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             ed.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
@@ -87,8 +99,13 @@ def pagerank(
                 .cast("long")
                 .alias("rank_ppm"),
             )
-            .localCheckpoint(eager=False)
         )
+        # cut the growing lineage every few rounds — each cut is an extra
+        # job, and at 3-5 rounds the plain plan is cheaper than cutting
+        # per round (the dangling/contrib branches re-derive at most a
+        # few joins over materialized inputs)
+        if (it + 1) % 4 == 0:
+            ranks = ranks.localCheckpoint(eager=False)
     ed.unpersist()
     return ranks
 
@@ -139,9 +156,14 @@ def triangle_counts(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
     e0 = pairs.select(
         F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
     )
-    sym = e0.unionByName(
-        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    sym = (
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()  # deg AND the two orientation joins consume
+        # this; without a cut the caller's pair-generation plan (simhash
+        # over the whole corpus in the near-dup gate) runs once per
+        # consumer
+    )
     deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("d"))
     keyed = (
         sym.join(deg.select(F.col("u"), (F.col("d") * F.lit(1 << 32) + F.col("u")).alias("ku")), "u")
@@ -195,7 +217,7 @@ def label_propagation(
     ).localCheckpoint()
     nodes = nodes.select(F.col("node").cast("long").alias("node")).localCheckpoint()
     labels = nodes.select("node", F.col("node").alias("label"))
-    for _ in range(iterations):
+    for it in range(iterations):
         votes = edges.join(
             labels.select(F.col("node").alias("src"), "label"), "src"
         ).select(F.col("dst").alias("node"), "label").unionByName(
@@ -215,8 +237,9 @@ def label_propagation(
                 # own id for every round, so coalescing to `node` is exact
                 F.coalesce("nlabel", F.col("node")).cast("long").alias("label"),
             )
-            .localCheckpoint(eager=False)
         )
+        if (it + 1) % 4 == 0:
+            labels = labels.localCheckpoint(eager=False)
     return labels
 
 
