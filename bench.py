@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "embedding_covariance",
     "embedding_rp_project",
     "zorder_events_key",
+    # iterative-join representative: 3 PageRank rounds over the ~970k-edge
+    # purchase graph (edge list materialized once, rank side per round)
+    "graph_pagerank",
 ]
 
 

@@ -248,3 +248,43 @@ QUERIES["contrastive_negatives"] = Q(
     CONTRASTIVE_NEGATIVES_SQL,
     "deterministic hash-derived contrastive negatives joined to corpus payload",
 )
+
+
+def group_sample_fixed_k(spark, sf_dir):
+    """Per-stratum FIXED-SIZE deterministic sample — 5 events per event
+    type, chosen by md5(event_id) rank (the complement of rate-based
+    `stratified_sample`: k-per-group instead of fraction-per-group, the
+    shape eval-set construction needs). One window over the type-keyed
+    partition; the md5 sort key makes the pick a pure function of the
+    ids, engine-portable."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    key = F.md5(F.col("event_id").cast("string"))
+    w = Window.partitionBy("event_type").orderBy(key.asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("event_type", "rnk", "event_id")
+        .orderBy("event_type", "rnk")
+    )
+
+
+GROUP_SAMPLE_FIXED_K_SQL = """
+SELECT event_type, rnk, event_id FROM (
+  SELECT event_type, event_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)) ASC, event_id ASC
+         ) AS BIGINT) AS rnk
+  FROM events
+)
+WHERE rnk <= 5
+ORDER BY event_type, rnk
+"""
+
+QUERIES["group_sample_fixed_k"] = Q(
+    group_sample_fixed_k,
+    GROUP_SAMPLE_FIXED_K_SQL,
+    "deterministic fixed-k per-stratum sample by md5 rank",
+)

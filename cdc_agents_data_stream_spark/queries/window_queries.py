@@ -403,3 +403,36 @@ QUERIES["events_sliding_rollup"] = Q(
     EVENTS_SLIDING_ROLLUP_SQL,
     "1-hour windows sliding every 15 minutes (4 windows per event, no self-join)",
 )
+
+
+def event_value_histogram(spark, sf_dir):
+    """Equi-width histogram of `value` per event type (20 buckets of 5):
+    the profiling primitive behind distribution drift checks. Bucketing
+    is one codegen floor-divide (both engines floor the same IEEE
+    double), counting one partial-agg groupBy — shuffle rows bounded by
+    types × buckets regardless of input size."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 5).cast("long"), F.lit(0)), F.lit(19)
+    )
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+EVENT_VALUE_HISTOGRAM_SQL = """
+SELECT event_type,
+       CAST(LEAST(GREATEST(FLOOR(value / 5), 0), 19) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, bucket
+"""
+
+QUERIES["event_value_histogram"] = Q(
+    event_value_histogram,
+    EVENT_VALUE_HISTOGRAM_SQL,
+    "bounded equi-width value histogram per event type",
+)
