@@ -571,3 +571,108 @@ QUERIES["dedup_lsh_recall"] = Q(
     DEDUP_LSH_RECALL_SQL,
     "measured LSH candidate recall vs exact Jaccard truth at J>=0.5",
 )
+
+
+def fuzzy_entity_match(spark, sf_dir):
+    """Fuzzy entity resolution as an LSH join: a deterministically
+    dirtied copy of every part's entity string (name + brand + type +
+    size, ~5 tokens, near-unique per part; the token at position
+    p_partkey mod len dropped — a clipped/typo'd catalog feed) is matched
+    back to the clean catalog through the SAME MinHash index machinery as
+    incremental dedup, on 1-gram (word-set) shingles at J >= 0.6. A
+    dropped token leaves J = (k-1)/k = 0.8 vs the source while unrelated
+    parts share at most 2-3 tokens (J <= ~0.43), so banding recovers the
+    link without any all-pairs comparison — the record-linkage shape
+    (blocking + verify) at catalog scale. Dirty ids are offset by 10^7
+    to share one id space."""
+    part = load(spark, sf_dir, "part").withColumn(
+        "entity",
+        F.concat_ws(
+            " ", "p_name", "p_brand", "p_type", F.col("p_size").cast("string")
+        ),
+    )
+    clean = part.select(
+        F.col("p_partkey").cast("long").alias("doc_id"), F.col("entity").alias("text")
+    )
+    toks = F.split("entity", " ")
+    di = F.pmod(F.col("p_partkey"), F.size(toks))
+    dirty = part.select(
+        (F.col("p_partkey").cast("long") + 10_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(
+                F.slice(toks, 1, di),
+                F.slice(toks, di + 2, F.size(toks) - di - 1),
+            ),
+        ).alias("text"),
+    )
+    return (
+        D.minhash_lsh_incremental(clean, dirty, threshold=0.6, n=1)
+        .select(
+            F.col("doc_new").alias("dirty_id"),
+            F.col("doc_hist").alias("part_id"),
+            "jaccard",
+        )
+        .orderBy("dirty_id", "part_id")
+    )
+
+
+FUZZY_ENTITY_MATCH_SQL = f"""
+WITH t0 AS (
+  SELECT CAST(p_partkey AS BIGINT) AS pk,
+         p_name || ' ' || p_brand || ' ' || p_type || ' ' || CAST(p_size AS VARCHAR) AS entity,
+         string_split(p_name || ' ' || p_brand || ' ' || p_type || ' ' || CAST(p_size AS VARCHAR), ' ') AS t
+  FROM part
+),
+docs2 AS (
+  SELECT pk AS doc_id, entity AS text FROM t0
+  UNION ALL
+  SELECT pk + 10000000 AS doc_id,
+         array_to_string(
+           list_concat(t[1:(pk % len(t))], t[(pk % len(t)) + 2:len(t)]), ' '
+         ) AS text
+  FROM t0
+),
+sh AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS shingle FROM docs2),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+perms AS (SELECT * FROM (VALUES {_PERM_VALUES}) p(i, a, b)),
+h0 AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {D.MERSENNE_P} AS h0
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id, i, MIN((a * h0 + b) % {D.MERSENNE_P}) AS sig
+  FROM h0 CROSS JOIN perms GROUP BY doc_id, i
+),
+buckets AS (
+  SELECT doc_id, (i // {D.BAND_SIZE}) AS band,
+         md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bucket
+  FROM sigs GROUP BY doc_id, (i // {D.BAND_SIZE})
+),
+cands AS (
+  SELECT DISTINCT n.doc_id AS dirty_id, h.doc_id AS part_id
+  FROM buckets n JOIN buckets h
+    ON n.band = h.band AND n.bucket = h.bucket
+  WHERE n.doc_id >= 10000000 AND h.doc_id < 10000000
+),
+inter AS (
+  SELECT c.dirty_id, c.part_id, COUNT(*) AS inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.dirty_id
+  JOIN sh b ON b.doc_id = c.part_id AND b.shingle = a.shingle
+  GROUP BY c.dirty_id, c.part_id
+)
+SELECT i.dirty_id, i.part_id,
+       ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.dirty_id
+JOIN sizes sb ON sb.doc_id = i.part_id
+WHERE ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.6
+ORDER BY i.dirty_id, i.part_id
+"""
+
+QUERIES["fuzzy_entity_match"] = Q(
+    fuzzy_entity_match,
+    FUZZY_ENTITY_MATCH_SQL,
+    "LSH-blocked fuzzy entity resolution of dirtied part names",
+)

@@ -721,3 +721,76 @@ QUERIES["ngram_lm_topnext"] = Q(
     NGRAM_LM_TOPNEXT_SQL,
     "bigram LM counts: ppm conditional probabilities and top-3 next tokens per context",
 )
+
+
+def token_cooccurrence_pmi(spark, sf_dir):
+    """Document-level token co-occurrence with a PMI-style association
+    ratio on the ppm integer grid: ratio = P(a,b)/(P(a)P(b)) computed as
+    (c_ab·N·10⁶) DIV (c_a·c_b) over presence counts — log-free (libm is
+    not cross-engine deterministic), order-free, exact. Pair generation
+    is a per-doc self-join of the DISTINCT-token table, so fan-out is
+    bounded by vocabulary² per doc, not tokens²; counting is one
+    partial-agg groupBy. The association signal behind phrase mining and
+    stopword-pair screening."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .localCheckpoint()  # consumed by the pair join (twice) + unigrams
+    )
+    n_docs = docs.count()
+    uni = toks.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= 20)
+    )
+    return (
+        pairs.join(uni.select(F.col("tok").alias("tok_a"), F.col("df").alias("c_a")), "tok_a")
+        .join(uni.select(F.col("tok").alias("tok_b"), F.col("df").alias("c_b")), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr(f"(c_ab * {n_docs}L * 1000000L) DIV (c_a * c_b)")
+            .cast("long")
+            .alias("assoc_ppm"),
+        )
+        .orderBy("tok_a", "tok_b")
+    )
+
+
+TOKEN_COOCCURRENCE_PMI_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY tok),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+  HAVING COUNT(*) >= 20
+)
+SELECT p.tok_a, p.tok_b, p.c_ab,
+       ua.df AS c_a, ub.df AS c_b,
+       CAST((p.c_ab * (SELECT n FROM n) * 1000000) // (ua.df * ub.df) AS BIGINT) AS assoc_ppm
+FROM pairs p
+JOIN uni ua ON ua.tok = p.tok_a
+JOIN uni ub ON ub.tok = p.tok_b
+ORDER BY p.tok_a, p.tok_b
+"""
+
+QUERIES["token_cooccurrence_pmi"] = Q(
+    token_cooccurrence_pmi,
+    TOKEN_COOCCURRENCE_PMI_SQL,
+    "doc-level token co-occurrence with ppm PMI-style association ratio",
+)
