@@ -40,6 +40,7 @@ def asof_join(
     right_payload: list[str],
     right_tiebreak: str | None = None,
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_ts <= left_ts`` on the same key (inclusive). ``how='left'``
@@ -47,6 +48,11 @@ def asof_join(
 
     ``right_tiebreak``: column ordering right rows that share a timestamp;
     the greatest wins (deterministic across engines).
+
+    ``direction='forward'`` flips the semantics to the NEXT right row with
+    ``right_ts >= left_ts`` (pandas ``merge_asof`` direction-forward): the
+    merge scan simply runs time-descending, so the cost is the identical
+    one shuffle + one sort.
     """
     keys = [on] if isinstance(on, str) else list(on)
     lcols = [c for c in left.columns if c not in keys and c != left_ts]
@@ -75,9 +81,12 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
+    ts_order = (
+        F.col("_asof_ts").desc() if direction == "forward" else F.col("_asof_ts").asc()
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_asof_ts").asc(), F.col("_asof_src").asc(), F.col("_asof_tb").asc())
+        .orderBy(ts_order, F.col("_asof_src").asc(), F.col("_asof_tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

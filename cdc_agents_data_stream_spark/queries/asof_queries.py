@@ -106,3 +106,55 @@ QUERIES = {
         "day-bucketed interval join (attribution windows)",
     ),
 }
+
+
+def orders_asof_next_event(spark, sf_dir):
+    """Forward as-of: each order joined to the user's NEXT event at or
+    after order time — the post-purchase-behavior enrichment (pandas
+    merge_asof direction='forward'). Same union + carry machinery as the
+    backward join, scanning time-descending; ties at equal timestamps
+    break to the greatest event_id, matching the oracle's rank."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        ms("o_orderdate").alias("order_ts_ms"),
+    )
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", ms("ts").alias("event_ts_ms")
+    )
+    return asof_join(
+        orders,
+        events,
+        on="user_id",
+        left_ts="order_ts_ms",
+        right_ts="event_ts_ms",
+        right_payload=["event_id", "event_type", "event_ts_ms"],
+        right_tiebreak="event_id",
+        how="inner",
+        direction="forward",
+    )
+
+
+ORDERS_ASOF_NEXT_EVENT_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey AS user_id, epoch_ms(o_orderdate) AS order_ts_ms FROM orders
+),
+e AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS event_ts_ms FROM events
+),
+j AS (
+  SELECT o.user_id, o.order_ts_ms, o.o_orderkey, e.event_id, e.event_type, e.event_ts_ms,
+         ROW_NUMBER() OVER (
+           PARTITION BY o.o_orderkey
+           ORDER BY e.event_ts_ms ASC, e.event_id DESC) AS rn
+  FROM o JOIN e ON o.user_id = e.user_id AND e.event_ts_ms >= o.order_ts_ms
+)
+SELECT user_id, order_ts_ms, o_orderkey, event_id, event_type, event_ts_ms
+FROM j WHERE rn = 1
+"""
+
+QUERIES["orders_asof_next_event"] = Q(
+    orders_asof_next_event,
+    ORDERS_ASOF_NEXT_EVENT_SQL,
+    "forward as-of join: next event at-or-after each order",
+)

@@ -55,3 +55,37 @@ def test_asof_single_shuffle_plan(spark):
     # the union+window encoding must not produce a join (no range explosion)
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_asof_forward_picks_next_at_or_after(spark):
+    from cdc_agents_data_stream_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 250, "b"), (2, 50, "c")], "k long, lts long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 10), (1, 200, 20), (1, 300, 30), (2, 40, 40)],
+        "k long, rts long, payload long",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        right_payload=["payload", "rts"], how="left", direction="forward",
+    )
+    got = {(r["k"], r["lts"]): (r["payload"], r["rts"]) for r in out.collect()}
+    assert got[(1, 100)] == (10, 100)   # inclusive: equal ts matches
+    assert got[(1, 250)] == (30, 300)   # next at-or-after
+    assert got[(2, 50)] == (None, None) # nothing after -> left keeps nulls
+
+
+def test_asof_forward_equal_ts_tiebreak_greatest(spark):
+    from cdc_agents_data_stream_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, 100, 7), (1, 100, 9)], "k long, rts long, tb long"
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        right_payload=["tb"], right_tiebreak="tb", direction="forward",
+    )
+    assert out.collect()[0]["tb"] == 9
