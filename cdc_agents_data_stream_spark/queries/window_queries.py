@@ -436,3 +436,133 @@ QUERIES["event_value_histogram"] = Q(
     EVENT_VALUE_HISTOGRAM_SQL,
     "bounded equi-width value histogram per event type",
 )
+
+
+def user_value_twap(spark, sf_dir):
+    """Time-weighted average value per user (the TWAP/VWAP shape): each
+    event's value is weighted by how long it remained current (gap to the
+    user's next event; the last event carries zero weight — a closed-
+    interval convention both engines share). Exact integer arithmetic:
+    micro-unit values × SECOND-granularity durations summed in DECIMAL,
+    cast to exact BIGINTs, one BIGINT integer division at the end —
+    decimal DIV itself is NOT portable (Spark's decimal division rounds
+    at an intermediate scale; measured a 1-ulp mismatch vs DuckDB's exact
+    //). Seconds keep the weighted sum comfortably inside int64. One
+    user-keyed sort for the lead()."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        ms("ts").alias("ts_ms"),
+        F.round(F.col("value") * 1e6).cast("long").alias("v_micro"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    dur = (F.lead("ts_ms").over(w) - F.col("ts_ms")).alias("dur_ms")
+    weighted = (
+        ev.select("user_id", "v_micro", dur)
+        .filter(F.col("dur_ms").isNotNull())
+        .withColumn("dur_s", F.expr("dur_ms DIV 1000"))
+    )
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_intervals"),
+            F.sum(F.col("dur_ms").cast("decimal(38,0)")).cast("long").alias("total_ms"),
+            F.expr(
+                "CAST(SUM(CAST(v_micro AS DECIMAL(38,0)) * dur_s) AS BIGINT)"
+                " DIV CAST(SUM(CAST(dur_s AS DECIMAL(38,0))) AS BIGINT)"
+            ).cast("long").alias("twap_micro"),
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_VALUE_TWAP_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         CAST(ROUND(value * 1e6) AS BIGINT) AS v_micro
+  FROM events
+),
+d0 AS (
+  SELECT user_id, v_micro,
+         LEAD(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) - ts_ms AS dur_ms
+  FROM e
+),
+d AS (SELECT user_id, v_micro, dur_ms, dur_ms // 1000 AS dur_s FROM d0 WHERE dur_ms IS NOT NULL)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
+       CAST(CAST(SUM(CAST(v_micro AS DECIMAL(38,0)) * dur_s) AS BIGINT)
+            // CAST(SUM(CAST(dur_s AS DECIMAL(38,0))) AS BIGINT) AS BIGINT) AS twap_micro
+FROM d
+GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["user_value_twap"] = Q(
+    user_value_twap,
+    USER_VALUE_TWAP_SQL,
+    "time-weighted average value per user on the exact integer grid",
+)
+
+
+def value_pareto_cutoff(spark, sf_dir):
+    """Pareto concentration: the smallest set of users covering 80% of
+    total event value — running cumulative share over users ranked by
+    value (integer micro units; the 80% test multiplies out so no
+    division appears at all). The running sum is one ranked window; the
+    cutoff keeps every user whose PRECEDING cumulative mass is still
+    below 80% of the total, so exactly the first crosser is included."""
+    from pyspark.sql import Window
+
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 1e6).cast("long"))
+            .cast("long")
+            .alias("v_micro")
+        )
+    )
+    w = Window.orderBy(F.col("v_micro").desc(), F.col("user_id").asc())
+    ranked = per_user.select(
+        "user_id",
+        "v_micro",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        (F.sum("v_micro").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ) - F.col("v_micro")).cast("long").alias("prev_cum"),
+    )
+    total = per_user.agg(F.sum("v_micro").cast("long").alias("total"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .filter(F.col("prev_cum") * 100 < F.col("total") * 80)
+        .select("rnk", "user_id", "v_micro", "prev_cum")
+        .orderBy("rnk")
+    )
+
+
+VALUE_PARETO_CUTOFF_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) AS v_micro
+  FROM events GROUP BY user_id
+),
+t AS (SELECT CAST(SUM(v_micro) AS BIGINT) AS total FROM per_user),
+ranked AS (
+  SELECT user_id, v_micro,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+         CAST(SUM(v_micro) OVER (w ROWS UNBOUNDED PRECEDING) - v_micro AS BIGINT) AS prev_cum
+  FROM per_user
+  WINDOW w AS (ORDER BY v_micro DESC, user_id ASC)
+)
+SELECT rnk, user_id, v_micro, prev_cum
+FROM ranked, t
+WHERE prev_cum * 100 < total * 80
+ORDER BY rnk
+"""
+
+QUERIES["value_pareto_cutoff"] = Q(
+    value_pareto_cutoff,
+    VALUE_PARETO_CUTOFF_SQL,
+    "smallest user set covering 80% of total value (integer cumulative share)",
+)
