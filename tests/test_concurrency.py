@@ -233,3 +233,56 @@ def test_torn_commit_times_out_with_clear_error(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(store, "COMMIT_WAIT_SECONDS", 0.2)
     with pytest.raises(CommitTimeout):
         store.upsert_rows([_state_row("b", 1)])
+
+
+def test_reader_snapshot_isolation_under_concurrent_commits(spark, tmp_path):
+    """A reader racing a committing writer must see CONSISTENT snapshots:
+    every read resolves one committed manifest, so the three sessions —
+    always upserted together in one commit — must never show mixed
+    sequence numbers inside a single read (a torn read), and successive
+    reads must never go backwards. A pinned version CAN age out of the
+    KEEP_VERSIONS vacuum window mid-read when the writer outruns the
+    reader — the reader contract (same as Delta's stale-snapshot
+    handling) is to retry on a fresh version, which this reader does;
+    what must NEVER happen is a successful-but-torn read."""
+    store = ParquetStateStore(spark, str(tmp_path / "s"), n_buckets=8)
+    store.upsert_rows([_state_row(f"w-{j}", 0) for j in range(3)])
+    rounds, errors, seen = 10, [], []
+    done = threading.Event()
+
+    def writer():
+        try:
+            for i in range(1, rounds + 1):
+                store.upsert_rows([_state_row(f"w-{j}", i) for j in range(3)])
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+        finally:
+            done.set()
+
+    def read_with_retry(attempts: int = 5):
+        last = None
+        for _ in range(attempts):
+            v = store.current_version()
+            try:
+                return v, store.read(version=v).collect()
+            except Exception as exc:  # stale snapshot vacuumed mid-read
+                last = exc
+        raise last
+
+    def reader():
+        try:
+            while not done.is_set():
+                v, rows = read_with_retry()
+                seqs = {r["sequence_number"] for r in rows}
+                assert len(seqs) == 1, f"torn read at v{v}: {sorted(seqs)}"
+                seen.append(seqs.pop())
+                time.sleep(0.05)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    t_w, t_r = threading.Thread(target=writer), threading.Thread(target=reader)
+    t_r.start(); t_w.start(); t_w.join(); t_r.join()
+    assert not errors, errors
+    assert seen == sorted(seen), f"snapshots went backwards: {seen}"
+    final = store.read().collect()
+    assert {r["sequence_number"] for r in final} == {rounds}
