@@ -115,3 +115,69 @@ QUERIES = {
         "deequ-style data-quality constraint report",
     ),
 }
+
+
+def table_stats_profile(spark, sf_dir):
+    """The ANALYZE TABLE surface as a query: per-column statistics of
+    lineitem's key numeric columns (row count, nulls, exact NDV, min/max
+    on the cent grid) computed in ONE pass — a single aggregate row
+    unpivoted to one row per column via stack(), the CBO-feeding shape.
+    At scale the exact count-distinct becomes approx_count_distinct; the
+    rest of the plan is unchanged (one partial-agg reduction, no
+    shuffle-by-column)."""
+    li = load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        cents = F.round(F.col(c) * 100).cast("long")
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"{c}_n"),
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"{c}_nulls"),
+            F.countDistinct(cents).cast("long").alias(f"{c}_ndv"),
+            F.min(cents).alias(f"{c}_min_cents"),
+            F.max(cents).alias(f"{c}_max_cents"),
+        ]
+    one = li.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}_n, {c}_nulls, {c}_ndv, {c}_min_cents, {c}_max_cents" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) AS "
+            "(col_name, n_rows, n_nulls, ndv, min_cents, max_cents)"
+        )
+    ).orderBy("col_name")
+
+
+TABLE_STATS_PROFILE_SQL = """
+WITH a AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
+    CAST(COUNT(DISTINCT CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q_ndv,
+    CAST(MIN(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q_min,
+    CAST(MAX(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q_max,
+    CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+    CAST(COUNT(DISTINCT CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS p_ndv,
+    CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS p_min,
+    CAST(MAX(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS p_max,
+    CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_nulls,
+    CAST(COUNT(DISTINCT CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS d_ndv,
+    CAST(MIN(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS d_min,
+    CAST(MAX(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS d_max
+  FROM lineitem
+)
+SELECT 'l_discount' AS col_name, n AS n_rows, d_nulls AS n_nulls, d_ndv AS ndv,
+       d_min AS min_cents, d_max AS max_cents FROM a
+UNION ALL
+SELECT 'l_extendedprice', n, p_nulls, p_ndv, p_min, p_max FROM a
+UNION ALL
+SELECT 'l_quantity', n, q_nulls, q_ndv, q_min, q_max FROM a
+ORDER BY col_name
+"""
+
+QUERIES["table_stats_profile"] = Q(
+    table_stats_profile,
+    TABLE_STATS_PROFILE_SQL,
+    "one-pass ANALYZE-style per-column statistics, unpivoted via stack()",
+)

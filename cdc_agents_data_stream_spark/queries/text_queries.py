@@ -794,3 +794,49 @@ QUERIES["token_cooccurrence_pmi"] = Q(
     TOKEN_COOCCURRENCE_PMI_SQL,
     "doc-level token co-occurrence with ppm PMI-style association ratio",
 )
+
+
+def trending_tokens_daily(spark, sf_dir):
+    """Per-day trending terms over event types — the daily top-k rank
+    shape every content dashboard runs: events bucketed to epoch days,
+    counted per (day, type), top-3 per day by (count DESC, type ASC). The
+    rank is a per-day window over an already partially-aggregated input,
+    so the sort operand is days × types, not raw events."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias("day"),
+        "event_type",
+    )
+    counts = ev.groupBy("day", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("day").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("day", "rnk", "event_type", "n")
+        .orderBy("day", "rnk")
+    )
+
+
+TRENDING_TOKENS_DAILY_SQL = """
+WITH c AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT day, rnk, event_type, n FROM (
+  SELECT day, event_type, n,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY day ORDER BY n DESC, event_type ASC) AS BIGINT) AS rnk
+  FROM c
+) WHERE rnk <= 3
+ORDER BY day, rnk
+"""
+
+QUERIES["trending_tokens_daily"] = Q(
+    trending_tokens_daily,
+    TRENDING_TOKENS_DAILY_SQL,
+    "per-day top-3 trending types over pre-aggregated counts",
+)
