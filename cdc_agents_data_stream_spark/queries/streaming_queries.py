@@ -1175,3 +1175,54 @@ QUERIES["stream_sessionization"] = Q(
     STREAM_SESSIONIZATION_SQL,
     "LIVE streaming session windows merging across micro-batches, append-mode closed-session emission",
 )
+
+
+def ivm_join_delta(spark, sf_dir):
+    """Materialized-JOIN maintenance (streaming/ivm.py::incremental_join):
+    orders and lineitem arrive as three interleaved insert batches —
+    split by INDEPENDENT functions of the key (mod 3 vs div-3-mod-3), so
+    ~2/3 of all matches span batch boundaries and every delta term
+    (ΔA⋈B, A⋈ΔB, ΔA⋈ΔB) carries real rows — the
+    join view is maintained by the delta-join identity — per batch only
+    delta-sized operands ever join — and the maintained view must equal
+    the one-shot join, which is what the oracle computes. Output is the
+    per-priority rollup of the view (count + cent-grid revenue)."""
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    from ..streaming.ivm import incremental_join
+
+    batches_a = [orders.filter(F.col("okey") % 3 == i) for i in range(3)]
+    batches_b = [li.filter(F.expr("(okey DIV 3) % 3") == i) for i in range(3)]
+    view = incremental_join(batches_a, batches_b, on="okey")
+    return (
+        view.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(F.col("rev_cents").cast("decimal(38,0)")).cast("long").alias("rev_cents_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+IVM_JOIN_DELTA_SQL = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                AS DECIMAL(38,0))) AS BIGINT) AS rev_cents_sum
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+QUERIES["ivm_join_delta"] = Q(
+    ivm_join_delta,
+    IVM_JOIN_DELTA_SQL,
+    "delta-join maintained view equals the one-shot join (per-priority rollup)",
+)

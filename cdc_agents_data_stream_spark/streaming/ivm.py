@@ -109,3 +109,48 @@ class ContinuousRollup:
             .filter(F.col("rollup_key") != _META_KEY)
             .select("win_start_ms", "event_type", "n_events", "sum_cents")
         )
+
+
+def incremental_join(
+    batches_a: list[DataFrame],
+    batches_b: list[DataFrame],
+    on: str | list[str],
+) -> DataFrame:
+    """Delta-join view maintenance — the differential-dataflow identity
+    that keeps a materialized JOIN current under inserts without ever
+    re-joining history:
+
+        ΔJ_t = ΔA_t ⋈ B_{t-1}  ∪  A_{t-1} ⋈ ΔB_t  ∪  ΔA_t ⋈ ΔB_t
+        J_t  = J_{t-1} ∪ ΔJ_t
+
+    Each step joins ONLY delta-sized operands against the accumulated
+    other side (in production: bucket-pruned reads of the materialized
+    side, exactly the ParquetStateStore shape), so per-batch cost scales
+    with the batch and the join's selectivity, never with |A|·|B| or a
+    history re-scan. Accumulated sides and the growing view are
+    localCheckpoint-ed per step: the returned view is a union of
+    materialized deltas, not a tower of re-executable joins.
+
+    Insert-only (the CDC c-op); updates/deletes compose with the
+    last-writer-wins envelope machinery upstream of the join."""
+    keys = [on] if isinstance(on, str) else list(on)
+    spark = batches_a[0].sparkSession
+    acc_a = acc_b = view = None
+    for da, db in zip(batches_a, batches_b):
+        da = da.localCheckpoint()
+        db = db.localCheckpoint()
+        deltas = [da.join(db, keys)]
+        if acc_b is not None:
+            deltas.append(da.join(acc_b, keys))
+        if acc_a is not None:
+            deltas.append(acc_a.join(db, keys))
+        dj = deltas[0]
+        for d in deltas[1:]:
+            dj = dj.unionByName(d)
+        dj = dj.localCheckpoint()
+        view = dj if view is None else view.unionByName(dj).localCheckpoint(eager=False)
+        acc_a = da if acc_a is None else acc_a.unionByName(da).localCheckpoint(eager=False)
+        acc_b = db if acc_b is None else acc_b.unionByName(db).localCheckpoint(eager=False)
+    if view is None:
+        raise ValueError("incremental_join needs at least one batch")
+    return view
