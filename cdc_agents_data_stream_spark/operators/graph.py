@@ -272,3 +272,102 @@ l{i} AS (
 )"""
         )
     return ",".join(parts)
+
+
+def personalized_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = PR_ITERATIONS,
+) -> DataFrame:
+    """Personalized PageRank: teleport (and dangling) mass returns ONLY
+    to the seed set, so ranks measure relevance TO THE SEEDS rather than
+    global centrality — the random-walk-with-restart behind related-item
+    and audience-expansion recommendations. Same integer ppm grid and
+    per-round shapes as `pagerank`; the only structural change is that
+    the teleport/dangling terms join against the (bounded, broadcast)
+    seed table instead of being uniform constants.
+
+        rank'(v) = [v ∈ S]·(T·N + d·dsum) / |S|  +  d·Σ contrib(v)
+
+    (all integer division; T = teleport ppm, N = |V|, S = seeds)."""
+    edges = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).localCheckpoint()
+    nodes = nodes.select(F.col("node").cast("long").alias("node")).localCheckpoint()
+    seeds = seeds.select(F.col("node").cast("long").alias("node")).localCheckpoint()
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").cast("long").alias("outdeg"))
+        .localCheckpoint()
+    )
+    ed = edges.join(deg, "src").persist()
+    n_nodes = nodes.count()
+    n_seeds = seeds.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    seed_marked = nodes.join(
+        F.broadcast(seeds.withColumn("is_seed", F.lit(1))), "node", "left"
+    ).select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed")).localCheckpoint()
+    ranks = nodes.select("node", F.lit(PR_INIT_PPM).cast("long").alias("rank_ppm"))
+    for it in range(iterations):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("rank_ppm DIV outdeg")).alias("contrib"))
+            .select(F.col("dst").alias("node"), "contrib")
+        )
+        dangling = (
+            ranks.join(deg.select(F.col("src").alias("node")), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank_ppm"), F.lit(0)).cast("long").alias("dsum"))
+        )
+        ranks = (
+            seed_marked.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.expr(
+                        f"is_seed * (({PR_TELEPORT_PPM} * {n_nodes}L"
+                        f" + ({PR_DAMP_MILLI} * dsum) DIV 1000) DIV {n_seeds}L)"
+                    )
+                    + F.expr(f"({PR_DAMP_MILLI} * coalesce(contrib, 0)) DIV 1000")
+                )
+                .cast("long")
+                .alias("rank_ppm"),
+            )
+        )
+        if (it + 1) % 4 == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    ed.unpersist()
+    return ranks
+
+
+def ppr_oracle_iterations(n_nodes_sql: str, n_seeds_sql: str, iterations: int = PR_ITERATIONS) -> str:
+    """CTE chain for :func:`personalized_pagerank`; expects ``nodes``,
+    ``edges``, ``deg``, ``smark(node, is_seed)`` and ``r0`` in scope.
+    ``n_nodes_sql`` / ``n_seeds_sql`` are scalar subquery strings."""
+    parts = []
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(
+            f"""
+c{i} AS (
+  SELECT e.dst AS node, SUM(r.rank_ppm // d.outdeg) AS contrib
+  FROM edges e JOIN deg d USING (src) JOIN r{p} r ON r.node = e.src
+  GROUP BY e.dst
+),
+d{i} AS (
+  SELECT COALESCE(SUM(r.rank_ppm), 0) AS dsum
+  FROM r{p} r LEFT JOIN deg d ON r.node = d.src WHERE d.src IS NULL
+),
+r{i} AS (
+  SELECT s.node,
+         CAST(s.is_seed * (({PR_TELEPORT_PPM} * {n_nodes_sql}
+                + ({PR_DAMP_MILLI} * (SELECT dsum FROM d{i})) // 1000) // {n_seeds_sql})
+              + ({PR_DAMP_MILLI} * COALESCE(c.contrib, 0)) // 1000
+              AS BIGINT) AS rank_ppm
+  FROM smark s LEFT JOIN c{i} c USING (node)
+)"""
+        )
+    return ",".join(parts)

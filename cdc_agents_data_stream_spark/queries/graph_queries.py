@@ -213,3 +213,75 @@ QUERIES["graph_label_communities"] = Q(
     GRAPH_LABEL_COMMUNITIES_SQL,
     "deterministic synchronous label-propagation communities over the purchase graph",
 )
+
+
+def graph_ppr_nation(spark, sf_dir):
+    """Personalized PageRank seeded at one market segment — nation-0
+    customers — over the purchase graph: ranks now measure supplier
+    relevance TO THAT SEGMENT (random walk with restart), the
+    related-item/audience-expansion recommendation primitive. Teleport
+    and dangling mass return only to seeds; everything else identical to
+    `graph_pagerank`, including the bit-for-bit unrolled oracle."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("ck"),
+            F.col("l_suppkey").cast("long").alias("sk"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        (F.col("ck") * 2).alias("src"), (F.col("sk") * 2 + 1).alias("dst")
+    ).unionByName(
+        pairs.select((F.col("sk") * 2 + 1).alias("src"), (F.col("ck") * 2).alias("dst"))
+    )
+    customer = load(spark, sf_dir, "customer")
+    nodes = customer.select(
+        (F.col("c_custkey").cast("long") * 2).alias("node")
+    ).unionByName(
+        load(spark, sf_dir, "supplier").select(
+            (F.col("s_suppkey").cast("long") * 2 + 1).alias("node")
+        )
+    )
+    seeds = customer.filter(F.col("c_nationkey") == 0).select(
+        (F.col("c_custkey").cast("long") * 2).alias("node")
+    )
+    return G.personalized_pagerank(nodes, edges, seeds).orderBy("node")
+
+
+GRAPH_PPR_NATION_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS ck,
+                  CAST(l.l_suppkey AS BIGINT) AS sk
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+  SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT sk * 2 + 1, ck * 2 FROM pairs
+),
+nodes AS (
+  SELECT CAST(c_custkey AS BIGINT) * 2 AS node FROM customer
+  UNION
+  SELECT CAST(s_suppkey AS BIGINT) * 2 + 1 FROM supplier
+),
+seeds AS (
+  SELECT CAST(c_custkey AS BIGINT) * 2 AS node FROM customer WHERE c_nationkey = 0
+),
+smark AS (
+  SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+  FROM nodes n LEFT JOIN seeds s USING (node)
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST({G.PR_INIT_PPM} AS BIGINT) AS rank_ppm FROM nodes),
+{G.ppr_oracle_iterations("(SELECT COUNT(*) FROM nodes)", "(SELECT COUNT(*) FROM seeds)")}
+SELECT node, rank_ppm FROM r{G.PR_ITERATIONS} ORDER BY node
+"""
+
+QUERIES["graph_ppr_nation"] = Q(
+    graph_ppr_nation,
+    GRAPH_PPR_NATION_SQL,
+    "personalized PageRank seeded at nation-0 customers (random walk with restart)",
+)

@@ -111,3 +111,32 @@ def test_label_propagation_isolated_keeps_own_label(spark):
     # self-vote keeps the 1<->2 pair stable at the smaller label (no
     # synchronous-LPA swap oscillation); isolated 9 keeps its own label
     assert got == {1: 1, 2: 1, 9: 9}
+
+
+def test_personalized_pagerank_mass_returns_to_seeds(spark):
+    # Star: seed 1 in the center of 2,3; teleport + dangling mass must
+    # flow only through the seed. Non-seed leaves receive only the
+    # damped contribution term.
+    ndf = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    edf = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1), (3, 1)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["rank_ppm"]
+        for r in G.personalized_pagerank(ndf, edf, seeds, iterations=1).collect()
+    }
+    # r1: contrib(1) = r(2)/1 + r(3)/1 = 2_000_000; contrib(2)=contrib(3)=500_000
+    # no dangling. seed term for node 1: (150000*3 + 0) // 1 = 450000
+    assert got[1] == 450_000 + (850 * 2_000_000) // 1000
+    assert got[2] == got[3] == (850 * 500_000) // 1000
+
+
+def test_personalized_pagerank_empty_seeds_raises(spark):
+    ndf = spark.createDataFrame([(1,)], "node long")
+    edf = spark.createDataFrame([], "src long, dst long")
+    seeds = spark.createDataFrame([], "node long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        G.personalized_pagerank(ndf, edf, seeds)
