@@ -144,3 +144,34 @@ def test_grouped_ols_single_partial_agg(spark, registry):
     plan = _plan(registry["event_value_trend"].fn(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "HashAggregate" in plan
+
+
+def test_dynamic_partition_pruning_on_fact_scan(spark, tmp_path):
+    """Dynamic partition pruning: joining a day-partitioned fact table to
+    a FILTERED dimension must prune fact partitions with a runtime
+    subquery (`dynamicpruning` in the scan's partition filters) — the
+    star-schema read path where the prunable days are only known after
+    the dim filter runs, not at plan time."""
+    from pyspark.sql import functions as F
+
+    from cdc_agents_data_stream_spark.queries.base import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    fact = str(tmp_path / "fact")
+    ev.write.partitionBy("day").parquet(fact)
+    days = (
+        ev.select("day").distinct().orderBy("day").limit(3)
+        .withColumn("tag", F.lit("wanted"))
+    )
+    dim = str(tmp_path / "dim")
+    days.write.parquet(dim)
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    f = spark.read.parquet(fact)
+    d = spark.read.parquet(dim).filter(F.col("tag") == "wanted")
+    joined = f.join(d, "day").groupBy("day").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the result only covers the 3 wanted days
+    assert joined.count() == 3
