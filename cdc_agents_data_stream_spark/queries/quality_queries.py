@@ -181,3 +181,62 @@ QUERIES["table_stats_profile"] = Q(
     TABLE_STATS_PROFILE_SQL,
     "one-pass ANALYZE-style per-column statistics, unpivoted via stack()",
 )
+
+
+def json_corrupt_tolerance(spark, sf_dir):
+    """Malformed-record tolerance — the PERMISSIVE-parse accounting every
+    JSON ingest needs: rows where event_id % 7 == 0 get their props
+    payload deterministically corrupted (unbalanced brace appended), the
+    parse maps corrupt rows to NULL instead of failing the job, and the
+    gate reports per-type valid/corrupt counts plus the exact k-sum over
+    rows that survived the parse. Spark's `from_json` returns null on
+    malformed input; DuckDB's `json_valid` guards the same rows — the
+    cross-engine contract is the COUNTS, pinned here."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "props2",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.expr("substring(props, 1, length(props) - 1)"),
+        ).otherwise(F.col("props")),
+    )
+    parsed = ev.withColumn(
+        "k_val", F.from_json("props2", "struct<k: long>")["k"]
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("k_val").isNull().cast("long")).cast("long").alias("n_corrupt"),
+            F.sum(F.coalesce(F.col("k_val"), F.lit(0))).cast("long").alias("k_sum_valid"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_CORRUPT_TOLERANCE_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN substr(props, 1, length(props) - 1)
+              ELSE props END AS props2
+  FROM events
+),
+p AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props2)
+              THEN CAST(json_extract(props2, '$.k') AS BIGINT)
+              ELSE NULL END AS k_val
+  FROM e
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN k_val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       CAST(SUM(COALESCE(k_val, 0)) AS BIGINT) AS k_sum_valid
+FROM p
+GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["json_corrupt_tolerance"] = Q(
+    json_corrupt_tolerance,
+    JSON_CORRUPT_TOLERANCE_SQL,
+    "PERMISSIVE JSON parse accounting: corrupt rows null out, never fail the job",
+)
