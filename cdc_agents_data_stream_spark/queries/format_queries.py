@@ -171,3 +171,91 @@ QUERIES["applog_source_scan"] = Q(
     APPLOG_SOURCE_SCAN_SQL,
     "custom Python DataSource (partition-per-shard applog reader)",
 )
+
+
+def applog_stream_scan(spark, sf_dir):
+    """The custom Python DataSource in STREAMING mode
+    (sources/pylog.py::AppLogStreamReader): three pre-staged applog tick
+    files drain through `spark.readStream.format("applog")` one file per
+    micro-batch (offset = consumed-file count, the file-stream contract),
+    with a complete-mode rollup in the memory sink. The final aggregate
+    must equal the batch rollup — the oracle — proving the streaming
+    offsets lose and duplicate nothing across the three batches."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.pylog import register
+
+    register(spark)
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 9 == 0).select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("key"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.col("event_type").alias("kind"),
+        F.concat(F.lit("v="), F.round(F.col("value") * 1e6).cast("long")).alias(
+            "payload"
+        ),
+        (F.col("event_id") % 3).alias("tick"),
+    )
+    rows = ev.collect()
+    base = tempfile.mkdtemp(prefix="applog-stream-")
+    try:
+        for tick in range(3):
+            with open(os.path.join(base, f"tick-{tick}.applog"), "w") as fh:
+                fh.write("# applog v1\n")
+                for r in rows:
+                    if r["tick"] == tick:
+                        fh.write(
+                            f"{r['key']}\t{r['ts_ms']}\t{r['kind']}\t{r['payload']}\n"
+                        )
+        stream = (
+            spark.readStream.format("applog")
+            .option("path", base)
+            .option("maxFilesPerBatch", "1")
+            .load()
+        )
+        # no countDistinct: streaming aggregation forbids distinct
+        # aggregates (state would be unbounded); keys are signalled via
+        # the exact micro sum + count instead
+        agg = stream.groupBy("kind").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.expr("CAST(substring(payload, 3) AS BIGINT)"))
+            .cast("long")
+            .alias("sum_value_micro"),
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("applog_stream_sink")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        collected = spark.table("applog_stream_sink").collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.catalog.dropTempView("applog_stream_sink")
+    return spark.createDataFrame(
+        collected, "kind string, n long, sum_value_micro long"
+    ).orderBy("kind")
+
+
+APPLOG_STREAM_SCAN_SQL = """
+SELECT event_type AS kind,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_micro
+FROM events
+WHERE event_id % 9 = 0
+GROUP BY event_type
+ORDER BY kind
+"""
+
+QUERIES["applog_stream_scan"] = Q(
+    applog_stream_scan,
+    APPLOG_STREAM_SCAN_SQL,
+    "custom Python DataSource streaming: file-count offsets, one shard per micro-batch",
+)
