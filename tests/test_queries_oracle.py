@@ -31,3 +31,29 @@ def test_query_matches_oracle(spark, con, name):
         return
     problems = compare(df, con, q.oracle, name)
     assert not problems, "\n".join(problems)
+
+
+def test_registry_names_unique_across_modules():
+    """all_queries() merges per-module QUERIES dicts — a duplicated name
+    would silently shadow an earlier gate and its oracle. Assert every
+    module's names are disjoint so a collision fails loudly here instead."""
+    import importlib
+
+    from cdc_agents_data_stream_spark.queries import registry as reg
+
+    seen: dict[str, str] = {}
+    mods = ["relational"] + [
+        "dedup_queries", "text_queries", "similarity_queries",
+        "multimodal_queries", "message_queries", "kernel_queries",
+        "source_queries", "asof_queries", "window_queries",
+        "sampling_queries", "streaming_queries", "sql_queries",
+        "sketch_queries", "ml_queries", "zorder_queries",
+        "format_queries", "quality_queries", "feature_queries",
+        "graph_queries",
+    ]
+    for m in mods:
+        mod = importlib.import_module(f"cdc_agents_data_stream_spark.queries.{m}")
+        for name in mod.QUERIES:
+            assert name not in seen, f"{name} defined in both {seen[name]} and {m}"
+            seen[name] = m
+    assert len(reg.all_queries()) == len(seen)

@@ -250,3 +250,37 @@ def test_upsert_schema_evolution(spark, tmp_path):
     store.upsert(spark.createDataFrame([("k3", 33)], "session_id string, a long"))
     out = {r.session_id: (r.a, r.b) for r in store.read().collect()}
     assert out["k3"] == (33, None)
+
+
+def test_changes_between_versions_cdf(spark, tmp_path):
+    """Change-data-feed read: snapshot diff between two retained versions
+    tags inserts, updates (postimage), and deletes; unchanged keys emit
+    nothing."""
+    from cdc_agents_data_stream_spark.state.store import ParquetStateStore
+
+    store = ParquetStateStore(spark, str(tmp_path / "s"), n_buckets=8)
+    store.upsert_rows([_row("a", 1), _row("b", 1), _row("c", 1)])
+    v1 = store.current_version()
+    store.upsert_rows([_row("b", 2), _row("d", 1)])  # update b, insert d
+    store.delete(
+        spark.createDataFrame([("c",)], "session_id string"), key="session_id"
+    )
+    v3 = store.current_version()
+    cdf = {
+        r["session_id"]: r["_change_type"]
+        for r in store.changes_between(v1, v3).collect()
+    }
+    assert cdf == {"b": "update_postimage", "d": "insert", "c": "delete"}
+    # full feed from nothing = every live row as insert
+    cdf0 = {
+        r["session_id"]: r["_change_type"]
+        for r in store.changes_between(0, v3).collect()
+    }
+    assert cdf0 == {"a": "insert", "b": "insert", "d": "insert"}
+    # postimage payload rides along for non-deletes
+    post = {
+        r["session_id"]: r["sequence_number"]
+        for r in store.changes_between(v1, v3).collect()
+        if r["_change_type"] != "delete"
+    }
+    assert post == {"b": 2, "d": 1}
