@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     # iterative-join representative: 3 PageRank rounds over the ~970k-edge
     # purchase graph (edge list materialized once, rank side per round)
     "graph_pagerank",
+    # record-linkage representative: 20k dirtied entities probe the clean
+    # catalog's MinHash band index (blocking + restricted verify)
+    "fuzzy_entity_match",
 ]
 
 
