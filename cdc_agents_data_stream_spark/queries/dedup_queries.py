@@ -676,3 +676,98 @@ QUERIES["fuzzy_entity_match"] = Q(
     FUZZY_ENTITY_MATCH_SQL,
     "LSH-blocked fuzzy entity resolution of dirtied part names",
 )
+
+
+def fuzzy_best_link(spark, sf_dir):
+    """Entity-resolution DECISION stage: among each dirty record's
+    LSH-candidate matches (`fuzzy_entity_match`), pick the single best
+    link by Levenshtein edit distance of the full entity strings
+    (tie → smallest part id) — blocking bounds the candidate set, the
+    edit distance (identical dynamic program in both engines) makes the
+    final call, the one-row-per-entity argmin is a grouped min_by. The
+    expensive distance runs ONLY on banded candidates, never all pairs."""
+    part = load(spark, sf_dir, "part").withColumn(
+        "entity",
+        F.concat_ws(
+            " ", "p_name", "p_brand", "p_type", F.col("p_size").cast("string")
+        ),
+    )
+    matches = fuzzy_entity_match(spark, sf_dir).select("dirty_id", "part_id")
+    toks = F.split("entity", " ")
+    di = F.pmod(F.col("p_partkey"), F.size(toks))
+    dirty = part.select(
+        (F.col("p_partkey").cast("long") + 10_000_000).alias("dirty_id"),
+        F.concat_ws(
+            " ",
+            F.concat(
+                F.slice(toks, 1, di), F.slice(toks, di + 2, F.size(toks) - di - 1)
+            ),
+        ).alias("dirty_entity"),
+    )
+    clean = part.select(
+        F.col("p_partkey").cast("long").alias("part_id"), F.col("entity")
+    )
+    scored = (
+        matches.join(dirty, "dirty_id")
+        .join(clean, "part_id")
+        .select(
+            "dirty_id",
+            "part_id",
+            F.levenshtein("dirty_entity", "entity").cast("long").alias("edit_dist"),
+        )
+    )
+    return (
+        scored.groupBy("dirty_id")
+        .agg(
+            F.min_by(
+                F.col("part_id"), F.struct(F.col("edit_dist"), F.col("part_id"))
+            ).cast("long").alias("best_part_id"),
+            F.min(F.struct(F.col("edit_dist"), F.col("part_id")))["edit_dist"]
+            .cast("long")
+            .alias("best_edit_dist"),
+            F.count("*").cast("long").alias("n_candidates"),
+        )
+        .orderBy("dirty_id")
+    )
+
+
+FUZZY_BEST_LINK_SQL = f"""
+WITH matches AS ({FUZZY_ENTITY_MATCH_SQL.replace(';', '')}),
+t0 AS (
+  SELECT CAST(p_partkey AS BIGINT) AS pk,
+         p_name || ' ' || p_brand || ' ' || p_type || ' ' || CAST(p_size AS VARCHAR) AS entity,
+         string_split(p_name || ' ' || p_brand || ' ' || p_type || ' ' || CAST(p_size AS VARCHAR), ' ') AS t
+  FROM part
+),
+dirty AS (
+  SELECT pk + 10000000 AS dirty_id,
+         array_to_string(
+           list_concat(t[1:(pk % len(t))], t[(pk % len(t)) + 2:len(t)]), ' '
+         ) AS dirty_entity
+  FROM t0
+),
+clean AS (SELECT pk AS part_id, entity FROM t0),
+scored AS (
+  SELECT m.dirty_id, m.part_id,
+         CAST(levenshtein(d.dirty_entity, c.entity) AS BIGINT) AS edit_dist
+  FROM matches m
+  JOIN dirty d USING (dirty_id)
+  JOIN clean c USING (part_id)
+),
+best AS (
+  SELECT dirty_id, part_id AS best_part_id, edit_dist AS best_edit_dist,
+         ROW_NUMBER() OVER (PARTITION BY dirty_id ORDER BY edit_dist, part_id) AS rn,
+         COUNT(*) OVER (PARTITION BY dirty_id) AS n_candidates
+  FROM scored
+)
+SELECT dirty_id, CAST(best_part_id AS BIGINT) AS best_part_id,
+       CAST(best_edit_dist AS BIGINT) AS best_edit_dist,
+       CAST(n_candidates AS BIGINT) AS n_candidates
+FROM best WHERE rn = 1 ORDER BY dirty_id
+"""
+
+QUERIES["fuzzy_best_link"] = Q(
+    fuzzy_best_link,
+    FUZZY_BEST_LINK_SQL,
+    "best-link resolution over LSH candidates by Levenshtein distance",
+)
