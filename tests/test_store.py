@@ -284,3 +284,46 @@ def test_changes_between_versions_cdf(spark, tmp_path):
         if r["_change_type"] != "delete"
     }
     assert post == {"b": 2, "d": 1}
+
+
+def test_cdf_tracks_live_pipeline_ticks(spark, tmp_path):
+    """Drive the real foreachBatch pipeline tick by tick and assert the
+    store's change feed between consecutive versions names exactly the
+    sessions each tick touched — the CDF read is how a downstream
+    consumer would tail this store without rescanning snapshots."""
+    from cdc_agents_data_stream_spark.streaming.pipeline import run_foreachbatch_pipeline
+    from tests.checkpointgen import gen_checkpoint_tables
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        base = tmp_path / "cdf"
+        (base / "writes").mkdir(parents=True)
+        (base / "cps").mkdir()
+        cps, writes = gen_checkpoint_tables(n_threads=2, n_ticks=2, repeat_tick=None)
+        cps.to_parquet(base / "cps" / "all.parquet")
+        tick_of = writes.checkpoint_id.str.split("-").str[2].astype(int)
+        for tick in range(2):
+            writes[tick_of == tick].to_parquet(base / "writes" / f"tick-{tick}.parquet")
+        store = ParquetStateStore(spark, str(base / "state"))
+        log = ParquetAppendLog(spark, str(base / "diffs"))
+        q = run_foreachbatch_pipeline(
+            spark, str(base / "writes"), str(base / "cps"), store, log,
+            checkpoint_location=str(base / "ckpt"), max_files_per_trigger=1,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        v = store.current_version()
+        assert v >= 2
+        # tick 2's delta: both thread sessions updated (new checkpoints)
+        feed = store.changes_between(v - 1, v).collect()
+        assert {r["_change_type"] for r in feed} <= {"insert", "update_postimage"}
+        assert len(feed) == 2
+        # from-scratch feed equals the live snapshot as inserts
+        feed0 = store.changes_between(0, v).collect()
+        assert all(r["_change_type"] == "insert" for r in feed0)
+        assert len(feed0) == store.read().count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
