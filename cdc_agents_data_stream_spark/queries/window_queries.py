@@ -566,3 +566,119 @@ QUERIES["value_pareto_cutoff"] = Q(
     VALUE_PARETO_CUTOFF_SQL,
     "smallest user set covering 80% of total value (integer cumulative share)",
 )
+
+
+def max_concurrent_users(spark, sf_dir):
+    """Sweep-line interval concurrency: each event opens a 30-minute
+    presence interval (clipped at midnight so every interval lives in one
+    day-partition); +1/−1 boundary events sorted within the day give a
+    running occupancy sum whose max is the day's peak concurrency — the
+    classic interval-overlap algorithm, keyed by day so the running sum
+    never needs a global single-partition sort. Ends sort before starts
+    at the same millisecond (half-open intervals: a user leaving as
+    another arrives never double-counts)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias("day"),
+        ms("ts").alias("ts_ms"),
+    )
+    day_end = (F.col("day") + 1) * 86400000
+    starts = ev.select("day", F.col("ts_ms").alias("at_ms"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        "day",
+        F.least(F.col("ts_ms") + 1800000, day_end).alias("at_ms"),
+        F.lit(-1).alias("delta"),
+    )
+    bounds = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("day")
+        .orderBy("at_ms", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    occupancy = bounds.withColumn("occ", F.sum("delta").over(w))
+    return (
+        occupancy.groupBy("day")
+        .agg(F.max("occ").cast("long").alias("max_concurrent"))
+        .orderBy("day")
+    )
+
+
+MAX_CONCURRENT_USERS_SQL = """
+WITH e AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         epoch_ms(ts) AS ts_ms
+  FROM events
+),
+bounds AS (
+  SELECT day, ts_ms AS at_ms, 1 AS delta FROM e
+  UNION ALL
+  SELECT day, LEAST(ts_ms + 1800000, (day + 1) * 86400000) AS at_ms, -1 AS delta FROM e
+),
+occ AS (
+  SELECT day,
+         SUM(delta) OVER (PARTITION BY day ORDER BY at_ms, delta
+                          ROWS UNBOUNDED PRECEDING) AS occ
+  FROM bounds
+)
+SELECT day, CAST(MAX(occ) AS BIGINT) AS max_concurrent
+FROM occ GROUP BY day ORDER BY day
+"""
+
+QUERIES["max_concurrent_users"] = Q(
+    max_concurrent_users,
+    MAX_CONCURRENT_USERS_SQL,
+    "sweep-line peak concurrency per day (+1/-1 boundaries, keyed running sum)",
+)
+
+
+def value_equidepth_bins(spark, sf_dir):
+    """Equi-DEPTH histogram per event type (deciles by population —
+    complement of the equi-width `event_value_histogram`): ntile(10) over
+    (value, event_id) — the id tie-break makes bin membership a total
+    order both engines share — then per-bin count and cent-grid min/max,
+    the boundary artifact feeding range-partition planning and drift
+    monitors."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    return (
+        ev.withColumn("bin", F.ntile(10).over(w).cast("long"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+VALUE_EQUIDEPTH_BINS_SQL = """
+WITH e AS (
+  SELECT event_type, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+b AS (
+  SELECT event_type, cents,
+         CAST(NTILE(10) OVER (PARTITION BY event_type ORDER BY cents, event_id)
+              AS BIGINT) AS bin
+  FROM e
+)
+SELECT event_type, bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(cents) AS BIGINT) AS lo_cents,
+       CAST(MAX(cents) AS BIGINT) AS hi_cents
+FROM b GROUP BY event_type, bin ORDER BY event_type, bin
+"""
+
+QUERIES["value_equidepth_bins"] = Q(
+    value_equidepth_bins,
+    VALUE_EQUIDEPTH_BINS_SQL,
+    "equi-depth decile histogram per type (ntile with total-order tie-break)",
+)
