@@ -485,3 +485,78 @@ FROM c GROUP BY user_id
 QUERIES["orders_status_rollup"] = Q(orders_status_rollup, ORDERS_STATUS_ROLLUP_SQL, "grouping sets")
 QUERIES["event_value_percentiles"] = Q(event_value_percentiles, EVENT_VALUE_PERCENTILES_SQL, "exact percentiles")
 QUERIES["user_event_map_collect"] = Q(user_event_map_collect, USER_EVENT_MAP_COLLECT_SQL, "A7 map-collect per user")
+
+
+def frequent_item_pairs(spark, sf_dir):
+    """Market-basket association mining (the A-priori first pass): parts
+    co-purchased in the same order, support-filtered, with confidence
+    ratios on the ppm grid. Pair generation is a per-basket self-join of
+    the DISTINCT item list — fan-out bounded by basket size², never
+    |orders|² — and counting is one partial-agg groupBy; singleton
+    supports broadcast back for the confidence division (integer, no
+    floats). The shape behind co-occurrence recommenders at lake scale."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_partkey").cast("long").alias("item"),
+        )
+        .distinct()
+        .localCheckpoint()  # consumed by the pair self-join (twice) + supports
+    )
+    n_orders = li.select("okey").distinct().count()
+    supp = li.groupBy("item").agg(F.count("*").cast("long").alias("n_item"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    return (
+        pairs.join(supp.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a")), "item_a")
+        .join(supp.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b")), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.expr("(n_pair * 1000000) DIV n_a").cast("long").alias("conf_a_to_b_ppm"),
+            F.expr(f"(n_pair * {n_orders}L * 1000000) DIV (n_a * n_b)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+        .orderBy("item_a", "item_b")
+    )
+
+
+FREQUENT_ITEM_PAIRS_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS okey, CAST(l_partkey AS BIGINT) AS item FROM lineitem),
+n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM li),
+supp AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM li GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM li a JOIN li b ON a.okey = b.okey AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING COUNT(*) >= 3
+)
+SELECT p.item_a, p.item_b, p.n_pair,
+       sa.n_item AS n_a, sb.n_item AS n_b,
+       CAST((p.n_pair * 1000000) // sa.n_item AS BIGINT) AS conf_a_to_b_ppm,
+       CAST((p.n_pair * (SELECT n_orders FROM n) * 1000000) // (sa.n_item * sb.n_item) AS BIGINT) AS lift_ppm
+FROM pairs p
+JOIN supp sa ON sa.item = p.item_a
+JOIN supp sb ON sb.item = p.item_b
+ORDER BY p.item_a, p.item_b
+"""
+
+QUERIES["frequent_item_pairs"] = Q(
+    frequent_item_pairs,
+    FREQUENT_ITEM_PAIRS_SQL,
+    "A-priori frequent co-purchased pairs with ppm confidence and lift",
+)
