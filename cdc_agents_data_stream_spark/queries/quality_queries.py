@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .base import Q, load
+from .base import Q, load, ms
 
 
 def data_quality_report(spark, sf_dir):
@@ -239,4 +239,99 @@ QUERIES["json_corrupt_tolerance"] = Q(
     json_corrupt_tolerance,
     JSON_CORRUPT_TOLERANCE_SQL,
     "PERMISSIVE JSON parse accounting: corrupt rows null out, never fail the job",
+)
+
+
+def value_drift_l1(spark, sf_dir):
+    """Distribution-drift monitor: per event type, the L1 distance
+    between the value histograms of the FIRST and SECOND half of the
+    time range (20 equi-width buckets), on the ppm integer grid — the
+    log-free alternative to PSI/KL (whose ln is not cross-engine
+    deterministic). Proportions are integer ppm (n_bucket·10⁶ DIV
+    n_half), so the statistic is exact; 0 = identical shape, 2·10⁶ =
+    disjoint. Two partial-agg passes, shuffle bounded by types×buckets."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        ms("ts").alias("ts_ms"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 5).cast("long"), F.lit(0)), F.lit(19)
+        ).alias("bucket"),
+    )
+    # integer midpoint: float `/` then cast is NOT portable (Spark's
+    # double->long cast truncates, DuckDB's rounds half-even)
+    mid = ev.agg(
+        F.expr("(MIN(ts_ms) + MAX(ts_ms)) DIV 2").cast("long").alias("mid_ms")
+    )
+    halved = ev.crossJoin(F.broadcast(mid)).withColumn(
+        "half", (F.col("ts_ms") >= F.col("mid_ms")).cast("int")
+    )
+    counts = halved.groupBy("event_type", "half", "bucket").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    totals = counts.groupBy("event_type", "half").agg(
+        F.sum("n").cast("long").alias("n_half")
+    )
+    props = counts.join(totals, ["event_type", "half"]).select(
+        "event_type",
+        "bucket",
+        "half",
+        F.expr("(n * 1000000) DIV n_half").cast("long").alias("p_ppm"),
+    )
+    p0 = props.filter(F.col("half") == 0).select(
+        "event_type", "bucket", F.col("p_ppm").alias("p0")
+    )
+    p1 = props.filter(F.col("half") == 1).select(
+        "event_type", "bucket", F.col("p_ppm").alias("p1")
+    )
+    joined = p0.join(p1, ["event_type", "bucket"], "full_outer").select(
+        "event_type",
+        F.abs(F.coalesce("p0", F.lit(0)) - F.coalesce("p1", F.lit(0))).alias("d"),
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(F.sum("d").cast("long").alias("l1_ppm"))
+        .orderBy("event_type")
+    )
+
+
+VALUE_DRIFT_L1_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms,
+         CAST(LEAST(GREATEST(FLOOR(value / 5), 0), 19) AS BIGINT) AS bucket
+  FROM events
+),
+m AS (SELECT CAST((MIN(ts_ms) + MAX(ts_ms)) // 2 AS BIGINT) AS mid_ms FROM e),
+h AS (
+  SELECT event_type, bucket,
+         CASE WHEN ts_ms >= (SELECT mid_ms FROM m) THEN 1 ELSE 0 END AS half
+  FROM e
+),
+counts AS (
+  SELECT event_type, half, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM h GROUP BY 1, 2, 3
+),
+totals AS (
+  SELECT event_type, half, CAST(SUM(n) AS BIGINT) AS n_half
+  FROM counts GROUP BY 1, 2
+),
+props AS (
+  SELECT c.event_type, c.bucket, c.half,
+         CAST((c.n * 1000000) // t.n_half AS BIGINT) AS p_ppm
+  FROM counts c JOIN totals t USING (event_type, half)
+),
+j AS (
+  SELECT COALESCE(p0.event_type, p1.event_type) AS event_type,
+         ABS(COALESCE(p0.p_ppm, 0) - COALESCE(p1.p_ppm, 0)) AS d
+  FROM (SELECT * FROM props WHERE half = 0) p0
+  FULL OUTER JOIN (SELECT * FROM props WHERE half = 1) p1
+    ON p0.event_type = p1.event_type AND p0.bucket = p1.bucket
+)
+SELECT event_type, CAST(SUM(d) AS BIGINT) AS l1_ppm
+FROM j GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["value_drift_l1"] = Q(
+    value_drift_l1,
+    VALUE_DRIFT_L1_SQL,
+    "first-half vs second-half histogram L1 drift per type (ppm grid, log-free)",
 )

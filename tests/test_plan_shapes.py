@@ -175,3 +175,46 @@ def test_dynamic_partition_pruning_on_fact_scan(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     # and the result only covers the 3 wanted days
     assert joined.count() == 3
+
+
+def test_aqe_skew_join_splits_hot_partitions(spark, tmp_path):
+    """AQE skew-join: a join where one key holds ~90% of the rows must be
+    re-planned at runtime with the hot partition split (`isSkew=true` /
+    skew-handled SMJ) once the skew thresholds are in range — the
+    engine-level complement of the manual salted join
+    (`operators/skew.py`), proving the runtime fallback exists when
+    salting wasn't applied."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 97).alias("k"),
+        # md5 payload: incompressible bytes so the hot partition's shuffle
+        # size (compressed) actually crosses the skew threshold
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    small = spark.range(0, 97).select(
+        F.col("id").alias("k"), F.lit("dim").alias("tag")
+    )
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ path
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = big.join(small, "k").groupBy("tag").count()
+        joined.collect()  # AQE finalizes the plan only on execution
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isSkew=true" in plan or "skew=true" in plan.lower(), plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
