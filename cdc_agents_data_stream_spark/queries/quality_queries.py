@@ -335,3 +335,89 @@ QUERIES["value_drift_l1"] = Q(
     VALUE_DRIFT_L1_SQL,
     "first-half vs second-half histogram L1 drift per type (ppm grid, log-free)",
 )
+
+
+def class_weights_inverse(spark, sf_dir):
+    """Inverse-frequency class weights for imbalanced training — the
+    sklearn `balanced` rule w_c = N/(k·n_c) on the ppm integer grid, one
+    tiny aggregate + a broadcast scalar; the weight table every skewed
+    classification run feeds its loss."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_class"))
+    totals = counts.agg(
+        F.sum("n_class").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("k_classes"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_class",
+            F.expr("(n_total * 1000000) DIV (k_classes * n_class)")
+            .cast("long")
+            .alias("weight_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+CLASS_WEIGHTS_INVERSE_SQL = """
+WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_class FROM documents GROUP BY lang),
+t AS (SELECT CAST(SUM(n_class) AS BIGINT) AS n_total, CAST(COUNT(*) AS BIGINT) AS k_classes FROM c)
+SELECT c.lang, c.n_class,
+       CAST((t.n_total * 1000000) // (t.k_classes * c.n_class) AS BIGINT) AS weight_ppm
+FROM c, t ORDER BY c.lang
+"""
+
+QUERIES["class_weights_inverse"] = Q(
+    class_weights_inverse,
+    CLASS_WEIGHTS_INVERSE_SQL,
+    "inverse-frequency (balanced) class weights on the ppm grid",
+)
+
+
+def null_key_grouping(spark, sf_dir):
+    """NULL-semantics pin: event types nulled for event_id % 11 == 0,
+    then grouped — both engines must put all NULL keys in ONE group
+    (SQL GROUP BY treats NULLs as equal, unlike equality), and
+    count(col) must skip NULLs where count(*) does not. Dialect
+    foot-gun territory, pinned as a hard signal."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "etype",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(
+            F.col("event_type")
+        ),
+    )
+    return (
+        ev.groupBy("etype")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count("etype").cast("long").alias("n_nonnull_key"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .orderBy(F.col("etype").asc_nulls_first())
+    )
+
+
+NULL_KEY_GROUPING_SQL = """
+WITH e AS (
+  SELECT CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS etype,
+         value
+  FROM events
+)
+SELECT etype,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(etype) AS BIGINT) AS n_nonnull_key,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM e
+GROUP BY etype
+ORDER BY etype ASC NULLS FIRST
+"""
+
+QUERIES["null_key_grouping"] = Q(
+    null_key_grouping,
+    NULL_KEY_GROUPING_SQL,
+    "NULL grouping + count(col) vs count(*) semantics pin",
+)

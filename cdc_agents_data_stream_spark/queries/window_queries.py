@@ -682,3 +682,73 @@ QUERIES["value_equidepth_bins"] = Q(
     VALUE_EQUIDEPTH_BINS_SQL,
     "equi-depth decile histogram per type (ntile with total-order tie-break)",
 )
+
+
+def user_interval_stats(spark, sf_dir):
+    """Per-user inter-event gap statistics with an EXACT variance: the
+    second moment is n·Σx² − (Σx)² over SECOND-granularity gaps so every
+    intermediate fits BIGINT (order-free, no Welford, no float — and no
+    DECIMAL division either: Spark's decimal DIV rounds at an
+    intermediate scale, a measured 1-ulp cross-engine mismatch, so the
+    division runs on BIGINTs). Mean stays on the millisecond grid.
+    Users with <3 events (fewer than 2 gaps) emit null variance rather
+    than a divide-by-zero."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", ms("ts").alias("ts_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gaps = (
+        ev.withColumn("gap_ms", F.col("ts_ms") - F.lag("ts_ms").over(w))
+        .filter(F.col("gap_ms").isNotNull())
+    )
+    gaps = gaps.withColumn("gap_s", F.expr("gap_ms DIV 1000"))
+    agg = gaps.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum(F.col("gap_ms").cast("decimal(38,0)")).cast("long").alias("sum_ms"),
+        F.sum("gap_s").cast("long").alias("sum_s"),
+        F.sum(F.expr("gap_s * gap_s")).cast("long").alias("sumsq_s"),
+    )
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        F.expr("sum_ms DIV n_gaps").cast("long").alias("mean_gap_ms"),
+        F.when(
+            F.col("n_gaps") >= 2,
+            F.expr("(n_gaps * sumsq_s - sum_s * sum_s) DIV (n_gaps * (n_gaps - 1))"),
+        ).cast("long").alias("var_s2"),
+    ).orderBy("user_id")
+
+
+USER_INTERVAL_STATS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+),
+g0 AS (
+  SELECT user_id,
+         ts_ms - LAG(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS gap_ms
+  FROM e
+),
+g AS (SELECT user_id, gap_ms, gap_ms // 1000 AS gap_s FROM g0 WHERE gap_ms IS NOT NULL),
+a AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(CAST(gap_ms AS DECIMAL(38,0))) AS BIGINT) AS sum_ms,
+         CAST(SUM(gap_s) AS BIGINT) AS sum_s,
+         CAST(SUM(gap_s * gap_s) AS BIGINT) AS sumsq_s
+  FROM g GROUP BY user_id
+)
+SELECT user_id, n_gaps,
+       CAST(sum_ms // n_gaps AS BIGINT) AS mean_gap_ms,
+       CASE WHEN n_gaps >= 2 THEN
+         CAST((n_gaps * sumsq_s - sum_s * sum_s) // (n_gaps * (n_gaps - 1)) AS BIGINT)
+       END AS var_s2
+FROM a ORDER BY user_id
+"""
+
+QUERIES["user_interval_stats"] = Q(
+    user_interval_stats,
+    USER_INTERVAL_STATS_SQL,
+    "per-user gap mean/variance via exact decimal second moments",
+)
