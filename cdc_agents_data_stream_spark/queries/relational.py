@@ -560,3 +560,57 @@ QUERIES["frequent_item_pairs"] = Q(
     FREQUENT_ITEM_PAIRS_SQL,
     "A-priori frequent co-purchased pairs with ppm confidence and lift",
 )
+
+
+def events_keyset_page(spark, sf_dir):
+    """Keyset (cursor) pagination — the scale-correct alternative to
+    OFFSET (which always scans and discards the skip): page 3 of the
+    event feed ordered by (ts, id), where the cursor is page 2's last
+    key computed as a bounded subquery. The page read is a pure
+    range predicate on the sort key — index/partition-prunable —
+    plus one TakeOrdered of page size; OFFSET-free end to end."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", ms("ts").alias("ts_ms"), "event_type"
+    )
+    page = 50
+    # cursor = the 100th row's (ts, id) in feed order (end of page 2),
+    # computed as a 1-row bounded artifact
+    cursor = (
+        ev.orderBy("ts_ms", "event_id")
+        .limit(2 * page)
+        .orderBy(F.col("ts_ms").desc(), F.col("event_id").desc())
+        .limit(1)
+        .select(F.col("ts_ms").alias("c_ts"), F.col("event_id").alias("c_id"))
+    )
+    return (
+        ev.crossJoin(F.broadcast(cursor))
+        .filter(
+            (F.col("ts_ms") > F.col("c_ts"))
+            | ((F.col("ts_ms") == F.col("c_ts")) & (F.col("event_id") > F.col("c_id")))
+        )
+        .orderBy("ts_ms", "event_id")
+        .limit(page)
+        .select("event_id", "ts_ms", "event_type")
+    )
+
+
+EVENTS_KEYSET_PAGE_SQL = """
+WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
+cursor AS (
+  SELECT ts_ms AS c_ts, event_id AS c_id
+  FROM (SELECT * FROM e ORDER BY ts_ms, event_id LIMIT 100)
+  ORDER BY ts_ms DESC, event_id DESC LIMIT 1
+)
+SELECT e.event_id, e.ts_ms, e.event_type
+FROM e, cursor
+WHERE e.ts_ms > cursor.c_ts
+   OR (e.ts_ms = cursor.c_ts AND e.event_id > cursor.c_id)
+ORDER BY e.ts_ms, e.event_id
+LIMIT 50
+"""
+
+QUERIES["events_keyset_page"] = Q(
+    events_keyset_page,
+    EVENTS_KEYSET_PAGE_SQL,
+    "cursor-based pagination: range predicate + TakeOrdered, no OFFSET scan",
+)

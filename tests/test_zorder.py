@@ -86,3 +86,41 @@ def test_zorder_layout_narrows_both_columns(spark, norm, tmp_path):
     z_hit = sum(1 for mn, mx in _file_ranges(zdir, "vy") if not (mx < lo or mn > hi))
     s_hit = sum(1 for mn, mx in _file_ranges(sdir, "vy") if not (mx < lo or mn > hi))
     assert z_hit <= s_hit
+
+
+def test_parquet_bloom_filter_written_for_point_lookup_column(spark, tmp_path):
+    """Lake-layout knob: parquet bloom filters on the point-lookup key —
+    the file-skipping aid for high-cardinality keys where min/max zones
+    are useless. This container's pyarrow (16.x) does not expose
+    `bloom_filter_offset`, so the proof is byte-level: with the NDV hint
+    the bloom-enabled files carry a bounded extra payload vs the plain
+    write (and WITHOUT the hint Spark's default sizing costs ~2 MB for a
+    1k-row file — the sizing knob is part of the lesson)."""
+    import os
+
+    from cdc_agents_data_stream_spark.queries.base import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value"
+    )
+    with_bloom = str(tmp_path / "bloom")
+    without = str(tmp_path / "plain")
+    (
+        ev.repartition(2)
+        .write.option("parquet.bloom.filter.enabled#event_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#event_id", "2000")
+        .parquet(with_bloom)
+    )
+    ev.repartition(2).write.parquet(without)
+
+    def total(path):
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+
+    extra = total(with_bloom) - total(without)
+    # 2 files x a ~2k-NDV bloom (~4 KB each at fpp 0.01) plus headers:
+    # present, but nowhere near the unsized 2 MB default
+    assert 2_000 < extra < 100_000, extra
