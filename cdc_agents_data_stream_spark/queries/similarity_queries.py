@@ -661,3 +661,81 @@ ORDER BY pos
 QUERIES["ann_sq8_stats"] = Q(
     ann_sq8_stats, ANN_SQ8_STATS_SQL, "SQ8 scalar quantization bounds + reconstruction error"
 )
+
+
+def ann_knn_join_self(spark, sf_dir):
+    """Batch k-NN JOIN over the whole corpus — every vector gets its 3
+    nearest in-cluster neighbors (IVF blocking): the pairwise form behind
+    embedding-level dedup/linking at scale, where per-query probing would
+    be quadratic. The self-join never leaves the cluster (equi-join on
+    the assignment), so pair volume is Σ cluster² — bounded by the
+    quantizer, not the corpus²; cluster-boundary misses are the standard
+    IVF recall trade, measured separately by ann_ivf_recall. Rank only
+    (no float sim in the output), ties broken on neighbor id."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = S.with_norm(emb, "embedding").select(F.col("vec_id"), "vec", "norm")
+    cents = base.filter(
+        (F.col("vec_id") % S.CENTROID_MOD == 0)
+        & (F.col("vec_id") < S.CENTROID_MOD * S.MAX_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    assigned = S._assign(base, cents, "vec_id").localCheckpoint()
+    a = assigned.select(
+        "cluster", F.col("vec_id").alias("a_id"), F.col("vec").alias("av"), F.col("norm").alias("an")
+    )
+    b = assigned.select(
+        "cluster", F.col("vec_id").alias("b_id"), F.col("vec").alias("bv"), F.col("norm").alias("bn")
+    )
+    sim = S._dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    w = Window.partitionBy("a_id").orderBy(F.col("sim").desc(), F.col("b_id").asc())
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(F.col("a_id").alias("vec_id"), "rank", F.col("b_id").alias("neighbor_id"))
+        .orderBy("vec_id", "rank")
+    )
+
+
+ANN_KNN_JOIN_SELF_SQL = f"""
+WITH {_BASE_CTE},
+cents AS (
+  SELECT vec_id AS centroid_id, v AS cvec, norm AS cnorm FROM base
+  WHERE vec_id % {S.CENTROID_MOD} = 0 AND vec_id < {S.CENTROID_MOD * S.MAX_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, v, norm, centroid_id AS cluster FROM (
+    SELECT b.vec_id, b.v, b.norm, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.v, c.cvec) / (b.norm * c.cnorm) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM base b CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_dot_product(a.v, b.v) / (a.norm * b.norm) DESC,
+                    b.vec_id ASC) AS BIGINT) AS rank
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, rank, neighbor_id
+FROM ranked WHERE rank <= 3
+ORDER BY vec_id, rank
+"""
+
+QUERIES["ann_knn_join_self"] = Q(
+    ann_knn_join_self,
+    ANN_KNN_JOIN_SELF_SQL,
+    "cluster-blocked k-NN self-join: top-3 in-cluster neighbors for every vector",
+)

@@ -752,3 +752,44 @@ QUERIES["user_interval_stats"] = Q(
     USER_INTERVAL_STATS_SQL,
     "per-user gap mean/variance via exact decimal second moments",
 )
+
+
+def seasonality_dow(spark, sf_dir):
+    """Day-of-week seasonality profile per event type: epoch-day mod 7
+    as the weekday key — ARITHMETIC, not a calendar function, because
+    dayofweek conventions differ by dialect (Spark 1=Sunday, DuckDB
+    dow 0=Sunday, ISO 1=Monday) and epoch-day % 7 is convention-free
+    (day 0 = Thursday 1970-01-01; the label mapping is the consumer's
+    choice). Counts and exact cent sums per (type, dow)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")), F.lit(7)
+        ).cast("long").alias("dow7"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        ev.groupBy("event_type", "dow7")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("event_type", "dow7")
+    )
+
+
+SEASONALITY_DOW_SQL = """
+SELECT event_type,
+       CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT) AS dow7,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, dow7
+"""
+
+QUERIES["seasonality_dow"] = Q(
+    seasonality_dow,
+    SEASONALITY_DOW_SQL,
+    "day-of-week seasonality via convention-free epoch-day arithmetic",
+)
