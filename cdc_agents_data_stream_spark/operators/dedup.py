@@ -626,3 +626,81 @@ def dup_spans(
         (F.col("end_pos") - F.col("start_pos") + 1).cast("long").alias("span_tokens"),
         F.col("n_dup_grams").cast("long"),
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Set-similarity self-join by PREFIX FILTERING (the PPJoin family)
+    — the exact, LSH-free alternative to banding, over the SAME 3-gram
+    shingle sets the MinHash path uses (unigram token sets are too
+    coarse against a small vocabulary — measured 51k pairs at J≥0.7 vs
+    the discriminative shingle space): shingles are globally ordered by
+    (document frequency ASC, shingle ASC), each document only indexes
+    its first ``|d| − ceil(t·|d|) + 1`` shingles in that order (two sets
+    with Jaccard ≥ t MUST share at least one prefix element — pigeonhole
+    on the required overlap), candidates are an equi-join on prefix
+    shingles, and the exact Jaccard verifies. Rare-first ordering makes
+    prefix postings short, so the candidate join is bounded by
+    rare-shingle frequencies, not corpus² — and unlike MinHash banding
+    the result has NO false negatives at the threshold.
+
+    All arithmetic integer: ceil(t·s) = (7s+9) DIV 10 for t = 0.7 —
+    float ceil is not cross-engine safe."""
+    from pyspark.sql.window import Window
+
+    if abs(threshold - 0.7) > 1e-9:
+        raise ValueError("integer prefix math is specialized to t=0.7")
+    toks = shingles(df, text_col, 3, id_col).select(
+        F.col(id_col), F.col("shingle").alias("tok")
+    ).localCheckpoint()  # consumed by sizes/dfreq/pos AND the verify
+    sizes = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("sz"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    w_doc = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("tok").asc())
+    pos = (
+        toks.join(dfreq, "tok")
+        .withColumn("pos", F.row_number().over(w_doc).cast("long"))
+        .join(sizes, id_col)
+    )
+    prefix = pos.filter(
+        F.col("pos") <= F.col("sz") - F.expr("(7 * sz + 9) DIV 10") + 1
+    ).select(F.col(id_col), "tok")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    # exact verify via the standard inter/union computation
+    ta = toks.select(F.col(id_col).alias("doc_a"), "tok")
+    tb = toks.select(F.col(id_col).alias("doc_b"), F.col("tok").alias("tok"))
+    overlap = (
+        candidates.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("szb"))
+    return (
+        overlap.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -771,3 +771,59 @@ QUERIES["fuzzy_best_link"] = Q(
     FUZZY_BEST_LINK_SQL,
     "best-link resolution over LSH candidates by Levenshtein distance",
 )
+
+
+def dedup_prefix_filter(spark, sf_dir):
+    """Prefix-filter set-similarity self-join
+    (operators/dedup.py::prefix_filter_pairs, the PPJoin family) at
+    3-gram-shingle Jaccard >= 0.7 — the exact, LSH-free member of the dedup
+    family: rare-token-first global ordering, pigeonhole prefixes as the
+    candidate index, exact verify. Unlike banding there are NO false
+    negatives at the threshold; the oracle is the same algorithm
+    unrolled, and its agreement doubles as the no-miss proof."""
+    return (
+        D.prefix_filter_pairs(load(spark, sf_dir, "documents"), threshold=0.7)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_PREFIX_FILTER_SQL = f"""
+WITH {_SHINGLE_CTES.replace("sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)", "_sz0 AS (SELECT 1)")},
+sset AS (SELECT doc_id, shingle AS tok FROM sh),
+sizes2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sset GROUP BY doc_id),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM sset GROUP BY tok),
+pos AS (
+  SELECT t.doc_id, t.tok, s.sz,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY t.doc_id ORDER BY f.df ASC, t.tok ASC) AS BIGINT) AS pos
+  FROM sset t JOIN dfreq f USING (tok) JOIN sizes2 s USING (doc_id)
+),
+prefix AS (
+  SELECT doc_id, tok FROM pos
+  WHERE pos <= sz - ((7 * sz + 9) // 10) + 1
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
+overlap AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cands c
+  JOIN sset ta ON ta.doc_id = c.doc_a
+  JOIN sset tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT o.doc_a, o.doc_b,
+       ROUND(o.inter / (sa.sz + sb.sz - o.inter), 6) AS jaccard
+FROM overlap o
+JOIN sizes2 sa ON sa.doc_id = o.doc_a
+JOIN sizes2 sb ON sb.doc_id = o.doc_b
+WHERE ROUND(o.inter / (sa.sz + sb.sz - o.inter), 6) >= 0.7
+ORDER BY o.doc_a, o.doc_b
+"""
+
+QUERIES["dedup_prefix_filter"] = Q(
+    dedup_prefix_filter,
+    DEDUP_PREFIX_FILTER_SQL,
+    "PPJoin-style prefix-filter join at token Jaccard >= 0.7 (exact, no false negatives)",
+)
