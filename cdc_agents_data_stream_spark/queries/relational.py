@@ -614,3 +614,133 @@ QUERIES["events_keyset_page"] = Q(
     EVENTS_KEYSET_PAGE_SQL,
     "cursor-based pagination: range predicate + TakeOrdered, no OFFSET scan",
 )
+
+
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): lineitem revenue flowing between
+    two chosen nations in either direction, by year — two dimension
+    chains onto one fact (supplier→nation, order→customer→nation), both
+    broadcast; revenue on exact DECIMAL, year by EXTRACT (identical in
+    both engines on date types)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("o_orderdate")).cast("long").alias("o_year"),
+        )
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "o_year")
+    )
+
+
+TPCH_Q7_VOLUME_SHIPPING_SQL = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,6))) AS DECIMAL(38,12)))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+QUERIES["tpch_q7_volume_shipping"] = Q(
+    tpch_q7_volume_shipping,
+    TPCH_Q7_VOLUME_SHIPPING_SQL,
+    "TPC-H Q7 shape: nation-pair revenue by year, dual dim chains broadcast",
+)
+
+
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity exceeds a threshold — the grouped-HAVING-then-join pattern
+    where the aggregate RESTRICTS the join (the having set is the small
+    side and semi-restricts everything downstream)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            ms("o_orderdate").alias("order_ts_ms"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+TPCH_Q18_LARGE_ORDERS_SQL = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+SELECT c.c_custkey, o.o_orderkey,
+       epoch_ms(o.o_orderdate) AS order_ts_ms,
+       CAST(b.total_qty AS DOUBLE) AS total_qty
+FROM orders o
+JOIN big b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_orderkey
+"""
+
+QUERIES["tpch_q18_large_orders"] = Q(
+    tpch_q18_large_orders,
+    TPCH_Q18_LARGE_ORDERS_SQL,
+    "TPC-H Q18 shape: HAVING-restricted aggregate drives the join",
+)
