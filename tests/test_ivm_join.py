@@ -40,3 +40,25 @@ def test_incremental_join_single_batch(spark):
     b = spark.createDataFrame([(1, "u"), (2, "w")], "k long, pb string")
     view = incremental_join([a], [b], on="k")
     assert [tuple(r) for r in view.collect()] == [(1, "x", "u")]
+
+
+import random
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [3, 19])
+def test_incremental_join_randomized_batches(spark, seed):
+    rng = random.Random(seed)
+    a_rows = [(rng.randrange(20), i) for i in range(60)]
+    b_rows = [(rng.randrange(20), 100 + i) for i in range(80)]
+    a = spark.createDataFrame(a_rows, "k long, pa long")
+    b = spark.createDataFrame(b_rows, "k long, pb long")
+    # random batch assignment on each side, independent of the key
+    na, nb = rng.randint(2, 4), rng.randint(2, 4)
+    n = max(na, nb)
+    batches_a = [a.filter((a.pa % n) == i) for i in range(n)]
+    batches_b = [b.filter((b.pb % n) == i) for i in range(n)]
+    view = incremental_join(batches_a, batches_b, on="k")
+    full = a.join(b, "k")
+    assert sorted(map(tuple, view.collect())) == sorted(map(tuple, full.collect()))
