@@ -37,6 +37,7 @@ def pagerank(
     nodes: DataFrame,
     edges: DataFrame,
     iterations: int = PR_ITERATIONS,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """``(node, rank_ppm)`` after ``iterations`` synchronous PageRank
     rounds. ``nodes`` is one ``node: long`` column (the full vertex set,
@@ -59,13 +60,21 @@ def pagerank(
     # at sf0.1). A real deployment
     # materializes the edge list as a table anyway; this is that, scoped
     # to the job.
+    # ``weight_col``: a positive BIGINT edge weight — the walk leaves a
+    # node proportionally to edge weight (contrib = rank·w DIV strength,
+    # strength = Σw per source). The unweighted case is w ≡ 1, where
+    # strength = outdeg and the formulas coincide; rank·w stays well
+    # inside int64 for ppm ranks × realistic weights.
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     edges = edges.select(
-        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        w.alias("w"),
     ).localCheckpoint()
     nodes = nodes.select(F.col("node").cast("long").alias("node")).localCheckpoint()
     deg = (
         edges.groupBy("src")
-        .agg(F.count("*").cast("long").alias("outdeg"))
+        .agg(F.sum("w").cast("long").alias("strength"))
         .localCheckpoint()
     )
     ed = edges.join(deg, "src").persist()
@@ -77,7 +86,7 @@ def pagerank(
         contrib = (
             ed.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
-            .agg(F.sum(F.expr("rank_ppm DIV outdeg")).alias("contrib"))
+            .agg(F.sum(F.expr("(rank_ppm * w) DIV strength")).alias("contrib"))
             .select(F.col("dst").alias("node"), "contrib")
         )
         dangling = (
@@ -110,18 +119,26 @@ def pagerank(
     return ranks
 
 
-def pagerank_oracle_iterations(iterations: int = PR_ITERATIONS) -> str:
+def pagerank_oracle_iterations(
+    iterations: int = PR_ITERATIONS, weighted: bool = False
+) -> str:
     """CTE chain ``r1 .. r{iterations}`` unrolling the same integer-grid
     update for DuckDB; expects ``nodes(node)``, ``edges(src, dst)``,
     ``deg(src, outdeg)``, ``nn(n)`` and ``r0(node, rank_ppm)`` CTEs to be
-    in scope."""
+    in scope. With ``weighted``, expects ``edges(src, dst, w)`` and
+    ``deg(src, strength)`` instead."""
+    contrib_expr = (
+        "SUM((r.rank_ppm * e.w) // d.strength)"
+        if weighted
+        else "SUM(r.rank_ppm // d.outdeg)"
+    )
     parts = []
     for i in range(1, iterations + 1):
         p = i - 1
         parts.append(
             f"""
 c{i} AS (
-  SELECT e.dst AS node, SUM(r.rank_ppm // d.outdeg) AS contrib
+  SELECT e.dst AS node, {contrib_expr} AS contrib
   FROM edges e JOIN deg d USING (src) JOIN r{p} r ON r.node = e.src
   GROUP BY e.dst
 ),

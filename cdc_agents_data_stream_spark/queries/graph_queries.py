@@ -285,3 +285,74 @@ QUERIES["graph_ppr_nation"] = Q(
     GRAPH_PPR_NATION_SQL,
     "personalized PageRank seeded at nation-0 customers (random walk with restart)",
 )
+
+
+def graph_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank over the purchase graph: edge weight = number
+    of DISTINCT ORDERS linking the customer and supplier, so the walk
+    follows actual purchase volume instead of mere existence — repeat
+    business pulls rank. Same integer grid; contrib = rank·w DIV
+    strength per edge."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    wpairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("ck"),
+            F.col("l_suppkey").cast("long").alias("sk"),
+            "o_orderkey",
+        )
+        .distinct()
+        .groupBy("ck", "sk")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    edges = wpairs.select(
+        (F.col("ck") * 2).alias("src"), (F.col("sk") * 2 + 1).alias("dst"), "w"
+    ).unionByName(
+        wpairs.select(
+            (F.col("sk") * 2 + 1).alias("src"), (F.col("ck") * 2).alias("dst"), "w"
+        )
+    )
+    nodes = (
+        load(spark, sf_dir, "customer")
+        .select((F.col("c_custkey").cast("long") * 2).alias("node"))
+        .unionByName(
+            load(spark, sf_dir, "supplier").select(
+                (F.col("s_suppkey").cast("long") * 2 + 1).alias("node")
+            )
+        )
+    )
+    return G.pagerank(nodes, edges, weight_col="w").orderBy("node")
+
+
+GRAPH_PAGERANK_WEIGHTED_SQL = f"""
+WITH wpairs AS (
+  SELECT ck, sk, CAST(COUNT(*) AS BIGINT) AS w FROM (
+    SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS ck,
+                    CAST(l.l_suppkey AS BIGINT) AS sk,
+                    o.o_orderkey
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  ) GROUP BY ck, sk
+),
+edges AS (
+  SELECT ck * 2 AS src, sk * 2 + 1 AS dst, w FROM wpairs
+  UNION ALL
+  SELECT sk * 2 + 1, ck * 2, w FROM wpairs
+),
+nodes AS (
+  SELECT CAST(c_custkey AS BIGINT) * 2 AS node FROM customer
+  UNION
+  SELECT CAST(s_suppkey AS BIGINT) * 2 + 1 FROM supplier
+),
+deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS strength FROM edges GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+r0 AS (SELECT node, CAST({G.PR_INIT_PPM} AS BIGINT) AS rank_ppm FROM nodes),
+{G.pagerank_oracle_iterations(weighted=True)}
+SELECT node, rank_ppm FROM r{G.PR_ITERATIONS} ORDER BY node
+"""
+
+QUERIES["graph_pagerank_weighted"] = Q(
+    graph_pagerank_weighted,
+    GRAPH_PAGERANK_WEIGHTED_SQL,
+    "volume-weighted PageRank (contrib = rank·w DIV strength)",
+)
