@@ -744,3 +744,98 @@ QUERIES["tpch_q18_large_orders"] = Q(
     TPCH_Q18_LARGE_ORDERS_SQL,
     "TPC-H Q18 shape: HAVING-restricted aggregate drives the join",
 )
+
+
+def item_item_similarity(spark, sf_dir):
+    """Item-item collaborative filtering from co-purchase counts: squared
+    cosine on the ppm grid — sim²(a,b) = c_ab²·10⁶ DIV (c_a·c_b) — so no
+    sqrt (not cross-engine exact) ever runs; ranking by sim² orders
+    identically to sim. Top-3 similar items per item with support >= 3,
+    symmetric pairs expanded from the canonical a<b counts. The classic
+    recsys neighborhood build, all partial-agg + one bounded rank."""
+    from pyspark.sql import Window
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_partkey").cast("long").alias("item"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    supp = li.groupBy("item").agg(F.count("*").cast("long").alias("n_item"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey")) & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "c_ab",
+        )
+    )
+    scored = (
+        sym.join(supp.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a")), "item_a")
+        .join(supp.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b")), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "c_ab",
+            F.expr("(c_ab * c_ab * 1000000) DIV (n_a * n_b)")
+            .cast("long")
+            .alias("sim2_ppm"),
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.col("sim2_ppm").desc(), F.col("item_b").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("item_a", "rnk", "item_b", "c_ab", "sim2_ppm")
+        .orderBy("item_a", "rnk")
+    )
+
+
+ITEM_ITEM_SIMILARITY_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS okey, CAST(l_partkey AS BIGINT) AS item FROM lineitem),
+supp AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM li GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM li a JOIN li b ON a.okey = b.okey AND a.item < b.item
+  GROUP BY a.item, b.item HAVING COUNT(*) >= 3
+),
+sym AS (
+  SELECT item_a, item_b, c_ab FROM pairs
+  UNION ALL
+  SELECT item_b, item_a, c_ab FROM pairs
+),
+scored AS (
+  SELECT s.item_a, s.item_b, s.c_ab,
+         CAST((s.c_ab * s.c_ab * 1000000) // (sa.n_item * sb.n_item) AS BIGINT) AS sim2_ppm
+  FROM sym s
+  JOIN supp sa ON sa.item = s.item_a
+  JOIN supp sb ON sb.item = s.item_b
+)
+SELECT item_a, rnk, item_b, c_ab, sim2_ppm FROM (
+  SELECT item_a, item_b, c_ab, sim2_ppm,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY item_a ORDER BY sim2_ppm DESC, item_b ASC) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+ORDER BY item_a, rnk
+"""
+
+QUERIES["item_item_similarity"] = Q(
+    item_item_similarity,
+    ITEM_ITEM_SIMILARITY_SQL,
+    "item-item CF neighborhoods: squared-cosine ppm over co-purchase counts",
+)

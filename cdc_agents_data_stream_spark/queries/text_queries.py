@@ -840,3 +840,67 @@ QUERIES["trending_tokens_daily"] = Q(
     TRENDING_TOKENS_DAILY_SQL,
     "per-day top-3 trending types over pre-aggregated counts",
 )
+
+
+def doc_keywords_tfidf(spark, sf_dir):
+    """Per-document keyword extraction: top-3 tokens by tf·idf on the
+    integer grid (tf = in-doc count; idf_micro = N·10⁶ DIV df, the same
+    log-free grid the retrieval gate uses) — the metadata-tagging step
+    of corpus curation. Score = tf·idf_micro, rank ties to the token
+    string; one explode + two partial-agg shuffles, rank over the
+    (doc, token) aggregate, never raw positions."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint()  # df and the rank both consume this
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    scored = tf.join(df_, "tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        F.expr(f"tf * (({n_docs}L * 1000000) DIV df)").cast("long").alias("score_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "tok", "tf", "score_micro")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+DOC_KEYWORDS_TFIDF_SQL = """
+WITH tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) GROUP BY doc_id, tok
+),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf,
+         CAST(tf.tf * (((SELECT n FROM n) * 1000000) // d.df) AS BIGINT) AS score_micro
+  FROM tf JOIN dfreq d USING (tok)
+)
+SELECT doc_id, rnk, tok, tf, score_micro FROM (
+  SELECT doc_id, tok, tf, score_micro,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score_micro DESC, tok ASC) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+ORDER BY doc_id, rnk
+"""
+
+QUERIES["doc_keywords_tfidf"] = Q(
+    doc_keywords_tfidf,
+    DOC_KEYWORDS_TFIDF_SQL,
+    "top-3 tf-idf keywords per document on the integer grid",
+)
