@@ -388,3 +388,66 @@ r{i} AS (
 )"""
         )
     return ",".join(parts)
+
+
+BFS_ROUNDS = 4
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = BFS_ROUNDS,
+) -> DataFrame:
+    """``(node, dist)`` shortest hop-distance from the source set within
+    ``rounds`` hops (unreached nodes are absent) — synchronous frontier
+    relaxation: each round every node takes min(own dist, neighbor dist
+    + 1). The same join + grouped-min per round as connected_components;
+    rounds bound the radius explicitly (at 100 TB you budget depth, not
+    iterate to convergence — most reachability questions are k-hop)."""
+    edges = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).localCheckpoint()
+    dist = sources.select(
+        F.col("node").cast("long").alias("node"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint()
+    for _ in range(rounds):
+        reached = (
+            edges.join(dist.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.min("dist") + 1).cast("long").alias("ndist"))
+        )
+        dist = (
+            dist.join(reached, "node", "full_outer")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("dist", F.lit(1 << 60)),
+                    F.coalesce("ndist", F.lit(1 << 60)),
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return dist
+
+
+def bfs_oracle_iterations(rounds: int = BFS_ROUNDS) -> str:
+    """CTE chain ``d1 .. d{rounds}`` unrolling the same relaxation for
+    DuckDB; expects ``edges(src, dst)`` and ``d0(node, dist)``."""
+    parts = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""
+r{i} AS (
+  SELECT e.dst AS node, CAST(MIN(d.dist) + 1 AS BIGINT) AS ndist
+  FROM edges e JOIN d{p} d ON d.node = e.src
+  GROUP BY e.dst
+),
+d{i} AS (
+  SELECT COALESCE(d.node, r.node) AS node,
+         CAST(LEAST(COALESCE(d.dist, 1152921504606846976),
+                    COALESCE(r.ndist, 1152921504606846976)) AS BIGINT) AS dist
+  FROM d{p} d FULL OUTER JOIN r{i} r ON d.node = r.node
+)"""
+        )
+    return ",".join(parts)

@@ -356,3 +356,57 @@ QUERIES["graph_pagerank_weighted"] = Q(
     GRAPH_PAGERANK_WEIGHTED_SQL,
     "volume-weighted PageRank (contrib = rank·w DIV strength)",
 )
+
+
+def graph_bfs_reach(spark, sf_dir):
+    """4-hop BFS distances from the nation-0 customer set over the
+    purchase graph (operators/graph.py::bfs_levels) — hop-bounded
+    reachability, the path-query primitive: distance 1 = their
+    suppliers, 2 = co-buyers of those suppliers, and so on. Frontier
+    relaxation is the CC/pagerank join shape with an explicit depth
+    budget."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("ck"),
+            F.col("l_suppkey").cast("long").alias("sk"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        (F.col("ck") * 2).alias("src"), (F.col("sk") * 2 + 1).alias("dst")
+    ).unionByName(
+        pairs.select((F.col("sk") * 2 + 1).alias("src"), (F.col("ck") * 2).alias("dst"))
+    )
+    sources = load(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 0).select(
+        (F.col("c_custkey").cast("long") * 2).alias("node")
+    )
+    return G.bfs_levels(edges, sources).orderBy("node")
+
+
+GRAPH_BFS_REACH_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS ck,
+                  CAST(l.l_suppkey AS BIGINT) AS sk
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+  SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT sk * 2 + 1, ck * 2 FROM pairs
+),
+d0 AS (
+  SELECT CAST(c_custkey AS BIGINT) * 2 AS node, CAST(0 AS BIGINT) AS dist
+  FROM customer WHERE c_nationkey = 0
+),
+{G.bfs_oracle_iterations()}
+SELECT node, dist FROM d{G.BFS_ROUNDS} ORDER BY node
+"""
+
+QUERIES["graph_bfs_reach"] = Q(
+    graph_bfs_reach,
+    GRAPH_BFS_REACH_SQL,
+    "hop-bounded BFS distances from a seed set (frontier relaxation)",
+)

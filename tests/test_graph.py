@@ -140,3 +140,27 @@ def test_personalized_pagerank_empty_seeds_raises(spark):
 
     with _pytest.raises(ValueError):
         G.personalized_pagerank(ndf, edf, seeds)
+
+
+def test_bfs_levels_path_graph(spark):
+    # path 1-2-3-4-5 (undirected), source 1, 4 rounds: dists 0..4
+    edges = [(a, b) for a, b in [(1, 2), (2, 3), (3, 4), (4, 5)]]
+    edges += [(b, a) for a, b in edges]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in G.bfs_levels(edf, src).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_levels_depth_budget_and_min_distance(spark):
+    # diamond with a long way round: 1->2->4 and 1->3->5->4; min dist wins
+    edf = spark.createDataFrame(
+        [(1, 2), (2, 4), (1, 3), (3, 5), (5, 4)], "src long, dst long"
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in G.bfs_levels(edf, src, rounds=2).collect()}
+    assert got[4] == 2  # via 1-2-4, not the 3-hop path
+    assert 5 in got and got[5] == 2
+    # depth budget: with rounds=1 node 4 is unreached
+    got1 = {r["node"]: r["dist"] for r in G.bfs_levels(edf, src, rounds=1).collect()}
+    assert 4 not in got1
