@@ -793,3 +793,175 @@ QUERIES["seasonality_dow"] = Q(
     SEASONALITY_DOW_SQL,
     "day-of-week seasonality via convention-free epoch-day arithmetic",
 )
+
+
+def order_status_transitions(spark, sf_dir):
+    """First-order Markov transition counts over each customer's order
+    status sequence (date-then-key ordered): the behavioral-model
+    estimation shape — lag window per customer, pair counting, row
+    probability on the ppm grid. Transitions are only counted within a
+    customer's own history."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        ms("o_orderdate").alias("ts_ms"),
+        "o_orderstatus",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("ts_ms", "o_orderkey")
+    pairs = (
+        o.withColumn("prev_status", F.lag("o_orderstatus").over(w))
+        .filter(F.col("prev_status").isNotNull())
+        .groupBy(
+            F.col("prev_status").alias("from_status"),
+            F.col("o_orderstatus").alias("to_status"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_status").agg(F.sum("n").cast("long").alias("n_from"))
+    return (
+        pairs.join(totals, "from_status")
+        .select(
+            "from_status",
+            "to_status",
+            "n",
+            F.expr("(n * 1000000) DIV n_from").cast("long").alias("p_ppm"),
+        )
+        .orderBy("from_status", "to_status")
+    )
+
+
+ORDER_STATUS_TRANSITIONS_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS ts_ms, o_orderstatus
+  FROM orders
+),
+p AS (
+  SELECT LAG(o_orderstatus) OVER w AS from_status, o_orderstatus AS to_status
+  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_ms, o_orderkey)
+),
+c AS (
+  SELECT from_status, to_status, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p WHERE from_status IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT from_status, CAST(SUM(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+SELECT c.from_status, c.to_status, c.n,
+       CAST((c.n * 1000000) // t.n_from AS BIGINT) AS p_ppm
+FROM c JOIN t USING (from_status)
+ORDER BY c.from_status, c.to_status
+"""
+
+QUERIES["order_status_transitions"] = Q(
+    order_status_transitions,
+    ORDER_STATUS_TRANSITIONS_SQL,
+    "per-customer order-status Markov transition counts with ppm rows",
+)
+
+
+def value_percent_rank_ppm(spark, sf_dir):
+    """percent_rank on the integer grid: ((rank−1)·10⁶) DIV (n−1) per
+    event type over the cent-rounded value — the float percent_rank is a
+    ratio of exact integers, so computing it AS integers removes the
+    engine-rounding question entirely. Emitted for the per-type top-5
+    and bottom-5 cents rows to keep the gate bounded."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    n = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "event_id",
+        "cents",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count("*").over(n).cast("long").alias("n_type"),
+    )
+    return (
+        ranked.filter(
+            (F.col("rnk") <= 5) | (F.col("rnk") > F.col("n_type") - 5)
+        )
+        .select(
+            "event_type",
+            "rnk",
+            "event_id",
+            "cents",
+            F.expr("((rnk - 1) * 1000000) DIV (n_type - 1)")
+            .cast("long")
+            .alias("pct_rank_ppm"),
+        )
+        .orderBy("event_type", "rnk")
+    )
+
+
+VALUE_PERCENT_RANK_PPM_SQL = """
+WITH e AS (
+  SELECT event_type, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, event_id, cents,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY cents, event_id) AS BIGINT) AS rnk,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_type
+  FROM e
+)
+SELECT event_type, rnk, event_id, cents,
+       CAST(((rnk - 1) * 1000000) // (n_type - 1) AS BIGINT) AS pct_rank_ppm
+FROM r
+WHERE rnk <= 5 OR rnk > n_type - 5
+ORDER BY event_type, rnk
+"""
+
+QUERIES["value_percent_rank_ppm"] = Q(
+    value_percent_rank_ppm,
+    VALUE_PERCENT_RANK_PPM_SQL,
+    "integer-grid percent_rank (head/tail rows per type)",
+)
+
+
+def value_mad_robust(spark, sf_dir):
+    """Robust dispersion per event type: exact interpolated median and
+    the median absolute deviation around it (two percentile passes, the
+    second over |x − median|) — the outlier-resistant spread every
+    anomaly threshold should use instead of stddev. Rounded to 6 places
+    like every interpolated-percentile gate."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 6).alias("median_value"),
+            F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad_value"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_MAD_ROBUST_SQL = """
+WITH m AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       ROUND(ANY_VALUE(m.med), 6) AS median_value,
+       ROUND(quantile_cont(ABS(e.value - m.med), 0.5), 6) AS mad_value,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events e JOIN m USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+QUERIES["value_mad_robust"] = Q(
+    value_mad_robust,
+    VALUE_MAD_ROBUST_SQL,
+    "median + MAD robust dispersion per type (exact interpolated percentiles)",
+)
