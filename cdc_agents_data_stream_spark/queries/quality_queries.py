@@ -421,3 +421,58 @@ QUERIES["null_key_grouping"] = Q(
     NULL_KEY_GROUPING_SQL,
     "NULL grouping + count(col) vs count(*) semantics pin",
 )
+
+
+def null_safe_join_semantics(spark, sf_dir):
+    """Null-safe equality join pin: Spark's `<=>` vs standard `IS NOT
+    DISTINCT FROM` — a NULL-keyed row must match the dimension's NULL
+    row exactly once (plain `=` silently drops it, the classic missing-
+    rows bug after a lossy extract). Events with type nulled on
+    event_id % 11 == 0 join a 6-row dim that includes a NULL key; output
+    is per-label counts."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "etype",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(
+            F.col("event_type")
+        ),
+    )
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "revenue"),
+            ("signup", "acquisition"),
+            ("error", "ops"),
+            (None, "unattributed"),
+        ],
+        "etype string, label string",
+    )
+    return (
+        ev.join(F.broadcast(dim), ev["etype"].eqNullSafe(dim["etype"]))
+        .groupBy("label")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("label")
+    )
+
+
+NULL_SAFE_JOIN_SEMANTICS_SQL = """
+WITH e AS (
+  SELECT CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS etype
+  FROM events
+),
+dim(etype, label) AS (
+  VALUES ('click', 'engagement'), ('view', 'engagement'),
+         ('purchase', 'revenue'), ('signup', 'acquisition'),
+         ('error', 'ops'), (NULL, 'unattributed')
+)
+SELECT d.label, CAST(COUNT(*) AS BIGINT) AS n
+FROM e JOIN dim d ON e.etype IS NOT DISTINCT FROM d.etype
+GROUP BY d.label
+ORDER BY d.label
+"""
+
+QUERIES["null_safe_join_semantics"] = Q(
+    null_safe_join_semantics,
+    NULL_SAFE_JOIN_SEMANTICS_SQL,
+    "null-safe equality join (<=> / IS NOT DISTINCT FROM) row-accounting pin",
+)

@@ -268,3 +268,119 @@ QUERIES["hll_rolling_7d_distinct"] = Q(
     HLL_ROLLING_7D_DISTINCT_SQL,
     "trailing-7-day distinct estimate via map-side HLL register fan-out (no range join)",
 )
+
+
+def hll_intersection_estimate(spark, sf_dir):
+    """Sketch ALGEBRA: audience-overlap estimation between the 'click'
+    and 'purchase' user sets by inclusion-exclusion over HLL registers —
+    |A∩B| ≈ E(A) + E(B) − E(A∪B), where the union sketch is the
+    register-wise MAX (exact sketch union, no rescan) — next to the
+    exact overlap. The subtraction amplifies relative error (the known
+    trade of sketch intersection), which is precisely why the gate
+    reports both; every register and sum is exact integer, the three
+    estimates share one division chain."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    regs = K.hll_registers(ev, "user_id", ("event_type",)).localCheckpoint()
+    union_regs = regs.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+
+    def estimate(r, label):
+        g = r.agg(
+            F.count("*").cast("long").alias("hit"),
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({K.RHO_CAP} - m_j AS INT))")
+            ).alias("present"),
+        )
+        full = F.col("present") + (F.lit(K.HLL_M) - F.col("hit")) * F.lit(
+            1 << K.RHO_CAP
+        ).cast("long")
+        return g.select(
+            F.round(
+                F.lit(K.HLL_ALPHA)
+                * F.lit(float(K.HLL_M) * K.HLL_M)
+                * F.lit(float(1 << K.RHO_CAP))
+                / full,
+                3,
+            ).alias(label)
+        )
+
+    ea = estimate(regs.filter(F.col("event_type") == "click"), "est_click")
+    eb = estimate(regs.filter(F.col("event_type") == "purchase"), "est_purchase")
+    eu = estimate(union_regs, "est_union")
+    truth = (
+        ev.groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("ts"))
+        .agg(
+            F.sum((F.size("ts") == 2).cast("long")).cast("long").alias("true_inter")
+        )
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(truth)
+        .select(
+            "est_click",
+            "est_purchase",
+            "est_union",
+            F.round(
+                F.greatest(
+                    F.col("est_click") + F.col("est_purchase") - F.col("est_union"),
+                    F.lit(0.0),
+                ),
+                3,
+            ).alias("est_inter"),
+            "true_inter",
+        )
+    )
+
+
+_E = "(g.present + ({m} - g.hit) * (1::BIGINT << {cap}))".format(m=K.HLL_M, cap=K.RHO_CAP)
+_EST = "ROUND({a}::DOUBLE * {m2}::DOUBLE * {scale}::DOUBLE / {full}, 3)".format(
+    a=K.HLL_ALPHA, m2=float(K.HLL_M) * K.HLL_M, scale=float(1 << K.RHO_CAP), full=_E
+)
+
+HLL_INTERSECTION_ESTIMATE_SQL = f"""
+WITH e AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+b AS (SELECT event_type, hv % {K.HLL_M} AS bucket, hv // {K.HLL_M} AS w FROM e),
+r AS (
+  SELECT event_type, bucket,
+         LEAST(CASE WHEN w = 0 THEN {60 - K.HLL_B + 1}
+                    ELSE {60 - K.HLL_B} - length(bin(w)) + 1 END,
+               {K.RHO_CAP}) AS rho
+  FROM b
+),
+regs AS (SELECT event_type, bucket, MAX(rho) AS m_j FROM r GROUP BY 1, 2),
+uregs AS (SELECT bucket, MAX(m_j) AS m_j FROM regs GROUP BY bucket),
+ga AS (SELECT COUNT(*) AS hit, SUM((1::BIGINT << CAST({K.RHO_CAP} - m_j AS INT))) AS present
+       FROM regs WHERE event_type = 'click'),
+gb AS (SELECT COUNT(*) AS hit, SUM((1::BIGINT << CAST({K.RHO_CAP} - m_j AS INT))) AS present
+       FROM regs WHERE event_type = 'purchase'),
+gu AS (SELECT COUNT(*) AS hit, SUM((1::BIGINT << CAST({K.RHO_CAP} - m_j AS INT))) AS present
+       FROM uregs),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS true_inter FROM (
+    SELECT user_id FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY user_id HAVING COUNT(DISTINCT event_type) = 2
+  )
+),
+est AS (
+  SELECT (SELECT {_EST} FROM ga g) AS est_click,
+         (SELECT {_EST} FROM gb g) AS est_purchase,
+         (SELECT {_EST} FROM gu g) AS est_union
+)
+SELECT est_click, est_purchase, est_union,
+       ROUND(GREATEST(est_click + est_purchase - est_union, 0.0), 3) AS est_inter,
+       (SELECT true_inter FROM t) AS true_inter
+FROM est
+"""
+
+QUERIES["hll_intersection_estimate"] = Q(
+    hll_intersection_estimate,
+    HLL_INTERSECTION_ESTIMATE_SQL,
+    "audience overlap by HLL inclusion-exclusion next to the exact count",
+)
