@@ -904,3 +904,64 @@ QUERIES["doc_keywords_tfidf"] = Q(
     DOC_KEYWORDS_TFIDF_SQL,
     "top-3 tf-idf keywords per document on the integer grid",
 )
+
+
+def doc_lm_score(spark, sf_dir):
+    """LM-based corpus filtering (the CCNet shape, log-free): every
+    document scored by the mean conditional probability of its own
+    bigrams under the corpus bigram LM — fluent/common text scores high,
+    aberrant text low. Per-bigram p_ppm = cnt·10⁶ DIV ctx (the
+    ngram_lm_topnext grid); the doc score is the integer mean over the
+    doc's bigram INSTANCES (repeats count), joined from the broadcast-
+    sized LM table. A perplexity threshold becomes a p_ppm threshold —
+    no log, no float, fully oracle-checkable."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    inst = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(toks, 1, size(toks)-1)").alias("w1"),
+                F.expr("slice(toks, 2, size(toks)-1)").alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bg = inst.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("cnt"))
+    ctx = bg.groupBy("w1").agg(F.sum("cnt").cast("long").alias("ctx_cnt"))
+    lm = bg.join(ctx, "w1").select(
+        "w1", "w2", F.expr("(cnt * 1000000) DIV ctx_cnt").cast("long").alias("p_ppm")
+    )
+    return (
+        inst.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.expr("CAST(SUM(p_ppm) DIV COUNT(*) AS BIGINT)").alias("mean_p_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_LM_SCORE_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+idx AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM d),
+inst AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM idx),
+bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM inst GROUP BY w1, w2),
+cx AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS ctx_cnt FROM bg GROUP BY w1),
+lm AS (
+  SELECT bg.w1, bg.w2, CAST((bg.cnt * 1000000) // cx.ctx_cnt AS BIGINT) AS p_ppm
+  FROM bg JOIN cx USING (w1)
+)
+SELECT i.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(l.p_ppm) // COUNT(*) AS BIGINT) AS mean_p_ppm
+FROM inst i JOIN lm l ON i.w1 = l.w1 AND i.w2 = l.w2
+GROUP BY i.doc_id
+ORDER BY i.doc_id
+"""
+
+QUERIES["doc_lm_score"] = Q(
+    doc_lm_score,
+    DOC_LM_SCORE_SQL,
+    "CCNet-style LM doc scoring: mean bigram p_ppm under the corpus LM (log-free)",
+)
