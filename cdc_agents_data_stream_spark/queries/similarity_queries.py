@@ -739,3 +739,115 @@ QUERIES["ann_knn_join_self"] = Q(
     ANN_KNN_JOIN_SELF_SQL,
     "cluster-blocked k-NN self-join: top-3 in-cluster neighbors for every vector",
 )
+
+
+def ann_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion — the hybrid-retrieval primitive (combine
+    rankings from different retrievers without comparable scores): the
+    exact cosine ranking and the IVF probe ranking fuse per (query,
+    neighbor) as Σ 10⁶ DIV (60 + rank) — RRF with k=60 on the integer
+    grid (the float 1/(k+r) sum is order-dependent; the integer sum is
+    not). Full-outer on the two rank lists (a neighbor may appear in
+    only one), re-ranked to a top-5 consensus."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, query_ids_below=5, k=10).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r_exact")
+    )
+    approx = S.ivf_topk(emb, query_ids_below=5, k=10, nprobe=2).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r_ivf")
+    )
+    fused = (
+        exact.join(approx, ["query_id", "neighbor_id"], "full_outer")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.coalesce(F.expr("1000000 DIV (60 + r_exact)"), F.lit(0))
+                + F.coalesce(F.expr("1000000 DIV (60 + r_ivf)"), F.lit(0))
+            ).cast("long").alias("rrf_ppm"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "rrf_ppm")
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_RRF_FUSION_SQL = f"""
+WITH {_BASE_CTE},
+q0 AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM base WHERE vec_id < 5),
+simsE AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         list_dot_product(b.v, q.qv) / (b.norm * q.qnorm) AS sim
+  FROM base b CROSS JOIN q0 q WHERE b.vec_id != q.query_id
+),
+rankedE AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS r_exact
+  FROM simsE
+),
+cents AS (
+  SELECT vec_id AS centroid_id, v AS cvec, norm AS cnorm FROM base
+  WHERE vec_id % {S.CENTROID_MOD} = 0 AND vec_id < {S.CENTROID_MOD * S.MAX_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, v, norm, centroid_id AS cluster FROM (
+    SELECT b.vec_id, b.v, b.norm, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.v, c.cvec) / (b.norm * c.cnorm) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM base b CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+qp AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM assigned WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, qv, qnorm, centroid_id AS cluster FROM (
+    SELECT q.query_id, q.qv, q.qnorm, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, c.cvec) / (q.qnorm * c.cnorm) DESC,
+                      c.centroid_id ASC) AS probe_rank
+    FROM qp q CROSS JOIN cents c
+  ) WHERE probe_rank <= 2
+),
+simsI AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(a.v, p.qv) / (a.norm * p.qnorm) AS sim
+  FROM assigned a JOIN probes p ON a.cluster = p.cluster AND a.vec_id != p.query_id
+),
+rankedI AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS r_ivf
+  FROM simsI
+),
+fused AS (
+  SELECT COALESCE(e.query_id, i.query_id) AS query_id,
+         COALESCE(e.neighbor_id, i.neighbor_id) AS neighbor_id,
+         CAST(COALESCE(1000000 // (60 + e.r_exact), 0)
+              + COALESCE(1000000 // (60 + i.r_ivf), 0) AS BIGINT) AS rrf_ppm
+  FROM (SELECT * FROM rankedE WHERE r_exact <= 10) e
+  FULL OUTER JOIN (SELECT * FROM rankedI WHERE r_ivf <= 10) i
+    ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, rrf_ppm FROM (
+  SELECT query_id, neighbor_id, rrf_ppm,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY rrf_ppm DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM fused
+) WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+QUERIES["ann_rrf_fusion"] = Q(
+    ann_rrf_fusion,
+    ANN_RRF_FUSION_SQL,
+    "reciprocal-rank fusion of exact and IVF rankings (integer RRF, k=60)",
+)
