@@ -839,3 +839,73 @@ QUERIES["item_item_similarity"] = Q(
     ITEM_ITEM_SIMILARITY_SQL,
     "item-item CF neighborhoods: squared-cosine ppm over co-purchase counts",
 )
+
+
+def audience_overlap_matrix(spark, sf_dir):
+    """Exact pairwise audience overlap between event-type user sets —
+    the 10-cell Jaccard matrix the HLL intersection gate estimates one
+    cell of: distinct (type, user) sets self-joined on user, canonical
+    type_a < type_b, overlap and union exact, jaccard on the ppm grid.
+    Set sizes are type-bounded so the self-join operand is |types|·|users|
+    — dimension-scale, no sketch needed at ANY corpus size (the sketch
+    path exists for when the DISTINCT itself is the bottleneck)."""
+    tu = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = tu.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    a, b = tu.alias("a"), tu.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a")), "type_a")
+        .join(sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b")), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.expr("(n_inter * 1000000) DIV (n_a + n_b - n_inter)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+AUDIENCE_OVERLAP_MATRIX_SQL = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY event_type),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_inter,
+       CAST((i.n_inter * 1000000) // (sa.n + sb.n - i.n_inter) AS BIGINT) AS jaccard_ppm
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+ORDER BY i.type_a, i.type_b
+"""
+
+QUERIES["audience_overlap_matrix"] = Q(
+    audience_overlap_matrix,
+    AUDIENCE_OVERLAP_MATRIX_SQL,
+    "exact pairwise audience Jaccard matrix between event-type user sets",
+)
