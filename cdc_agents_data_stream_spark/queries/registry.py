@@ -105,6 +105,7 @@ def all_queries() -> dict[str, Q]:
         "quality_queries",
         "feature_queries",
         "graph_queries",
+        "tpch_queries",
     ):
         try:
             mod = __import__(f"{__package__}.{mod_name}", fromlist=["QUERIES"])

@@ -1,0 +1,680 @@
+"""TPC-H join-shape completion over the reduced driver schema.
+
+The reference engine's relational surface is exercised elsewhere one
+operator at a time; these queries pin the remaining *composite* TPC-H
+shapes — EXISTS/NOT-EXISTS (semi/anti joins), correlated scalar
+subqueries, argmin-over-join, double aggregation, disjunctive
+predicate pushdown, scalar-subquery thresholds — end-to-end against a
+DuckDB oracle.  The driver schema omits ``partsupp`` and the lineitem
+commit/receipt dates, so Q2/Q4/Q8/Q9/Q12/Q20/Q21/Q22 are *adapted*:
+same plan shape and operator composition, predicates rewritten onto
+columns that exist (each docstring states the substitution).  Q6, Q10,
+Q13, Q14, Q15, Q17 and Q19 follow the spec directly.
+
+Cross-engine parity rules are the repo-wide ones (queries/base.py):
+exact DECIMAL sums cast to DOUBLE once, epoch-ms BIGINT timestamps,
+BIGINT counts, FLOOR-on-double for ratios (inputs are exact, so the
+IEEE division and floor are bit-identical across engines), and full
+tie-broken orderings on every top-N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .base import Q, load
+
+
+def _dec(c):
+    return F.col(c).cast("decimal(18,2)")
+
+
+def _revenue():
+    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+
+
+# SQL fragment mirroring _revenue() exactly.
+_REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+# --- Q2 (adapted): min-price supplier per part -------------------------------
+#
+# No partsupp table, so lineitem is the part<->supplier association and
+# l_extendedprice stands in for ps_supplycost. Same shape as spec Q2: a
+# per-part correlated MIN, then the supplier row achieving it.
+
+def tpch_q2_min_price_supplier(spark, sf_dir):
+    """Argmin-over-join: cheapest EUROPE supplier per small PROMO part.
+
+    Spec Q2's correlated ``MIN(ps_supplycost)`` becomes a per-part window
+    min over the lineitem association; ties broken by s_suppkey so the
+    result is a function of the data, not the plan.
+    """
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 10)
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    li = load(spark, sf_dir, "lineitem")
+    eur_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    assoc = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(eur_supp), li.l_suppkey == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "n_name", _dec("l_extendedprice").alias("price"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.col("price").asc(), F.col("s_suppkey").asc())
+    return (
+        assoc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.col("price").cast("double").alias("min_price"),
+        )
+    )
+
+
+TPCH_Q2_SQL = """
+WITH assoc AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE p_type = 'PROMO' AND p_size <= 10 AND r_name = 'EUROPE'
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey ORDER BY price ASC, s_suppkey ASC) AS rn
+  FROM assoc
+)
+SELECT p_partkey, p_name, s_name, n_name, CAST(price AS DOUBLE) AS min_price
+FROM ranked WHERE rn = 1
+"""
+
+
+# --- Q4 (adapted): order priority checking via EXISTS ------------------------
+
+def tpch_q4_order_priority(spark, sf_dir):
+    """Semi-join EXISTS per spec Q4; the missing commit/receipt-date
+    lateness predicate becomes ``l_shipdate > o_orderdate`` (an order with
+    at least one line shipped after the order date)."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01")) & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+    )
+
+
+TPCH_Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+# --- Q6: forecasting revenue change (pure scan-aggregate) --------------------
+
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """Spec Q6 verbatim: the classic pushdown-only scan — every predicate
+    should reach the parquet reader, no join, no wide shuffle (one partial
+    agg feeding a single-row final agg)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+TPCH_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# --- Q8 (adapted): national market share -------------------------------------
+
+def tpch_q8_market_share(spark, sf_dir):
+    """Spec Q8's shape: revenue share of one supplier nation within a
+    consumer region's PROMO-part market, per order year. Share is an
+    integer ppm of two exact decimal sums (FLOOR on IEEE doubles derived
+    from exact decimals — engine-portable)."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    asia_cust = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        supp.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(asia_cust), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.col("supp_nation"),
+            _revenue().alias("volume"),
+        )
+    )
+    return rev.groupBy("o_year").agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("volume"))).cast("double").alias("nation_rev"),
+        F.sum("volume").cast("double").alias("total_rev"),
+    ).select(
+        "o_year",
+        F.coalesce("nation_rev", F.lit(0.0)).alias("nation_rev"),
+        "total_rev",
+        F.floor(F.coalesce("nation_rev", F.lit(0.0)) * 1000000.0 / F.col("total_rev")).cast("bigint").alias("share_ppm"),
+    )
+
+
+TPCH_Q8_SQL = f"""
+WITH rev AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         sn.n_name AS supp_nation,
+         {_REV_SQL} AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+)
+SELECT o_year,
+       COALESCE(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume END) AS DOUBLE), 0.0) AS nation_rev,
+       CAST(SUM(volume) AS DOUBLE) AS total_rev,
+       CAST(FLOOR(COALESCE(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume END) AS DOUBLE), 0.0) * 1000000.0
+                  / CAST(SUM(volume) AS DOUBLE)) AS BIGINT) AS share_ppm
+FROM rev GROUP BY o_year
+"""
+
+
+# --- Q9 (adapted): product-type profit by nation and year --------------------
+
+def tpch_q9_product_profit(spark, sf_dir):
+    """Spec Q9 without ps_supplycost: profit = discounted revenue of
+    '%widget%' parts, grouped by supplier nation x order year."""
+    nation = load(spark, sf_dir, "nation")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp_nation = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey", "n_name"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(_revenue()).cast("double").alias("sum_profit"))
+    )
+
+
+TPCH_Q9_SQL = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+# --- Q10: returned item reporting --------------------------------------------
+
+def tpch_q10_returned_items(spark, sf_dir):
+    """Spec Q10: top-20 customers by lost revenue on returned items in a
+    quarter; tie-broken by custkey so LIMIT is deterministic."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+TPCH_Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --- Q12 (adapted): shipping lateness vs priority ----------------------------
+
+def tpch_q12_priority_lines(spark, sf_dir):
+    """Spec Q12's conditional-aggregation shape; ``l_shipmode`` does not
+    exist, so lines group by return flag and the lateness predicate is
+    ``l_shipdate > o_orderdate`` within ship-year 1996."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+TPCH_Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate
+GROUP BY l_returnflag
+"""
+
+
+# --- Q13: customer order-count distribution ----------------------------------
+
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """Spec Q13: left-outer join with a residual predicate (status <> 'P'
+    replaces the comment NOT LIKE), then the histogram of per-customer
+    order counts — the double-aggregation shape."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").cast("bigint").alias("custdist"))
+
+
+TPCH_Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+# --- Q14: promotion effect ----------------------------------------------------
+
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """Spec Q14: PROMO revenue share for one month. Emits the two exact
+    sums plus an integer ppm (FLOOR over doubles derived from exact
+    decimals) instead of the spec's float percentage."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01")) & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    part = load(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.col("p_type"), _revenue().alias("volume")
+    )
+    return joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("volume"))).cast("double").alias("promo_rev"),
+        F.sum("volume").cast("double").alias("total_rev"),
+    ).select(
+        F.coalesce("promo_rev", F.lit(0.0)).alias("promo_rev"),
+        "total_rev",
+        F.floor(F.coalesce("promo_rev", F.lit(0.0)) * 1000000.0 / F.col("total_rev")).cast("bigint").alias("promo_ppm"),
+    )
+
+
+TPCH_Q14_SQL = f"""
+WITH j AS (
+  SELECT p_type, {_REV_SQL} AS volume
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+)
+SELECT COALESCE(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN volume END) AS DOUBLE), 0.0) AS promo_rev,
+       CAST(SUM(volume) AS DOUBLE) AS total_rev,
+       CAST(FLOOR(COALESCE(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN volume END) AS DOUBLE), 0.0) * 1000000.0
+                  / CAST(SUM(volume) AS DOUBLE)) AS BIGINT) AS promo_ppm
+FROM j
+"""
+
+
+# --- Q15: top supplier (scalar-subquery max join) ----------------------------
+
+def tpch_q15_top_supplier(spark, sf_dir):
+    """Spec Q15: per-supplier quarterly revenue, then the supplier(s)
+    achieving the global max — the scalar-subquery-threshold join. The
+    equality compares exact decimals, so cross-engine ties are exact."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("rev_dec"))
+    max_rev = rev.agg(F.max("rev_dec").alias("max_dec"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.rev_dec == F.col("max_dec"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+TPCH_Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_REV_SQL}) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+"""
+
+
+# --- Q17: small-quantity-order revenue (correlated AVG) ----------------------
+
+def tpch_q17_small_qty_revenue(spark, sf_dir):
+    """Spec Q17: lines of one brand with quantity below 20% of that part's
+    average quantity. The correlated AVG decorrelates to a per-part
+    aggregate broadcast back onto the fact scan. Quantities are small
+    integers, so the double AVG is exact in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    avg_qty = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.avg("l_quantity").alias("avg_qty"))
+        .select(F.col("l_partkey").alias("ap_partkey"), "avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .join(F.broadcast(avg_qty), li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("small_qty_rev"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+TPCH_Q17_SQL = """
+WITH brand_lines AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13')
+), avg_qty AS (
+  SELECT l_partkey AS ap_partkey, AVG(l_quantity) AS avg_qty
+  FROM brand_lines GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_rev,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM brand_lines JOIN avg_qty ON l_partkey = ap_partkey
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+# --- Q19: disjunctive predicate revenue --------------------------------------
+
+def tpch_q19_disjunctive_rev(spark, sf_dir):
+    """Spec Q19's OR-of-conjunctions join predicate (brand x size x
+    quantity windows); the planner should still push the common join key
+    and the per-branch part filters into the scans."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5)) & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 10)) & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#14") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(20, 30)))
+    )
+    return j.filter(branch).agg(
+        F.sum(_revenue()).cast("double").alias("revenue"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+
+
+TPCH_Q19_SQL = f"""
+SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --- Q20 (adapted): suppliers with significant part movement -----------------
+
+def tpch_q20_part_movers(spark, sf_dir):
+    """Spec Q20's nested semi-join chain without partsupp: suppliers whose
+    1996 shipped quantity of '%widget%' parts exceeds a threshold, joined
+    to their nation. The inner aggregate-then-filter stands in for the
+    0.5*SUM(l_quantity) availability predicate."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    movers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 100)
+    )
+    return (
+        supp.join(F.broadcast(movers), supp.s_suppkey == F.col("l_suppkey"))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", F.col("qty_dec").cast("double").alias("widget_qty"))
+    )
+
+
+TPCH_Q20_SQL = """
+WITH movers AS (
+  SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 100
+)
+SELECT s_suppkey, s_name, n_name, CAST(qty_dec AS DOUBLE) AS widget_qty
+FROM supplier
+JOIN movers ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+# --- Q21 (adapted): suppliers who kept orders waiting ------------------------
+
+def tpch_q21_waiting_supplier(spark, sf_dir):
+    """Spec Q21's EXISTS + NOT-EXISTS composition: in finished multi-
+    supplier orders, the supplier holding the strictly latest ship date.
+    The missing receipt/commit lateness becomes ship-date lateness.
+    Implemented as an actual left-semi (another supplier exists) plus
+    left-anti (no supplier shipped later) pair, per the spec's shape."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load(spark, sf_dir, "supplier")
+    l1 = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_semi").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber"
+    )
+    l2 = l1.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"), F.col("l_shipdate").alias("d3")
+    )
+    waiting = (
+        l1.join(l2, (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3"))
+            & (F.col("d3") > F.col("l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+TPCH_Q21_SQL = """
+WITH l1 AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, l_linenumber
+  FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM l1 l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+) AND NOT EXISTS (
+    SELECT 1 FROM l1 l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+# --- Q22 (adapted): global sales opportunity ---------------------------------
+
+def tpch_q22_prospects(spark, sf_dir):
+    """Spec Q22's shape: scalar-subquery threshold (average positive
+    balance) + anti-join (customers with no large order), grouped by
+    nation instead of the missing phone prefix. The AVG threshold is a
+    DECIMAL average — exact, hence the > comparison is engine-portable."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    nation = load(spark, sf_dir, "nation")
+    threshold = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg(_dec("c_acctbal")).alias("avg_bal"))
+    )
+    return (
+        cust.join(F.broadcast(threshold), _dec("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+TPCH_Q22_SQL = """
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) > (
+    SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer WHERE c_acctbal > 0
+) AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000
+)
+GROUP BY n_name
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "tpch_q2_min_price_supplier": Q(tpch_q2_min_price_supplier, TPCH_Q2_SQL, "argmin-over-join (Q2 shape)"),
+    "tpch_q4_order_priority": Q(tpch_q4_order_priority, TPCH_Q4_SQL, "EXISTS semi-join (Q4)"),
+    "tpch_q6_forecast_revenue": Q(tpch_q6_forecast_revenue, TPCH_Q6_SQL, "pushdown scan-agg (Q6)"),
+    "tpch_q8_market_share": Q(tpch_q8_market_share, TPCH_Q8_SQL, "market share ppm (Q8 shape)"),
+    "tpch_q9_product_profit": Q(tpch_q9_product_profit, TPCH_Q9_SQL, "profit by nation/year (Q9 shape)"),
+    "tpch_q10_returned_items": Q(tpch_q10_returned_items, TPCH_Q10_SQL, "returned-item top-20 (Q10)"),
+    "tpch_q12_priority_lines": Q(tpch_q12_priority_lines, TPCH_Q12_SQL, "conditional agg (Q12 shape)"),
+    "tpch_q13_customer_distribution": Q(tpch_q13_customer_distribution, TPCH_Q13_SQL, "double aggregation (Q13)"),
+    "tpch_q14_promo_revenue": Q(tpch_q14_promo_revenue, TPCH_Q14_SQL, "promo share ppm (Q14)"),
+    "tpch_q15_top_supplier": Q(tpch_q15_top_supplier, TPCH_Q15_SQL, "scalar-subquery max join (Q15)"),
+    "tpch_q17_small_qty_revenue": Q(tpch_q17_small_qty_revenue, TPCH_Q17_SQL, "correlated AVG (Q17)"),
+    "tpch_q19_disjunctive_rev": Q(tpch_q19_disjunctive_rev, TPCH_Q19_SQL, "disjunctive predicates (Q19)"),
+    "tpch_q20_part_movers": Q(tpch_q20_part_movers, TPCH_Q20_SQL, "nested semi-join chain (Q20 shape)"),
+    "tpch_q21_waiting_supplier": Q(tpch_q21_waiting_supplier, TPCH_Q21_SQL, "EXISTS+NOT EXISTS (Q21 shape)"),
+    "tpch_q22_prospects": Q(tpch_q22_prospects, TPCH_Q22_SQL, "threshold + anti-join (Q22 shape)"),
+}

@@ -49,7 +49,7 @@ def test_registry_names_unique_across_modules():
         "sampling_queries", "streaming_queries", "sql_queries",
         "sketch_queries", "ml_queries", "zorder_queries",
         "format_queries", "quality_queries", "feature_queries",
-        "graph_queries",
+        "graph_queries", "tpch_queries",
     ]
     for m in mods:
         mod = importlib.import_module(f"cdc_agents_data_stream_spark.queries.{m}")
