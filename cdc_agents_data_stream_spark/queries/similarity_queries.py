@@ -851,3 +851,87 @@ QUERIES["ann_rrf_fusion"] = Q(
     ANN_RRF_FUSION_SQL,
     "reciprocal-rank fusion of exact and IVF rankings (integer RRF, k=60)",
 )
+
+
+def semdedup_prune(spark, sf_dir):
+    """SemDeDup (Abbas et al., 2023) — semantic dedup by embedding: cluster
+    the corpus with the deterministic-sample quantizer, then inside each
+    cluster prune every vector that has a LOWER-ID neighbor at cosine
+    ≥ 0.4 (a deterministic keeper policy: the minimum id in every similar
+    group always survives; both engines apply the identical rule). The
+    synthetic corpus has no true near-duplicates (max pairwise cosine
+    ≈ 0.51), so the gate threshold sits in the observed tail to keep the
+    prune path exercised; a production run would use ~0.9. The
+    pairwise compare never leaves the cluster — pair volume is Σ cluster²,
+    bounded by the quantizer fan-out, not corpus² — and the pruned-id set
+    is a DISTINCT semi-side, so the corpus itself is touched exactly
+    twice (assign + flag join). The keep flag per vector is the exact
+    artifact a curation pipeline materializes before training."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = S.with_norm(emb, "embedding").select(F.col("vec_id"), "vec", "norm")
+    cents = base.filter(
+        (F.col("vec_id") % S.CENTROID_MOD == 0)
+        & (F.col("vec_id") < S.CENTROID_MOD * S.MAX_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    assigned = S._assign(base, cents, "vec_id").localCheckpoint()
+    a = assigned.select(
+        "cluster", F.col("vec_id").alias("a_id"), F.col("vec").alias("av"), F.col("norm").alias("an")
+    )
+    b = assigned.select(
+        "cluster", F.col("vec_id").alias("b_id"), F.col("vec").alias("bv"), F.col("norm").alias("bn")
+    )
+    sim = S._dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    pruned = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(F.col("b_id"), sim.alias("sim"))
+        .filter(F.col("sim") >= 0.4)
+        .select(F.col("b_id").alias("pruned_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(pruned, assigned.vec_id == F.col("pruned_id"), "left_outer")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.col("pruned_id").isNull().cast("int").alias("keep"),
+        )
+    )
+
+
+SEMDEDUP_PRUNE_SQL = f"""
+WITH {_BASE_CTE},
+cents AS (
+  SELECT vec_id AS centroid_id, v AS cvec, norm AS cnorm FROM base
+  WHERE vec_id % {S.CENTROID_MOD} = 0 AND vec_id < {S.CENTROID_MOD * S.MAX_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, v, norm, centroid_id AS cluster FROM (
+    SELECT b.vec_id, b.v, b.norm, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.v, c.cvec) / (b.norm * c.cnorm) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM base b CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+pruned AS (
+  SELECT DISTINCT b.vec_id AS pruned_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.4
+)
+SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster,
+       CAST(CASE WHEN p.pruned_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+FROM assigned s LEFT OUTER JOIN pruned p ON s.vec_id = p.pruned_id
+"""
+
+QUERIES["semdedup_prune"] = Q(
+    semdedup_prune,
+    SEMDEDUP_PRUNE_SQL,
+    "SemDeDup: cluster-blocked semantic prune, min-id keeper per similar group",
+)

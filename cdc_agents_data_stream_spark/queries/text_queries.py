@@ -1030,3 +1030,102 @@ QUERIES["phrase_search"] = Q(
     PHRASE_SEARCH_SQL,
     "inverted-index phrase lookup with raw-text verification",
 )
+
+
+def gopher_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition/quality signals (Rae et al., 2021 §A1.1)
+    adapted to the single-line documents: per-doc top-token fraction,
+    top-bigram fraction, type-token ratio, and mean word length, all on
+    the integer ppm/micro grid (x·10⁶ DIV n — no float division, so the
+    DuckDB oracle matches bit-for-bit). Two partial-agg shuffles, both
+    keyed by (doc_id, gram): shuffle volume is bounded by per-doc
+    distinct grams, never corpus². The ``gopher_ok`` flag applies the
+    paper's repetition screens (top token ≤20%, top bigram ≤18%) plus a
+    TTR floor — the composite keep/drop signal a training-data filter
+    would consume."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tok_counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("n"))
+    uni = tok_counts.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("token_cnt"),
+        F.max("n").cast("long").alias("top_n"),
+        F.count("*").cast("long").alias("distinct_toks"),
+        F.sum(F.col("n") * F.length("tok")).cast("long").alias("char_sum"),
+    )
+    d = docs.select("doc_id", F.split("text", " ").alias("t"))
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t)-1)").alias("w1"),
+                F.expr("slice(t, 2, size(t)-1)").alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.concat_ws(" ", "p.w1", "p.w2").alias("bigram"))
+    bi = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("bn"))
+        .groupBy("doc_id")
+        .agg(F.max("bn").cast("long").alias("top_bn"), F.sum("bn").cast("long").alias("bigram_cnt"))
+    )
+    j = uni.join(bi, "doc_id", "left_outer")
+    top_token_ppm = F.expr("(top_n * 1000000) DIV token_cnt")
+    top_bigram_ppm = F.coalesce(F.expr("(top_bn * 1000000) DIV bigram_cnt"), F.lit(0))
+    ttr_ppm = F.expr("(distinct_toks * 1000000) DIV token_cnt")
+    return j.select(
+        "doc_id",
+        "token_cnt",
+        top_token_ppm.cast("long").alias("top_token_ppm"),
+        top_bigram_ppm.cast("long").alias("top_bigram_ppm"),
+        ttr_ppm.cast("long").alias("ttr_ppm"),
+        F.expr("(char_sum * 1000000) DIV token_cnt").cast("long").alias("mean_word_len_micro"),
+        (
+            (top_token_ppm <= 200000)
+            & (top_bigram_ppm <= 180000)
+            & (ttr_ppm >= 100000)
+        )
+        .cast("int")
+        .alias("gopher_ok"),
+    )
+
+
+GOPHER_REPETITION_SIGNALS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tok_counts AS (
+  SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok
+),
+uni AS (
+  SELECT doc_id,
+         CAST(SUM(n) AS BIGINT) AS token_cnt,
+         CAST(MAX(n) AS BIGINT) AS top_n,
+         CAST(COUNT(*) AS BIGINT) AS distinct_toks,
+         CAST(SUM(n * length(tok)) AS BIGINT) AS char_sum
+  FROM tok_counts GROUP BY doc_id
+),
+d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d),
+bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram FROM idx),
+bi AS (
+  SELECT doc_id, CAST(MAX(bn) AS BIGINT) AS top_bn, CAST(SUM(bn) AS BIGINT) AS bigram_cnt
+  FROM (SELECT doc_id, bigram, COUNT(*) AS bn FROM bg GROUP BY doc_id, bigram)
+  GROUP BY doc_id
+)
+SELECT u.doc_id, u.token_cnt,
+       CAST((u.top_n * 1000000) // u.token_cnt AS BIGINT) AS top_token_ppm,
+       CAST(COALESCE((b.top_bn * 1000000) // b.bigram_cnt, 0) AS BIGINT) AS top_bigram_ppm,
+       CAST((u.distinct_toks * 1000000) // u.token_cnt AS BIGINT) AS ttr_ppm,
+       CAST((u.char_sum * 1000000) // u.token_cnt AS BIGINT) AS mean_word_len_micro,
+       CAST(CASE WHEN (u.top_n * 1000000) // u.token_cnt <= 200000
+                  AND COALESCE((b.top_bn * 1000000) // b.bigram_cnt, 0) <= 180000
+                  AND (u.distinct_toks * 1000000) // u.token_cnt >= 100000
+             THEN 1 ELSE 0 END AS INT) AS gopher_ok
+FROM uni u LEFT OUTER JOIN bi b ON u.doc_id = b.doc_id
+"""
+
+QUERIES["gopher_repetition_signals"] = Q(
+    gopher_repetition_signals,
+    GOPHER_REPETITION_SIGNALS_SQL,
+    "Gopher-style repetition screens: top-token/bigram fractions, TTR, mean word length",
+)
