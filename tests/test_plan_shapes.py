@@ -218,3 +218,57 @@ def test_aqe_skew_join_splits_hot_partitions(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpch_q6_is_pushdown_only_scan(spark, registry):
+    """Q6 is the canonical pushdown probe: every predicate reaches the
+    parquet scan's DataFilters, no join appears, and the scan reads only
+    the four referenced columns."""
+    plan = _plan(registry["tpch_q6_forecast_revenue"].fn(spark, SF_DIR))
+    assert "Join" not in plan
+    scan = plan[plan.index("FileScan parquet") :]
+    assert "l_shipdate" in scan.split("DataFilters")[1][:400]
+    assert "l_discount" in scan.split("DataFilters")[1][:400]
+    assert "l_quantity" in scan.split("DataFilters")[1][:400]
+    # column pruning: tax/returnflag/etc never leave the reader
+    first_scan_line = scan.splitlines()[0]
+    assert "l_tax" not in first_scan_line and "l_returnflag" not in first_scan_line
+
+
+def test_tpch_q4_exists_is_semi_join(spark, registry):
+    """Q4's EXISTS decorrelates to a LeftSemi hash join with the lateness
+    predicate as the join residual — not an aggregate-then-join rewrite."""
+    plan = _plan(registry["tpch_q4_order_priority"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    # quarter filter reaches the orders scan
+    assert "o_orderdate" in plan.split("FileScan")[1]
+
+
+def test_tpch_q21_semi_plus_anti(spark, registry):
+    """Q21's EXISTS + NOT-EXISTS pair must survive as one LeftSemi and one
+    LeftAnti join (no cartesian fallback), with the status filter pushed
+    to every orders scan."""
+    plan = _plan(registry["tpch_q21_waiting_supplier"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "(o_orderstatus" in plan  # pushed into the scans
+
+
+def test_tpch_q22_anti_join_and_scalar_threshold(spark, registry):
+    """Q22: the no-large-order predicate is a LeftAnti join and the
+    average-balance threshold is a 1-row broadcast (BNLJ against a scalar
+    is by design, not a cartesian on data)."""
+    plan = _plan(registry["tpch_q22_prospects"].fn(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "o_totalprice" in plan.split("LeftAnti")[1]  # pushed under the anti side
+
+
+def test_semdedup_pairs_are_cluster_blocked(spark, registry):
+    """SemDeDup's pairwise stage must be an equi-join on the cluster
+    assignment (pair volume bounded by the quantizer), never a cartesian
+    over the corpus; the only BNLJ allowed is the broadcast-centroid
+    assignment cross."""
+    plan = _plan(registry["semdedup_prune"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    joins = [l for l in plan.splitlines() if "SortMergeJoin" in l or "BroadcastHashJoin" in l]
+    assert any("cluster" in l for l in joins)
