@@ -185,3 +185,61 @@ QUERIES = {
         "deterministic md5 80/10/10 split with membership signal",
     ),
 }
+
+
+def value_outliers_zscore(spark, sf_dir):
+    """3σ outlier screen per event type, entirely in exact integers: the
+    test |x−μ| > 3σ cross-multiplies to (x·n − Σx)² > 9·(n·Σx² − (Σx)²)
+    on the cent grid, so no mean, no sqrt, and no float ever enters the
+    comparison. The squared terms reach ~4·10¹⁹ at sf0.1 (past BIGINT),
+    so both engines widen exactly: Spark to DECIMAL(38,0), DuckDB to
+    HUGEINT. One partial-agg pass builds the per-type moments (5 groups
+    → broadcast), one map-side pass flags; at 100 TB the fact table
+    never shuffles."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    j = ev.join(F.broadcast(g), "event_type")
+    diff = d38(F.col("c") * F.col("n") - F.col("s"))
+    rhs = (d38(F.col("ss")) * d38(F.col("n")) - d38(F.col("s")) * d38(F.col("s"))) * 9
+    return (
+        j.select("event_type", "n", (diff * diff > rhs).cast("int").alias("is_outlier"))
+        .groupBy("event_type")
+        .agg(
+            F.first("n").cast("long").alias("n"),
+            F.sum("is_outlier").cast("long").alias("n_outliers"),
+        )
+    )
+
+
+VALUE_OUTLIERS_ZSCORE_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+),
+g AS (
+  SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS ss
+  FROM e GROUP BY event_type
+),
+flags AS (
+  SELECT e.event_type, g.n,
+         CASE WHEN CAST(e.c * g.n - g.s AS HUGEINT) * CAST(e.c * g.n - g.s AS HUGEINT)
+                   > 9 * (CAST(g.ss AS HUGEINT) * g.n - CAST(g.s AS HUGEINT) * g.s)
+              THEN 1 ELSE 0 END AS is_outlier
+  FROM e JOIN g USING (event_type)
+)
+SELECT event_type, CAST(MIN(n) AS BIGINT) AS n,
+       CAST(SUM(is_outlier) AS BIGINT) AS n_outliers
+FROM flags GROUP BY event_type
+"""
+
+QUERIES["value_outliers_zscore"] = Q(
+    value_outliers_zscore,
+    VALUE_OUTLIERS_ZSCORE_SQL,
+    "integer-exact 3-sigma outlier screen (cross-multiplied, no sqrt/float)",
+)

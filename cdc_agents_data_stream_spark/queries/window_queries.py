@@ -965,3 +965,53 @@ QUERIES["value_mad_robust"] = Q(
     VALUE_MAD_ROBUST_SQL,
     "median + MAD robust dispersion per type (exact interpolated percentiles)",
 )
+
+
+def user_rolling_median(spark, sf_dir):
+    """Rolling EXACT median per user over the last 7 events (ROWS frame).
+    Emitted as 2×median on the integer micro grid: the interpolated
+    median of an even frame is (a+b)/2, so doubling returns the integer
+    a+b — no float representation ever leaks into the hash. Spark reads
+    the two middle elements of the sorted frame array; DuckDB doubles its
+    interpolated MEDIAN window — identical integers by construction. One
+    user-keyed shuffle; the frame sort is per-row over ≤7 elements, O(1)
+    memory per partition at any corpus size."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        ms("ts").alias("ts_ms"),
+        F.round(F.col("value") * 1e6).cast("long").alias("v_micro"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id").rowsBetween(-6, 0)
+    a = F.array_sort(F.collect_list("v_micro").over(w))
+    n = F.size(a)
+    med2 = F.element_at(a, ((n + 1) / 2).cast("int")) + F.element_at(a, (n / 2).cast("int") + 1)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        med2.cast("long").alias("median2_micro"),
+    ).orderBy("event_id")
+
+
+USER_ROLLING_MEDIAN_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         CAST(ROUND(value * 1e6) AS BIGINT) AS v_micro
+  FROM events
+)
+SELECT event_id, user_id, ts_ms,
+       CAST(ROUND(2 * MEDIAN(v_micro) OVER (
+         PARTITION BY user_id ORDER BY ts_ms, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS BIGINT) AS median2_micro
+FROM e
+ORDER BY event_id
+"""
+
+QUERIES["user_rolling_median"] = Q(
+    user_rolling_median,
+    USER_ROLLING_MEDIAN_SQL,
+    "exact rolling median (2×median integer grid) over a 7-row frame",
+)
