@@ -238,3 +238,30 @@ QUERIES["sql_udtf_ngrams"] = Q(
     SQL_UDTF_NGRAMS_SQL,
     "Python UDTF (LATERAL table function) n-gram expansion with exact per-doc signature",
 )
+
+
+SQL_RECURSIVE_MONTH_GRID = """
+WITH RECURSIVE months(y, m) AS (
+  SELECT 1995, 1
+  UNION ALL
+  SELECT CASE WHEN m = 12 THEN y + 1 ELSE y END,
+         CASE WHEN m = 12 THEN 1 ELSE m + 1 END
+  FROM months WHERE (y < 2001) OR (y = 2001 AND m < 8)
+),
+om AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT g.y, g.m, CAST(COALESCE(om.n, 0) AS BIGINT) AS n_orders
+FROM months g LEFT OUTER JOIN om ON g.y = om.y AND g.m = om.m
+"""
+
+QUERIES["sql_recursive_month_grid"] = Q(
+    _sql_query(SQL_RECURSIVE_MONTH_GRID),
+    SQL_RECURSIVE_MONTH_GRID,
+    # Spark 4 WITH RECURSIVE pin: the calendar-scaffold recursion (80
+    # iterations, integer-only arithmetic so the shared text is exact in
+    # both dialects) left-joined to per-month order counts — zero-filled
+    # months included, the gapfill pattern expressed in pure SQL.
+    "WITH RECURSIVE month grid + zero-filled per-month counts (one shared text)",
+)
