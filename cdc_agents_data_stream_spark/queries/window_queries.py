@@ -1015,3 +1015,65 @@ QUERIES["user_rolling_median"] = Q(
     USER_ROLLING_MEDIAN_SQL,
     "exact rolling median (2×median integer grid) over a 7-row frame",
 )
+
+
+def orders_skyline(spark, sf_dir):
+    """Skyline (Pareto frontier) of one quarter's orders: minimize the
+    order date, maximize the total price — an order survives iff no
+    other order is at-or-before it in time AND at-or-above it in price
+    with one strict inequality. The Spark plan aggregates FIRST — one
+    partial-agg shuffle to per-date maxima (bounded by the calendar, not
+    the corpus), a running strict-predecessor max over that tiny
+    aggregate (the only unpartitioned window, ≤90 rows here, ≤ the day
+    count at any corpus size), then a broadcast join back to recover the
+    surviving orders — while the oracle states the quadratic NOT-EXISTS
+    dominance definition directly; the rewrite must reproduce it
+    exactly. Prices compare on the cent grid."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    ).select(
+        "o_orderkey",
+        ms("o_orderdate").alias("date_ms"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    daily = o.groupBy("date_ms").agg(F.max("price_cents").alias("dmax"))
+    w = Window.orderBy("date_ms").rowsBetween(Window.unboundedPreceding, -1)
+    front = (
+        daily.withColumn("prev_max", F.max("dmax").over(w))
+        .filter(F.col("prev_max").isNull() | (F.col("prev_max") < F.col("dmax")))
+        .select(F.col("date_ms").alias("f_date"), "dmax")
+    )
+    return (
+        o.join(
+            F.broadcast(front),
+            (o.date_ms == F.col("f_date")) & (o.price_cents == F.col("dmax")),
+        )
+        .select("o_orderkey", "date_ms", "price_cents")
+        .orderBy("date_ms", "o_orderkey")
+    )
+
+
+ORDERS_SKYLINE_SQL = """
+WITH q AS (
+  SELECT o_orderkey, epoch_ms(o_orderdate) AS date_ms,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+)
+SELECT o_orderkey, date_ms, price_cents
+FROM q a
+WHERE NOT EXISTS (
+  SELECT 1 FROM q b
+  WHERE b.date_ms <= a.date_ms AND b.price_cents >= a.price_cents
+    AND (b.date_ms < a.date_ms OR b.price_cents > a.price_cents)
+)
+ORDER BY date_ms, o_orderkey
+"""
+
+QUERIES["orders_skyline"] = Q(
+    orders_skyline,
+    ORDERS_SKYLINE_SQL,
+    "2-D skyline: window-rewrite frontier vs NOT-EXISTS dominance oracle",
+)
