@@ -158,3 +158,73 @@ QUERIES["orders_asof_next_event"] = Q(
     ORDERS_ASOF_NEXT_EVENT_SQL,
     "forward as-of join: next event at-or-after each order",
 )
+
+
+def orders_asof_tolerance(spark, sf_dir):
+    """As-of join with a staleness tolerance (pandas ``merge_asof``
+    ``tolerance=``): each order takes the user's latest event at-or-
+    before order time ONLY if it is at most 7 days old; staler matches
+    null out but the order row survives (left semantics). Because the
+    as-of kernel picks the single latest predecessor, in-tolerance
+    equals ``matched_ts >= order_ts − 7d`` — one map-side predicate on
+    the already-carried match timestamp, no second join. The oracle
+    ranks events inside the [order_ts−7d, order_ts] window directly."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        ms("o_orderdate").alias("order_ts_ms"),
+    )
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", ms("ts").alias("event_ts_ms")
+    )
+    j = asof_join(
+        orders,
+        events,
+        on="user_id",
+        left_ts="order_ts_ms",
+        right_ts="event_ts_ms",
+        right_payload=["event_id", "event_type", "event_ts_ms"],
+        right_tiebreak="event_id",
+        how="left",
+    )
+    in_tol = F.col("event_ts_ms").isNotNull() & (
+        F.col("event_ts_ms") >= F.col("order_ts_ms") - F.lit(604_800_000)
+    )
+    return j.select(
+        "user_id",
+        "order_ts_ms",
+        "o_orderkey",
+        F.when(in_tol, F.col("event_id")).alias("event_id"),
+        F.when(in_tol, F.col("event_type")).alias("event_type"),
+        F.when(in_tol, F.col("event_ts_ms")).alias("event_ts_ms"),
+        in_tol.cast("int").alias("matched"),
+    )
+
+
+ORDERS_ASOF_TOLERANCE_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey AS user_id, epoch_ms(o_orderdate) AS order_ts_ms FROM orders
+),
+e AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS event_ts_ms FROM events
+),
+j AS (
+  SELECT o.user_id, o.order_ts_ms, o.o_orderkey, e.event_id, e.event_type, e.event_ts_ms,
+         ROW_NUMBER() OVER (
+           PARTITION BY o.o_orderkey
+           ORDER BY e.event_ts_ms DESC, e.event_id DESC) AS rn
+  FROM o JOIN e ON o.user_id = e.user_id
+    AND e.event_ts_ms <= o.order_ts_ms
+    AND e.event_ts_ms >= o.order_ts_ms - 604800000
+)
+SELECT o.user_id, o.order_ts_ms, o.o_orderkey,
+       j.event_id, j.event_type, j.event_ts_ms,
+       CAST(CASE WHEN j.event_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS matched
+FROM o LEFT OUTER JOIN (SELECT * FROM j WHERE rn = 1) j ON o.o_orderkey = j.o_orderkey
+"""
+
+QUERIES["orders_asof_tolerance"] = Q(
+    orders_asof_tolerance,
+    ORDERS_ASOF_TOLERANCE_SQL,
+    "as-of join with 7-day staleness tolerance (stale matches null, left rows survive)",
+)
