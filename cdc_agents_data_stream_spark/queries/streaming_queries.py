@@ -1226,3 +1226,114 @@ QUERIES["ivm_join_delta"] = Q(
     IVM_JOIN_DELTA_SQL,
     "delta-join maintained view equals the one-shot join (per-priority rollup)",
 )
+
+
+def stream_dedup_watermark(spark, sf_dir):
+    """LIVE watermarked streaming exact dedup
+    (operators/dedup.py::streaming_exact_dedup →
+    ``dropDuplicatesWithinWatermark``): an at-least-once source replays
+    rows across later micro-batches and each replay must drop against
+    the seen-key state. Ticks: tick 0 = first half, ticks 1-2 = second
+    half plus byte-identical replays of earlier rows (first-arrival-wins
+    is only observable through row identity, so replays are exact copies
+    — whichever arrival survives, the emitted row is the same).
+    The watermark horizon (45 days) exceeds the sample's full time span,
+    so no seen-key state evicts during the run and the sink must equal
+    exactly DISTINCT input: the oracle is that distinct set. Dedup rows
+    pass through append mode on first arrival (no windows to withhold);
+    state size is bounded by keys inside the horizon — the eviction
+    contract itself is pinned by the pytest streaming suite."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..operators.dedup import streaming_exact_dedup
+
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 13 == 0)
+        .select("event_id", "ts", "event_type", "value")
+        .toPandas()
+        .sort_values("event_id")
+    )
+    n = len(ev)
+    first, second = ev.iloc[: n // 2], ev.iloc[n // 2 :]
+    base = tempfile.mkdtemp(prefix="stream-dedup-")
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+        ]
+    )
+    try:
+        os.makedirs(f"{base}/in")
+        now = _time.time()
+        ticks = [
+            first,
+            # replay a third of tick-0 alongside the new rows
+            __import__("pandas").concat([second.iloc[: len(second) // 2], first.iloc[::3]]),
+            # replay across a further batch boundary too
+            __import__("pandas").concat([second.iloc[len(second) // 2 :], first.iloc[1::3], second.iloc[::4]]),
+        ]
+        for i, part in enumerate(ticks):
+            path = f"{base}/in/tick-{i}.parquet"
+            pq.write_table(
+                pa.Table.from_pandas(
+                    part[["event_id", "ts", "event_type", "value"]],
+                    schema=schema,
+                    preserve_index=False,
+                ),
+                path,
+            )
+            os.utime(path, (now - 30 + i * 10, now - 30 + i * 10))
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        ).option("maxFilesPerTrigger", 1).parquet(f"{base}/in")
+        deduped = streaming_exact_dedup(
+            stream, key_cols=["event_id"], event_time_col="ts", watermark="45 days"
+        )
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_dedup_sink")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout=300)
+        finally:
+            q.stop()
+        out = spark.table("stream_dedup_sink").select(
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        collected = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.catalog.dropTempView("stream_dedup_sink")
+    return spark.createDataFrame(
+        collected, "event_id long, ts_ms long, event_type string, cents long"
+    )
+
+
+STREAM_DEDUP_WATERMARK_SQL = """
+SELECT DISTINCT event_id, epoch_ms(ts) AS ts_ms, event_type,
+       CAST(ROUND(value * 100) AS BIGINT) AS cents
+FROM events WHERE event_id % 13 = 0
+"""
+
+QUERIES["stream_dedup_watermark"] = Q(
+    stream_dedup_watermark,
+    STREAM_DEDUP_WATERMARK_SQL,
+    "LIVE dropDuplicatesWithinWatermark under cross-batch replays == DISTINCT input",
+)
