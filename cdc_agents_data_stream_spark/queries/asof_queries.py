@@ -228,3 +228,99 @@ QUERIES["orders_asof_tolerance"] = Q(
     ORDERS_ASOF_TOLERANCE_SQL,
     "as-of join with 7-day staleness tolerance (stale matches null, left rows survive)",
 )
+
+
+def pit_feature_join(spark, sf_dir):
+    """Point-in-time feature-store join: one label spine (orders) picks
+    up features from TWO feature groups — the user's latest purchase
+    value and latest view recency — each as-of the label timestamp, with
+    no leakage from the future. Two chained as-of kernels over the same
+    user-keyed partitioning (the second shuffle co-locates with the
+    first at scale via the shared key); left semantics throughout so the
+    spine never loses rows. The oracle states each feature group as a
+    ranked window over the leak-free prefix."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        ms("o_orderdate").alias("order_ts_ms"),
+    )
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_event_id"),
+        F.round(F.col("value") * 100).cast("long").alias("purchase_cents"),
+        ms("ts").alias("p_ts_ms"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("v_event_id"),
+        ms("ts").alias("v_ts_ms"),
+    )
+    step1 = asof_join(
+        orders,
+        purchases,
+        on="user_id",
+        left_ts="order_ts_ms",
+        right_ts="p_ts_ms",
+        right_payload=["purchase_cents", "p_ts_ms"],
+        right_tiebreak="p_event_id",
+        how="left",
+    )
+    step2 = asof_join(
+        step1,
+        views,
+        on="user_id",
+        left_ts="order_ts_ms",
+        right_ts="v_ts_ms",
+        right_payload=["v_ts_ms"],
+        right_tiebreak="v_event_id",
+        how="left",
+    )
+    return step2.select(
+        "o_orderkey",
+        "user_id",
+        "order_ts_ms",
+        "purchase_cents",
+        (F.col("order_ts_ms") - F.col("v_ts_ms")).alias("view_age_ms"),
+    )
+
+
+PIT_FEATURE_JOIN_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey AS user_id, epoch_ms(o_orderdate) AS order_ts_ms FROM orders
+),
+p AS (
+  SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS purchase_cents,
+         epoch_ms(ts) AS p_ts_ms
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS v_ts_ms
+  FROM events WHERE event_type = 'view'
+),
+f1 AS (
+  SELECT o.o_orderkey, p.purchase_cents,
+         ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY p.p_ts_ms DESC, p.event_id DESC) AS rn
+  FROM o JOIN p ON o.user_id = p.user_id AND p.p_ts_ms <= o.order_ts_ms
+),
+f2 AS (
+  SELECT o.o_orderkey, o.order_ts_ms - v.v_ts_ms AS view_age_ms,
+         ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY v.v_ts_ms DESC, v.event_id DESC) AS rn
+  FROM o JOIN v ON o.user_id = v.user_id AND v.v_ts_ms <= o.order_ts_ms
+)
+SELECT o.o_orderkey, o.user_id, o.order_ts_ms,
+       f1.purchase_cents, f2.view_age_ms
+FROM o
+LEFT OUTER JOIN (SELECT o_orderkey, purchase_cents FROM f1 WHERE rn = 1) f1
+  ON o.o_orderkey = f1.o_orderkey
+LEFT OUTER JOIN (SELECT o_orderkey, view_age_ms FROM f2 WHERE rn = 1) f2
+  ON o.o_orderkey = f2.o_orderkey
+"""
+
+QUERIES["pit_feature_join"] = Q(
+    pit_feature_join,
+    PIT_FEATURE_JOIN_SQL,
+    "point-in-time feature retrieval: two leak-free as-of feature groups on one spine",
+)
