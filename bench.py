@@ -65,6 +65,13 @@ BENCH_QUERIES = [
     # record-linkage representative: 20k dirtied entities probe the clean
     # catalog's MinHash band index (blocking + restricted verify)
     "fuzzy_entity_match",
+    # session-5 additions: the scan-bound TPC-H probe (pushdown-only),
+    # the heaviest new join shape (EXISTS+NOT-EXISTS via 3 lineitem
+    # passes), the per-doc gram screens, and cluster-blocked SemDeDup
+    "tpch_q6_forecast_revenue",
+    "tpch_q21_waiting_supplier",
+    "gopher_repetition_signals",
+    "semdedup_prune",
 ]
 
 

@@ -288,3 +288,76 @@ QUERIES["group_sample_fixed_k"] = Q(
     GROUP_SAMPLE_FIXED_K_SQL,
     "deterministic fixed-k per-stratum sample by md5 rank",
 )
+
+
+def mixture_budget_allocation(spark, sf_dir):
+    """Token-budget mixture solver by the largest-remainder method:
+    allocate a fixed 10,000-token budget across sources proportionally
+    to their corpus char mass, exactly — floor shares first, then the
+    (budget − Σfloor) leftover units go to the largest fractional
+    remainders (tie: source asc). Pure integer arithmetic end-to-end;
+    Σallocation == budget is structural. The per-source aggregation is
+    the only corpus-scale pass; the ranking runs over the source
+    dimension (tiny at any scale)."""
+    from pyspark.sql import Window
+
+    budget = F.lit(10_000)
+    docs = load(spark, sf_dir, "documents")
+    w_mass = docs.groupBy("source").agg(
+        F.sum(F.col("n_chars").cast("long")).alias("mass")
+    )
+    tot = w_mass.agg(F.sum("mass").alias("total"))
+    j = w_mass.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "mass",
+        (F.col("mass") * budget).alias("num"),
+        "total",
+    )
+    j = j.select(
+        "source",
+        "mass",
+        F.expr("num DIV total").cast("long").alias("floor_share"),
+        (F.col("num") % F.col("total")).alias("rem"),
+    )
+    leftover = budget - F.sum("floor_share").over(Window.partitionBy())
+    w_rank = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    return (
+        j.withColumn("leftover", leftover)
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .select(
+            "source",
+            "mass",
+            (F.col("floor_share") + (F.col("rnk") <= F.col("leftover")).cast("long")).alias(
+                "alloc_tokens"
+            ),
+        )
+    )
+
+
+MIXTURE_BUDGET_ALLOCATION_SQL = """
+WITH m AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass FROM documents GROUP BY source
+),
+t AS (SELECT SUM(mass) AS total FROM m),
+j AS (
+  SELECT source, mass,
+         (mass * 10000) // total AS floor_share,
+         (mass * 10000) % total AS rem
+  FROM m CROSS JOIN t
+),
+r AS (
+  SELECT source, mass, floor_share, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rnk,
+         10000 - SUM(floor_share) OVER () AS leftover
+  FROM j
+)
+SELECT source, mass,
+       CAST(floor_share + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+FROM r
+"""
+
+QUERIES["mixture_budget_allocation"] = Q(
+    mixture_budget_allocation,
+    MIXTURE_BUDGET_ALLOCATION_SQL,
+    "largest-remainder token-budget allocation across sources (Σ == budget exactly)",
+)

@@ -1077,3 +1077,119 @@ QUERIES["orders_skyline"] = Q(
     ORDERS_SKYLINE_SQL,
     "2-D skyline: window-rewrite frontier vs NOT-EXISTS dominance oracle",
 )
+
+
+def value_cusum_shift(spark, sf_dir):
+    """CUSUM level-shift detection per event type, all-integer: daily
+    cent totals, deviations against the floored per-type daily mean,
+    cumulative sum in day order, and the argmax |CUSUM| day — where the
+    series most likely changed level. The heavy pass is one partial-agg
+    rollup to (type, day); the cumulative window then runs over the
+    day-count-bounded aggregate, and the argmax is a grouped max_by.
+    Floored integer mean keeps both engines on the identical grid (the
+    deviations need not sum to zero — determinism matters, centering
+    does not)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (ms("ts") / F.lit(86_400_000)).cast("long").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.sum("cents").alias("day_cents"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("day_cents").alias("total"), F.count("*").alias("n_days")
+    )
+    j = daily.join(F.broadcast(tot), "event_type").withColumn(
+        "dev", F.col("day_cents") - F.expr("total DIV n_days")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = j.withColumn("cusum", F.sum("dev").over(w))
+    return c.groupBy("event_type").agg(
+        F.first("n_days").cast("long").alias("n_days"),
+        F.max_by(F.col("day"), F.struct(F.abs(F.col("cusum")), -F.col("day")))
+        .cast("long")
+        .alias("shift_day"),
+        F.max(F.abs(F.col("cusum"))).cast("long").alias("max_abs_cusum"),
+    )
+
+
+VALUE_CUSUM_SHIFT_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+daily AS (
+  SELECT event_type, day, SUM(cents) AS day_cents
+  FROM e GROUP BY event_type, day
+),
+tot AS (
+  SELECT event_type, SUM(day_cents) AS total, COUNT(*) AS n_days
+  FROM daily GROUP BY event_type
+),
+c AS (
+  SELECT d.event_type, d.day, t.n_days,
+         SUM(d.day_cents - (t.total // t.n_days)) OVER (
+           PARTITION BY d.event_type ORDER BY d.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+  FROM daily d JOIN tot t USING (event_type)
+),
+r AS (
+  SELECT event_type, n_days, day, ABS(cusum) AS a,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ABS(cusum) DESC, day ASC) AS rn
+  FROM c
+)
+SELECT event_type, CAST(MIN(n_days) AS BIGINT) AS n_days,
+       CAST(MIN(CASE WHEN rn = 1 THEN day END) AS BIGINT) AS shift_day,
+       CAST(MAX(a) AS BIGINT) AS max_abs_cusum
+FROM r GROUP BY event_type
+"""
+
+QUERIES["value_cusum_shift"] = Q(
+    value_cusum_shift,
+    VALUE_CUSUM_SHIFT_SQL,
+    "integer CUSUM level-shift detector: argmax |cusum| day per event type",
+)
+
+
+def scd2_intervals(spark, sf_dir):
+    """SCD-Type-2 history build: each user event becomes a validity
+    interval [ts, next-event ts) via LEAD, the open interval flagged
+    current — the lakehouse dimension-history pattern (one user-keyed
+    sort, entirely streaming-frame)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0).select(
+        "user_id", "event_id", "event_type", ms("ts").alias("ts_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    nxt = F.lead("ts_ms").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts_ms").alias("valid_from_ms"),
+        nxt.alias("valid_to_ms"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
+
+
+SCD2_INTERVALS_SQL = """
+SELECT user_id, event_id, event_type,
+       epoch_ms(ts) AS valid_from_ms,
+       LEAD(epoch_ms(ts)) OVER w AS valid_to_ms,
+       CAST(CASE WHEN LEAD(epoch_ms(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+FROM events
+WHERE user_id % 7 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+"""
+
+QUERIES["scd2_intervals"] = Q(
+    scd2_intervals,
+    SCD2_INTERVALS_SQL,
+    "SCD2 validity intervals via LEAD with open-interval current flag",
+)
