@@ -243,3 +243,67 @@ QUERIES["value_outliers_zscore"] = Q(
     VALUE_OUTLIERS_ZSCORE_SQL,
     "integer-exact 3-sigma outlier screen (cross-multiplied, no sqrt/float)",
 )
+
+
+def value_gini_ppm(spark, sf_dir):
+    """Inequality profile per event type — the Gini coefficient on the
+    integer ppm grid, computed by a GROUPED_AGG pandas UDF (the Arrow
+    vectorized-UDAF path; this is the one aggregation family built-ins
+    cannot express, since Gini needs the full sorted group). Inside the
+    UDF: sort, Σ(2i−n−1)·x in int64 (≤1.4·10¹⁴ here), then the ppm via
+    arbitrary-precision Python ints — exact, tie-order invariant. The
+    oracle reproduces the rank formula with HUGEINT widening. Spark
+    shuffles only (type, cents) pairs; each group aggregates in one
+    Arrow batch."""
+    import pandas as pd
+
+    # NOTE: no type annotations — `from __future__ import annotations`
+    # stringifies them and pandas_udf's signature inference rejects the
+    # strings; the PandasUDFType is pinned explicitly instead.
+    from pyspark.sql.functions import PandasUDFType
+
+    @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def gini_ppm(cents):
+        x = cents.sort_values().to_numpy()
+        n = len(x)
+        tot = int(x.sum())
+        if n == 0 or tot == 0:
+            return 0
+        import numpy as np
+
+        num = int(((2 * np.arange(1, n + 1) - n - 1) * x).sum())
+        return num * 1_000_000 // (n * tot)
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with JVM aggregates
+    # in one agg() — the counts come from a second pass joined back (both
+    # sides partial-aggregate; the join is 5 rows).
+    g = ev.groupBy("event_type").agg(gini_ppm("cents").alias("gini_ppm"))
+    n = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    return n.join(g, "event_type").select("event_type", "n", "gini_ppm")
+
+
+VALUE_GINI_PPM_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(cents) OVER (PARTITION BY event_type) AS tot
+  FROM e
+)
+SELECT event_type, CAST(MIN(n) AS BIGINT) AS n,
+       CAST(CAST(SUM((2 * rn - n - 1) * cents) AS HUGEINT) * 1000000
+            // (MIN(n) * MIN(tot)) AS BIGINT) AS gini_ppm
+FROM r GROUP BY event_type
+"""
+
+QUERIES["value_gini_ppm"] = Q(
+    value_gini_ppm,
+    VALUE_GINI_PPM_SQL,
+    "Gini coefficient per group via GROUPED_AGG pandas UDF (exact ppm grid)",
+)
