@@ -272,3 +272,41 @@ def test_semdedup_pairs_are_cluster_blocked(spark, registry):
     assert "CartesianProduct" not in plan
     joins = [l for l in plan.splitlines() if "SortMergeJoin" in l or "BroadcastHashJoin" in l]
     assert any("cluster" in l for l in joins)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime-filter proof: when the dimension side is selectively
+    filtered and the join cannot broadcast, Spark injects a bloom filter
+    built from the dimension keys and applies `might_contain` on the
+    fact side BEFORE the shuffle — at 100 TB this is the difference
+    between shuffling the full fact table and shuffling the ~matching
+    sliver. SQL confs set/restored at runtime."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_totalprice") > 490000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = _plan(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        # the probe must sit under the lineitem scan side, pre-shuffle
+        fact_side = plan[plan.index("might_contain") :]
+        assert "lineitem" in fact_side
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
