@@ -1129,3 +1129,56 @@ QUERIES["gopher_repetition_signals"] = Q(
     GOPHER_REPETITION_SIGNALS_SQL,
     "Gopher-style repetition screens: top-token/bigram fractions, TTR, mean word length",
 )
+
+
+def higher_order_sampler(spark, sf_dir):
+    """Array higher-order-function surface pin — F.filter / F.exists /
+    F.forall / F.aggregate (fold) / F.zip_with in one pass, all inside
+    codegen (no explode, no shuffle: the per-row fold replaces a
+    row-fan-out + groupBy at any scale). The oracle reproduces each
+    value through DuckDB list lambdas or scalar identities (Σlen ==
+    length minus spaces; the position-weighted fold via the indexed
+    range join)."""
+    toks = F.split(F.col("text"), " ")
+    lit0 = F.lit(0).cast("long")
+    pos_weighted = F.aggregate(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda t, i: F.length(t).cast("long") * i,
+        ),
+        lit0,
+        lambda acc, x: acc + x,
+    )
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 5)).cast("long").alias("n_long_toks"),
+        F.exists(toks, lambda t: t == F.lit("spark")).cast("int").alias("has_spark"),
+        F.forall(toks, lambda t: F.length(t) > 0).cast("int").alias("all_nonempty"),
+        F.aggregate(toks, lit0, lambda acc, t: acc + F.length(t).cast("long")).alias("char_sum"),
+        pos_weighted.alias("pos_weighted"),
+    )
+
+
+HIGHER_ORDER_SAMPLER_SQL = """
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+pw AS (
+  SELECT doc_id, CAST(SUM(i * length(t[i])) AS BIGINT) AS pos_weighted
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM d)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(list_filter(t, x -> length(x) > 5)) AS BIGINT) AS n_long_toks,
+       CAST(list_contains(t, 'spark') AS INT) AS has_spark,
+       CAST(len(list_filter(t, x -> length(x) > 0)) = len(t) AS INT) AS all_nonempty,
+       CAST(length(replace(text, ' ', '')) AS BIGINT) AS char_sum,
+       pw.pos_weighted
+FROM d JOIN pw ON d.doc_id = pw.doc_id
+"""
+
+QUERIES["higher_order_sampler"] = Q(
+    higher_order_sampler,
+    HIGHER_ORDER_SAMPLER_SQL,
+    "higher-order array functions (filter/exists/forall/fold/zip_with) in one codegen pass",
+)
