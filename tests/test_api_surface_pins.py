@@ -1,0 +1,89 @@
+"""Small semantics/API pins that justify engine-wide conventions:
+
+- join-strategy hints are honored (the plan obeys BROADCAST / MERGE);
+- ``df.sample`` is a function of the partition LAYOUT, not just the
+  seed — the reason every sampling operator in this repo keys on md5 of
+  the row id instead;
+- ``mapInArrow`` (the raw Arrow batch API under mapInPandas) reproduces
+  the codegen Morton key bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_join_hints_are_honored(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    bhj = _plan(li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey))
+    assert "BroadcastHashJoin" in bhj
+    smj = _plan(li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey))
+    assert "SortMergeJoin" in smj and "BroadcastHashJoin" not in smj
+
+
+def test_sample_depends_on_partition_layout(spark):
+    """Same seed, same data, different partitioning → different sample.
+    df.sample draws per-partition from a seeded stream, so any upstream
+    repartition silently changes WHICH rows survive. This is the
+    documented reason the repo's stratified/shuffle/split operators key
+    on md5(id) — a pure row function, invariant to layout."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("event_id")
+    a = set(r.event_id for r in ev.sample(0.2, seed=42).collect())
+    b = set(
+        r.event_id for r in ev.repartition(7).sample(0.2, seed=42).collect()
+    )
+    assert a != b  # deterministic given fixed layouts; differs across them
+    # and the md5 rule is layout-invariant by construction:
+    md5_keep = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10) % 5 == 0
+    c = set(r.event_id for r in ev.filter(md5_keep).collect())
+    d = set(r.event_id for r in ev.repartition(7).filter(md5_keep).collect())
+    assert c == d
+
+
+def test_map_in_arrow_matches_codegen_zorder(spark):
+    """mapInArrow — the raw Arrow-RecordBatch API — computes the Morton
+    key with pyarrow/numpy and must agree bit-for-bit with the
+    literal-unrolled codegen expression (zorder_expr_sql)."""
+    import pyarrow as pa
+
+    from cdc_agents_data_stream_spark.operators.zorder import zorder_expr_sql
+
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select(
+            "event_id",
+            (F.col("event_id") % 1024).alias("a"),
+            F.least(F.round(F.col("value") * 10).cast("long"), F.lit(1023)).alias("b"),
+        )
+    )
+    expected = ev.selectExpr(
+        "event_id", f"CAST({zorder_expr_sql(['a', 'b'], 10)} AS BIGINT) AS zkey"
+    )
+
+    def morton(batches):
+        import numpy as np
+
+        for batch in batches:
+            a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+            z = np.zeros_like(a)
+            for bit in range(10):
+                z |= ((a >> bit) & 1) << (bit * 2)
+                z |= ((b >> bit) & 1) << (bit * 2 + 1)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("event_id"), pa.array(z)], names=["event_id", "zkey"]
+            )
+
+    got = ev.mapInArrow(morton, "event_id long, zkey long")
+    diff = expected.join(got, "event_id").filter(
+        expected.zkey != got.zkey
+    )
+    assert diff.count() == 0
+    assert got.count() == ev.count()
