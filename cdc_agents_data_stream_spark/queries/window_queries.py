@@ -1193,3 +1193,58 @@ QUERIES["scd2_intervals"] = Q(
     SCD2_INTERVALS_SQL,
     "SCD2 validity intervals via LEAD with open-interval current flag",
 )
+
+
+def weekly_growth_ppm(spark, sf_dir):
+    """Week-over-week growth per event type on the integer ppm grid:
+    weekly cent totals (one partial-agg shuffle), LAG for the prior
+    week, delta ppm = FLOOR((cur − prev)·10⁶ / prev) with explicit
+    FLOOR on BOTH engines: growth can be negative and the native
+    integer divisions disagree there (Spark DIV truncates toward zero,
+    DuckDB // floors, DuckDB CAST(double) rounds) — one IEEE division
+    over exact integer inputs is bit-identical, FLOOR lands both on
+    the same integer. First week per type emits NULL growth."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_millis(cast(ts as timestamp)) DIV 604800000").alias("week"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    weekly = ev.groupBy("event_type", "week").agg(F.sum("cents").alias("wk_cents"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("wk_cents").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        F.col("wk_cents").cast("long").alias("wk_cents"),
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            F.floor((F.col("wk_cents") - prev) * 1_000_000 / prev).cast("long"),
+        ).alias("growth_ppm"),
+    )
+
+
+WEEKLY_GROWTH_PPM_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) // 604800000 AS week,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+weekly AS (
+  SELECT event_type, week, SUM(cents) AS wk_cents
+  FROM e GROUP BY event_type, week
+)
+SELECT event_type, week, CAST(wk_cents AS BIGINT) AS wk_cents,
+       CASE WHEN LAG(wk_cents) OVER w IS NOT NULL AND LAG(wk_cents) OVER w <> 0
+            THEN CAST(FLOOR((wk_cents - LAG(wk_cents) OVER w) * 1000000.0 / LAG(wk_cents) OVER w) AS BIGINT)
+       END AS growth_ppm
+FROM weekly
+WINDOW w AS (PARTITION BY event_type ORDER BY week)
+"""
+
+QUERIES["weekly_growth_ppm"] = Q(
+    weekly_growth_ppm,
+    WEEKLY_GROWTH_PPM_SQL,
+    "week-over-week growth per type on the exact ppm grid (LAG + integer DIV)",
+)
