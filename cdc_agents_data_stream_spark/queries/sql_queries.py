@@ -265,3 +265,54 @@ QUERIES["sql_recursive_month_grid"] = Q(
     # months included, the gapfill pattern expressed in pure SQL.
     "WITH RECURSIVE month grid + zero-filled per-month counts (one shared text)",
 )
+
+
+def sql_udtf_table_arg(spark, sf_dir):
+    """Spark 4 polymorphic UDTF with a TABLE argument: the planner
+    routes each PARTITION BY group through one UDTF instance
+    (eval per row, terminate emits the group summary) — the
+    user-defined *relational* operator surface, distinct from the
+    scalar-arg UDTF gate. Values aggregate on the cent grid so the
+    spread is exact; the oracle is the plain GROUP BY equivalent.
+    At scale this is one hash exchange (the PARTITION BY) feeding
+    Arrow-batched Python, state bounded per group."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n bigint, spread_cents bigint")
+    class SummarizeUser:
+        def __init__(self):
+            self._rows = []
+
+        def eval(self, row):
+            self._rows.append((row["user_id"], row["cents"]))
+
+        def terminate(self):
+            if self._rows:
+                vals = [c for _, c in self._rows]
+                yield self._rows[0][0], len(vals), max(vals) - min(vals)
+
+    spark.udtf.register("summarize_user_cents", SummarizeUser)
+    register_tables(spark, sf_dir, include_derived=False)
+    return spark.sql(
+        """
+        SELECT user_id, n, spread_cents
+        FROM summarize_user_cents(
+          TABLE(SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+                FROM events)
+          PARTITION BY user_id)
+        """
+    )
+
+
+SQL_UDTF_TABLE_ARG_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(CAST(ROUND(value * 100) AS BIGINT))
+            - MIN(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS spread_cents
+FROM events GROUP BY user_id
+"""
+
+QUERIES["sql_udtf_table_arg"] = Q(
+    sql_udtf_table_arg,
+    SQL_UDTF_TABLE_ARG_SQL,
+    "polymorphic UDTF over a TABLE argument with PARTITION BY (per-group instance)",
+)
