@@ -57,3 +57,14 @@ def test_registry_names_unique_across_modules():
             assert name not in seen, f"{name} defined in both {seen[name]} and {m}"
             seen[name] = m
     assert len(reg.all_queries()) == len(seen)
+
+
+def test_driver_window_names_all_resolve():
+    """all_queries() silently drops DRIVER_WINDOW names that no module
+    defines — a typo there would quietly evict a curated gate from the
+    driver's 50-entry CORRECTNESS window. Fail loudly instead."""
+    from cdc_agents_data_stream_spark.queries.registry import DRIVER_WINDOW
+
+    missing = [n for n in DRIVER_WINDOW if n not in _REGISTRY]
+    assert not missing, f"DRIVER_WINDOW names not in registry: {missing}"
+    assert list(_REGISTRY)[: len(DRIVER_WINDOW)] == list(DRIVER_WINDOW)
