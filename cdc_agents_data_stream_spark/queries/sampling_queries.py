@@ -361,3 +361,54 @@ QUERIES["mixture_budget_allocation"] = Q(
     MIXTURE_BUDGET_ALLOCATION_SQL,
     "largest-remainder token-budget allocation across sources (Σ == budget exactly)",
 )
+
+
+def quality_weighted_sample(spark, sf_dir):
+    """Deterministic quality-weighted sampling (the CCNet/FineWeb-style
+    soft filter): each document survives with probability proportional
+    to its quality score, but the coin is md5(doc_id) — a pure row
+    function, layout-invariant and replayable (see
+    tests/test_api_surface_pins.py for why df.sample cannot do this).
+    Quality here = bounded stopword-density ppm; keep iff
+    md5_64(doc_id) mod 10⁶ < quality_ppm. Zero shuffles for the
+    decision; the per-language acceptance report is one partial agg."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = F.array(F.lit("the"), F.lit("a"), F.lit("and"), F.lit("of"), F.lit("to"))
+    stop_cnt = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    q_ppm = F.least(
+        F.lit(1_000_000).cast("long"),
+        (stop_cnt.cast("long") * 10_000_000 / F.size(toks).cast("long")).cast("long"),
+    )
+    coin = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    ) % 1_000_000
+    d = docs.select("doc_id", "lang", q_ppm.alias("q_ppm"), coin.alias("coin"))
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("coin") < F.col("q_ppm")).cast("long")).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("coin") < F.col("q_ppm"), F.col("doc_id"))).cast("long").alias("kept_id_sum"),
+    )
+
+
+QUALITY_WEIGHTED_SAMPLE_SQL = """
+WITH d AS (
+  SELECT doc_id, lang,
+         LEAST(1000000,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    x -> x IN ('the','a','and','of','to'))) * 10000000
+                    / len(string_split(text, ' ')) AS BIGINT)) AS q_ppm,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS coin
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN coin < q_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN coin < q_ppm THEN doc_id END) AS BIGINT) AS kept_id_sum
+FROM d GROUP BY lang
+"""
+
+QUERIES["quality_weighted_sample"] = Q(
+    quality_weighted_sample,
+    QUALITY_WEIGHTED_SAMPLE_SQL,
+    "deterministic soft filter: survival probability ∝ quality, md5 coin, zero-shuffle",
+)
