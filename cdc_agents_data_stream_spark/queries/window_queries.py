@@ -1248,3 +1248,46 @@ QUERIES["weekly_growth_ppm"] = Q(
     WEEKLY_GROWTH_PPM_SQL,
     "week-over-week growth per type on the exact ppm grid (LAG + integer DIV)",
 )
+
+
+def state_dwell_time(spark, sf_dir):
+    """Time-in-state rollup over the SCD2 intervals: total milliseconds
+    each user's activity spent 'in' each event type (interval = event →
+    next event), open intervals excluded. One user-keyed sort builds
+    the intervals (LEAD), one partial agg rolls them up — the
+    state-duration report every ops/behavioral pipeline derives from
+    its dimension history."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0).select(
+        "user_id", "event_id", "event_type", ms("ts").alias("ts_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    iv = ev.withColumn("next_ms", F.lead("ts_ms").over(w)).filter(
+        F.col("next_ms").isNotNull()
+    )
+    return iv.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.sum(F.col("next_ms") - F.col("ts_ms")).cast("long").alias("dwell_ms"),
+    )
+
+
+STATE_DWELL_TIME_SQL = """
+WITH iv AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+         LEAD(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ms(ts), event_id) AS next_ms
+  FROM events WHERE user_id % 7 = 0
+)
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(next_ms - ts_ms) AS BIGINT) AS dwell_ms
+FROM iv WHERE next_ms IS NOT NULL
+GROUP BY user_id, event_type
+"""
+
+QUERIES["state_dwell_time"] = Q(
+    state_dwell_time,
+    STATE_DWELL_TIME_SQL,
+    "time-in-state rollup from SCD2 intervals (LEAD + one partial agg)",
+)
