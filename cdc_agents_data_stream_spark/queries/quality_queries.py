@@ -476,3 +476,72 @@ QUERIES["null_safe_join_semantics"] = Q(
     NULL_SAFE_JOIN_SEMANTICS_SQL,
     "null-safe equality join (<=> / IS NOT DISTINCT FROM) row-accounting pin",
 )
+
+
+def order_total_reconciliation(spark, sf_dir):
+    """Financial reconciliation audit: the order header total vs the sum
+    of its line amounts (extended price x (1 - discount) x (1 + tax)),
+    computed entirely in DECIMAL and compared on the cent grid. The
+    synthetic tables do NOT reconcile by construction — which is the
+    point of an audit query: it must quantify the discrepancy
+    deterministically (match count under a one-dollar tolerance,
+    total absolute drift in cents), not assume integrity. One
+    partial-agg per order, then a broadcast-size status rollup."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    # DECIMAL(12,2) factors: the triple product lands at (36,6)/(38,6) —
+    # inside BOTH engines' 38-digit cap with NO scale truncation (wider
+    # casts make DuckDB overflow where Spark silently reduces scale).
+    dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    amount = (
+        dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(12,2)") - dec("l_discount"))
+        * (F.lit(1).cast("decimal(12,2)") + dec("l_tax"))
+    )
+    per_order = li.groupBy("l_orderkey").agg(F.sum(amount).alias("line_total"))
+    j = orders.join(per_order, orders.o_orderkey == per_order.l_orderkey, "left_outer")
+    # FLOOR(|diff|·100) explicitly: Spark's long cast truncates while
+    # DuckDB's rounds, so neither native cast is shared ground.
+    abs_diff_cents = F.floor(
+        F.abs(
+            dec("o_totalprice")
+            - F.coalesce(F.col("line_total"), F.lit(0).cast("decimal(12,2)"))
+        )
+        * 100
+    ).cast("long")
+    return (
+        j.select("o_orderstatus", abs_diff_cents.alias("abs_diff_cents"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum((F.col("abs_diff_cents") <= 100).cast("long")).cast("long").alias("n_within_dollar"),
+            F.sum("abs_diff_cents").cast("long").alias("total_abs_drift_cents"),
+        )
+    )
+
+
+ORDER_TOTAL_RECONCILIATION_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+             * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS line_total
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o_orderstatus,
+         CAST(FLOOR(ABS(CAST(o_totalprice AS DECIMAL(12,2))
+                        - COALESCE(line_total, CAST(0 AS DECIMAL(12,2)))) * 100) AS BIGINT) AS abs_diff_cents
+  FROM orders LEFT OUTER JOIN per_order ON o_orderkey = l_orderkey
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN abs_diff_cents <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_dollar,
+       CAST(SUM(abs_diff_cents) AS BIGINT) AS total_abs_drift_cents
+FROM j GROUP BY o_orderstatus
+"""
+
+QUERIES["order_total_reconciliation"] = Q(
+    order_total_reconciliation,
+    ORDER_TOTAL_RECONCILIATION_SQL,
+    "header-vs-lines financial reconciliation on the exact cent grid",
+)
