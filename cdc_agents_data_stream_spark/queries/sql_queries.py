@@ -316,3 +316,87 @@ QUERIES["sql_udtf_table_arg"] = Q(
     SQL_UDTF_TABLE_ARG_SQL,
     "polymorphic UDTF over a TABLE argument with PARTITION BY (per-group instance)",
 )
+
+
+def calendar_arithmetic_pin(spark, sf_dir):
+    """Calendar-semantics battery: month addition CLAMPS at month end
+    (Jan 31 + 1 month = Feb 29/28) identically in both engines, last_day,
+    Monday-start week truncation, quarter extraction, and ISO day
+    numbering (dayofweek is Sunday=1 in Spark vs isodow Monday=1 in
+    DuckDB — the pin normalizes to ISO so the convention difference is
+    explicit, not latent). All emitted as epoch-ms/BIGINT."""
+    from pyspark.sql import functions as F
+
+    from .base import load, ms
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        ms("o_orderdate").alias("d_ms"),
+        F.unix_millis(F.add_months(d, 1).cast("timestamp")).alias("plus_month_ms"),
+        F.unix_millis(F.last_day(d).cast("timestamp")).alias("month_end_ms"),
+        F.unix_millis(F.date_trunc("week", d).cast("timestamp")).alias("week_start_ms"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.expr("((dayofweek(o_orderdate) + 5) % 7) + 1").cast("int").alias("iso_dow"),
+    )
+
+
+CALENDAR_ARITHMETIC_PIN_SQL = """
+SELECT o_orderkey,
+       epoch_ms(o_orderdate) AS d_ms,
+       epoch_ms(CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS TIMESTAMP)) AS plus_month_ms,
+       epoch_ms(CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)) AS month_end_ms,
+       epoch_ms(CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS TIMESTAMP)) AS week_start_ms,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(isodow(o_orderdate) AS INT) AS iso_dow
+FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+QUERIES["calendar_arithmetic_pin"] = Q(
+    calendar_arithmetic_pin,
+    CALENDAR_ARITHMETIC_PIN_SQL,
+    "calendar semantics: month-end clamp, last_day, ISO week/dow, quarter",
+)
+
+
+def try_cast_tolerance(spark, sf_dir):
+    """TRY_CAST error-tolerance parity (the ANSI-mode-safe ingestion
+    idiom): casting a hex fragment to INT yields a value for digit-only
+    fragments and NULL for the rest — deterministic per row, no job
+    failure. Found divergence, documented and excluded: DuckDB's
+    TRY_CAST accepts scientific notation ('2e5' → 200000) where Spark's
+    try_cast-to-int returns NULL, so hex fragments containing 'e' are
+    filtered out; on the rest the engines agree exactly (digit-only
+    parses, letter-bearing → NULL)."""
+    from pyspark.sql import functions as F
+
+    from .base import load
+
+    docs = load(spark, sf_dir, "documents")
+    frag = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3)
+    parsed = F.expr(
+        "try_cast(substring(md5(cast(doc_id as string)), 1, 3) as int)"
+    )
+    return docs.select(
+        "doc_id", frag.alias("frag"), parsed.alias("parsed")
+    ).filter(~F.col("frag").contains("e")).groupBy().agg(
+        F.count("*").cast("long").alias("n"),
+        F.count("parsed").cast("long").alias("n_parsed"),
+        F.sum("parsed").cast("long").alias("parsed_sum"),
+    )
+
+
+TRY_CAST_TOLERANCE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(TRY_CAST(substring(md5(CAST(doc_id AS VARCHAR)), 1, 3) AS INT)) AS BIGINT) AS n_parsed,
+       CAST(SUM(TRY_CAST(substring(md5(CAST(doc_id AS VARCHAR)), 1, 3) AS INT)) AS BIGINT) AS parsed_sum
+FROM documents
+WHERE NOT contains(substring(md5(CAST(doc_id AS VARCHAR)), 1, 3), 'e')
+"""
+
+QUERIES["try_cast_tolerance"] = Q(
+    try_cast_tolerance,
+    TRY_CAST_TOLERANCE_SQL,
+    "TRY_CAST tolerance: identical parse/NULL decisions and sums in both engines",
+)
