@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "tpch_q21_waiting_supplier",
     "gopher_repetition_signals",
     "semdedup_prune",
+    # PIT feature retrieval (two as-of carries) and the Arrow grouped-agg
+    # UDAF path — the two newest execution shapes worth tracking
+    "pit_feature_join",
+    "value_gini_ppm",
 ]
 
 
