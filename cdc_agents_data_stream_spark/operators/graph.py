@@ -451,3 +451,66 @@ d{i} AS (
 )"""
         )
     return ",".join(parts)
+
+
+def minplus_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = BFS_ROUNDS,
+) -> DataFrame:
+    """Weighted shortest-path cost (min-plus / tropical relaxation):
+    ``(node, cost)`` = cheapest total edge weight from the source set
+    using at most ``rounds`` edges. Bellman-Ford's round structure with
+    the same join + grouped-min per round as ``bfs_levels`` (weight 1 ≡
+    BFS exactly); integer weights keep the oracle cross-engine exact.
+    Like BFS, the round budget bounds both work and path length — the
+    k-edge-cheapest-route question, not full SSSP convergence."""
+    edges = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("w").cast("long").alias("w"),
+    ).localCheckpoint()
+    dist = sources.select(
+        F.col("node").cast("long").alias("node"), F.lit(0).cast("long").alias("cost")
+    ).localCheckpoint()
+    for _ in range(rounds):
+        reached = (
+            edges.join(dist.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("cost") + F.col("w")).cast("long").alias("ncost"))
+        )
+        dist = (
+            dist.join(reached, "node", "full_outer")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("cost", F.lit(1 << 60)),
+                    F.coalesce("ncost", F.lit(1 << 60)),
+                ).alias("cost"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return dist
+
+
+def minplus_oracle_iterations(rounds: int = BFS_ROUNDS) -> str:
+    """CTE chain unrolling min-plus relaxation for DuckDB; expects
+    ``edges(src, dst, w)`` and ``d0(node, cost)``."""
+    parts = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""
+r{i} AS (
+  SELECT e.dst AS node, CAST(MIN(d.cost + e.w) AS BIGINT) AS ncost
+  FROM edges e JOIN d{p} d ON d.node = e.src
+  GROUP BY e.dst
+),
+d{i} AS (
+  SELECT COALESCE(d.node, r.node) AS node,
+         CAST(LEAST(COALESCE(d.cost, 1152921504606846976),
+                    COALESCE(r.ncost, 1152921504606846976)) AS BIGINT) AS cost
+  FROM d{p} d FULL OUTER JOIN r{i} r ON d.node = r.node
+)"""
+        )
+    return ",".join(parts)

@@ -410,3 +410,63 @@ QUERIES["graph_bfs_reach"] = Q(
     GRAPH_BFS_REACH_SQL,
     "hop-bounded BFS distances from a seed set (frontier relaxation)",
 )
+
+
+def graph_cheapest_route(spark, sf_dir):
+    """Bounded weighted shortest path (operators/graph.py::
+    minplus_levels): cheapest purchase-hop cost from the nation-0
+    customer seed set within 4 edges over the bipartite purchase graph,
+    edge weight = the pair's minimum line price in cents (a determinate
+    integer). Bellman-Ford rounds with the BFS join shape — weight 1
+    degenerates to graph_bfs_reach exactly."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("ck"),
+            F.col("l_suppkey").cast("long").alias("sk"),
+        )
+        .agg(F.min("cents").alias("w"))
+    )
+    edges = pairs.select(
+        (F.col("ck") * 2).alias("src"), (F.col("sk") * 2 + 1).alias("dst"), "w"
+    ).unionByName(
+        pairs.select(
+            (F.col("sk") * 2 + 1).alias("src"), (F.col("ck") * 2).alias("dst"), "w"
+        )
+    )
+    sources = load(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 0).select(
+        (F.col("c_custkey").cast("long") * 2).alias("node")
+    )
+    return G.minplus_levels(edges, sources).orderBy("node")
+
+
+GRAPH_CHEAPEST_ROUTE_SQL = f"""
+WITH pairs AS (
+  SELECT CAST(o.o_custkey AS BIGINT) AS ck,
+         CAST(l.l_suppkey AS BIGINT) AS sk,
+         MIN(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS w
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT ck * 2 AS src, sk * 2 + 1 AS dst, w FROM pairs
+  UNION ALL
+  SELECT sk * 2 + 1, ck * 2, w FROM pairs
+),
+d0 AS (
+  SELECT CAST(c_custkey AS BIGINT) * 2 AS node, CAST(0 AS BIGINT) AS cost
+  FROM customer WHERE c_nationkey = 0
+),
+{G.minplus_oracle_iterations()}
+SELECT node, cost FROM d{G.BFS_ROUNDS} ORDER BY node
+"""
+
+QUERIES["graph_cheapest_route"] = Q(
+    graph_cheapest_route,
+    GRAPH_CHEAPEST_ROUTE_SQL,
+    "bounded Bellman-Ford: cheapest k-edge route cost from a seed set",
+)
