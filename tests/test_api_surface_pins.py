@@ -87,3 +87,30 @@ def test_map_in_arrow_matches_codegen_zorder(spark):
     )
     assert diff.count() == 0
     assert got.count() == ev.count()
+
+
+def test_arrow_optimized_python_udf(spark):
+    """Spark 4 Arrow-optimized Python UDFs (useArrow=True) must produce
+    identical results to the row-at-a-time form AND actually take the
+    Arrow path (ArrowEvalPython vs BatchEvalPython in the plan) — the
+    difference is the Arrow batch transfer, ~an order of magnitude on
+    wide scans, which is why the engine's hot paths never use the
+    legacy form."""
+    from pyspark.sql.functions import udf
+
+    @udf("long", useArrow=True)
+    def tri_arrow(x):
+        return x * (x + 1) // 2
+
+    @udf("long", useArrow=False)
+    def tri_legacy(x):
+        return x * (x + 1) // 2
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", (F.col("event_id") % 100).alias("x")
+    )
+    a = ev.select("event_id", tri_arrow("x").alias("t"))
+    b = ev.select("event_id", tri_legacy("x").alias("t"))
+    assert "ArrowEvalPython" in _plan(a)
+    assert "BatchEvalPython" in _plan(b)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
