@@ -1337,3 +1337,86 @@ QUERIES["stream_dedup_watermark"] = Q(
     STREAM_DEDUP_WATERMARK_SQL,
     "LIVE dropDuplicatesWithinWatermark under cross-batch replays == DISTINCT input",
 )
+
+
+def stream_update_mode_counts(spark, sf_dir):
+    """UPDATE output mode pin: a grouped streaming count emits the
+    changed (key, count) row every micro-batch, so the memory sink
+    accumulates a GROWING count sequence per key; because a grouped
+    count under replay-free input is monotone, MAX(count) per key is
+    exactly the final total — which is what the oracle computes from
+    the batch table. Complements the append-mode gates (append
+    withholds open windows; update streams revisions)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 17 == 0)
+        .select("event_id", "ts", "event_type")
+        .toPandas()
+        .sort_values("event_id")
+    )
+    n = len(ev)
+    base = tempfile.mkdtemp(prefix="stream-update-")
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")), ("event_type", pa.string())]
+    )
+    try:
+        os.makedirs(f"{base}/in")
+        now = _time.time()
+        for i in range(3):
+            part = ev.iloc[i * n // 3 : (i + 1) * n // 3]
+            path = f"{base}/in/tick-{i}.parquet"
+            pq.write_table(
+                pa.Table.from_pandas(part, schema=schema, preserve_index=False), path
+            )
+            os.utime(path, (now - 30 + i * 10, now - 30 + i * 10))
+        counts = (
+            spark.readStream.schema("event_id long, ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/in")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("cnt"))
+        )
+        q = (
+            counts.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("stream_update_sink")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout=300)
+        finally:
+            q.stop()
+        out = (
+            spark.table("stream_update_sink")
+            .groupBy("event_type")
+            .agg(F.max("cnt").cast("long").alias("n_events"))
+        )
+        collected = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.catalog.dropTempView("stream_update_sink")
+    return spark.createDataFrame(collected, "event_type string, n_events long")
+
+
+STREAM_UPDATE_MODE_COUNTS_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events WHERE event_id % 17 = 0
+GROUP BY event_type
+"""
+
+QUERIES["stream_update_mode_counts"] = Q(
+    stream_update_mode_counts,
+    STREAM_UPDATE_MODE_COUNTS_SQL,
+    "UPDATE-mode revision stream: MAX(count) per key == the batch total",
+)

@@ -114,3 +114,27 @@ def test_arrow_optimized_python_udf(spark):
     assert "ArrowEvalPython" in _plan(a)
     assert "BatchEvalPython" in _plan(b)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_approx_percentile_respects_rank_error(spark):
+    """approx_percentile's accuracy contract: with accuracy parameter A,
+    the returned value's TRUE rank must lie within n/A of the target
+    rank (Greenwald-Khanna guarantee). Pinned against the exact sorted
+    ranks at two accuracies — the contract an engine relies on when it
+    swaps exact percentile for the sketch at scale."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("value")
+    n = ev.count()
+    vals = sorted(r.value for r in ev.collect())
+    for acc in (100, 10_000):
+        got = ev.agg(
+            F.expr(f"approx_percentile(value, 0.5, {acc})").alias("p")
+        ).collect()[0]["p"]
+        import bisect
+
+        lo = bisect.bisect_left(vals, got)
+        hi = bisect.bisect_right(vals, got)
+        target = 0.5 * n
+        slack = n / acc + 1
+        assert lo - slack <= target <= hi + slack, (
+            f"acc={acc}: rank window [{lo},{hi}] vs target {target} ± {slack}"
+        )
