@@ -1291,3 +1291,81 @@ QUERIES["state_dwell_time"] = Q(
     STATE_DWELL_TIME_SQL,
     "time-in-state rollup from SCD2 intervals (LEAD + one partial agg)",
 )
+
+
+def events_pivot_type_counts(spark, sf_dir):
+    """DataFrame pivot API (groupBy().pivot(col, values)) with the value
+    list given EXPLICITLY — open-ended pivot needs a distinct-scan
+    planning pass and non-deterministic column order; the explicit list
+    is the scale-safe form (one shuffle, fixed schema). Oracle:
+    conditional aggregation."""
+    ev = load(spark, sf_dir, "events")
+    bucket = (F.col("user_id") % 20).alias("user_bucket")
+    return (
+        ev.groupBy(bucket)
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+        .select(
+            "user_bucket",
+            *[F.col(c).cast("long").alias(c) for c in ["click", "view", "purchase", "signup", "error"]],
+        )
+    )
+
+
+EVENTS_PIVOT_TYPE_COUNTS_SQL = """
+SELECT user_id % 20 AS user_bucket,
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
+FROM events GROUP BY user_id % 20
+"""
+
+QUERIES["events_pivot_type_counts"] = Q(
+    events_pivot_type_counts,
+    EVENTS_PIVOT_TYPE_COUNTS_SQL,
+    "explicit-values pivot (fixed schema, one shuffle) vs conditional-agg oracle",
+)
+
+
+def lineitem_unpivot_measures(spark, sf_dir):
+    """unpivot/melt API: the three lineitem measures to long form, then
+    one grouped rollup per measure on the cent/ppm grid — the wide→long
+    reshape feeding any per-metric pipeline; the oracle is the UNION ALL
+    the reshape replaces."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("disc_ppm"),
+    )
+    long = li.unpivot(
+        ["l_orderkey"], ["qty_c", "price_c", "disc_ppm"], "measure", "v"
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("total"),
+        F.max("v").cast("long").alias("vmax"),
+    )
+
+
+LINEITEM_UNPIVOT_MEASURES_SQL = """
+WITH long AS (
+  SELECT l_orderkey, 'qty_c' AS measure, CAST(ROUND(l_quantity * 100) AS BIGINT) AS v FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'price_c', CAST(ROUND(l_extendedprice * 100) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'disc_ppm', CAST(ROUND(l_discount * 10000) AS BIGINT) FROM lineitem
+)
+SELECT measure, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS total, CAST(MAX(v) AS BIGINT) AS vmax
+FROM long GROUP BY measure
+"""
+
+QUERIES["lineitem_unpivot_measures"] = Q(
+    lineitem_unpivot_measures,
+    LINEITEM_UNPIVOT_MEASURES_SQL,
+    "unpivot/melt to long form + per-measure rollup vs UNION ALL oracle",
+)
