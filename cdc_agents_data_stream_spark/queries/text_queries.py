@@ -1182,3 +1182,36 @@ QUERIES["higher_order_sampler"] = Q(
     HIGHER_ORDER_SAMPLER_SQL,
     "higher-order array functions (filter/exists/forall/fold/zip_with) in one codegen pass",
 )
+
+
+def regexp_battery(spark, sf_dir):
+    """Regex surface parity: regexp_count (via extract_all length in the
+    oracle), first-match extraction, and regexp_replace length delta —
+    the same RE2-compatible pattern class both engines JIT; all codegen,
+    no shuffle beyond the final rollup-free projection."""
+    docs = load(spark, sf_dir, "documents")
+    pat = r"\bst[a-z]+"
+    return docs.select(
+        "doc_id",
+        F.expr(f"regexp_count(text, r'{pat}')").cast("long").alias("n_st_words"),
+        F.regexp_extract(F.col("text"), pat, 0).alias("first_st_word"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), r"[aeiou]", ""))
+        ).cast("long").alias("n_vowels"),
+    )
+
+
+REGEXP_BATTERY_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\bst[a-z]+')) AS BIGINT) AS n_st_words,
+       COALESCE(regexp_extract(text, '\bst[a-z]+', 0), '') AS first_st_word,
+       CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS n_vowels
+FROM documents
+"""
+
+QUERIES["regexp_battery"] = Q(
+    regexp_battery,
+    REGEXP_BATTERY_SQL,
+    "regexp count/extract/replace parity on the shared RE2-safe pattern class",
+)
