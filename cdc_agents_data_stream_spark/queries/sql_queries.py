@@ -400,3 +400,66 @@ QUERIES["try_cast_tolerance"] = Q(
     TRY_CAST_TOLERANCE_SQL,
     "TRY_CAST tolerance: identical parse/NULL decisions and sums in both engines",
 )
+
+
+SQL_GROUPING_SETS_EXPLICIT = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_s,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+QUERIES["sql_grouping_sets_explicit"] = Q(
+    _sql_query(SQL_GROUPING_SETS_EXPLICIT),
+    SQL_GROUPING_SETS_EXPLICIT,
+    # explicit GROUPING SETS (disjoint slices + grand total in one pass)
+    # — the form ROLLUP/CUBE cannot express; one shared text
+    "explicit GROUPING SETS with GROUPING() flags (one shared text)",
+)
+
+
+SQL_LATERAL_TOPK = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+) t
+"""
+
+QUERIES["sql_lateral_topk"] = Q(
+    _sql_query(SQL_LATERAL_TOPK),
+    SQL_LATERAL_TOPK,
+    # correlated LATERAL derived table (top-2 per outer row) — the
+    # per-row subplan join both planners decorrelate to a ranked join
+    "correlated LATERAL top-k per outer row (one shared text)",
+)
+
+
+SQL_INTERSECT_ALL = """
+SELECT user_id FROM events WHERE event_type = 'view'
+INTERSECT ALL
+SELECT user_id FROM events WHERE event_type = 'click'
+"""
+
+QUERIES["sql_intersect_all"] = Q(
+    _sql_query(SQL_INTERSECT_ALL),
+    SQL_INTERSECT_ALL,
+    "bag-semantics INTERSECT ALL (multiplicity = min of the two sides)",
+)
+
+
+SQL_EXCEPT_ALL = """
+SELECT user_id FROM events WHERE event_type = 'view'
+EXCEPT ALL
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+QUERIES["sql_except_all"] = Q(
+    _sql_query(SQL_EXCEPT_ALL),
+    SQL_EXCEPT_ALL,
+    "bag-semantics EXCEPT ALL (multiplicity subtraction, not distinct)",
+)
