@@ -1215,3 +1215,89 @@ QUERIES["regexp_battery"] = Q(
     REGEXP_BATTERY_SQL,
     "regexp count/extract/replace parity on the shared RE2-safe pattern class",
 )
+
+
+def map_higher_order_ops(spark, sf_dir):
+    """MAP-typed column surface: per-doc token-count map built with
+    map_from_entries, values doubled through transform_values, filtered
+    with map_filter (count ≥ 2), then exploded back to sorted rows —
+    maps never reach the output (map equality/hash is order-undefined
+    cross-engine; exploding to rows restores a canonical form). The
+    oracle computes the same rows straight from grouped counts."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    counted = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("n"))
+    as_map = counted.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("tok", "n")))
+        ).alias("m")
+    )
+    transformed = as_map.select(
+        "doc_id",
+        F.map_filter(
+            F.transform_values(F.col("m"), lambda k, v: v * 2),
+            lambda k, v: v >= 4,
+        ).alias("m2"),
+    )
+    return (
+        transformed.select("doc_id", F.explode("m2").alias("tok", "n2"))
+        .select("doc_id", "tok", F.col("n2").cast("long").alias("n2"))
+    )
+
+
+MAP_HIGHER_ORDER_OPS_SQL = """
+SELECT doc_id, tok, CAST(COUNT(*) * 2 AS BIGINT) AS n2
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY doc_id, tok
+HAVING COUNT(*) * 2 >= 4
+"""
+
+QUERIES["map_higher_order_ops"] = Q(
+    map_higher_order_ops,
+    MAP_HIGHER_ORDER_OPS_SQL,
+    "map_from_entries / transform_values / map_filter round-trip to canonical rows",
+)
+
+
+def struct_json_roundtrip(spark, sf_dir):
+    """Schema-ful struct⇄JSON round-trip: named_struct → to_json →
+    from_json(schema) must reproduce the original fields exactly (the
+    serialization boundary every lake/queue hop crosses); a parse
+    failure nulls the row and would break the count. Oracle reads the
+    fields directly — the round-trip must be invisible."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 23 == 0)
+    packed = ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.col("user_id"),
+                F.col("event_type"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+        ).alias("payload"),
+    )
+    unpacked = packed.select(
+        "event_id",
+        F.from_json(
+            "payload", "user_id bigint, event_type string, cents bigint"
+        ).alias("s"),
+    )
+    return unpacked.select(
+        "event_id",
+        F.col("s.user_id").alias("user_id"),
+        F.col("s.event_type").alias("event_type"),
+        F.col("s.cents").alias("cents"),
+    )
+
+
+STRUCT_JSON_ROUNDTRIP_SQL = """
+SELECT event_id, user_id, event_type,
+       CAST(ROUND(value * 100) AS BIGINT) AS cents
+FROM events WHERE event_id % 23 = 0
+"""
+
+QUERIES["struct_json_roundtrip"] = Q(
+    struct_json_roundtrip,
+    STRUCT_JSON_ROUNDTRIP_SQL,
+    "named_struct -> to_json -> from_json(schema) must be lossless",
+)
