@@ -307,3 +307,45 @@ QUERIES["value_gini_ppm"] = Q(
     VALUE_GINI_PPM_SQL,
     "Gini coefficient per group via GROUPED_AGG pandas UDF (exact ppm grid)",
 )
+
+
+def minmax_scale_ppm(spark, sf_dir):
+    """Per-group min-max scaling to the ppm grid: scaled = FLOOR((x −
+    min)·10⁶ / (max − min)) — the [0, 1e6] normalization a feature
+    pipeline applies before training, exact because x lives on the cent
+    grid and FLOOR is pinned on both engines (their native casts
+    disagree: truncate vs round). Degenerate groups (max == min) emit
+    0. One broadcast moments pass + a map-side scale; the fact table
+    never shuffles."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.min("c").alias("cmin"), F.max("c").alias("cmax")
+    )
+    j = ev.join(F.broadcast(g), "event_type")
+    scaled = F.when(F.col("cmax") > F.col("cmin"),
+        F.floor((F.col("c") - F.col("cmin")) * 1_000_000 / (F.col("cmax") - F.col("cmin")))
+    ).otherwise(F.lit(0)).cast("long")
+    return j.select("event_id", "event_type", scaled.alias("scaled_ppm"))
+
+
+MINMAX_SCALE_PPM_SQL = """
+WITH e AS (
+  SELECT event_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+),
+g AS (
+  SELECT event_type, MIN(c) AS cmin, MAX(c) AS cmax FROM e GROUP BY event_type
+)
+SELECT event_id, e.event_type,
+       CAST(CASE WHEN g.cmax > g.cmin
+                 THEN FLOOR((e.c - g.cmin) * 1000000.0 / (g.cmax - g.cmin))
+                 ELSE 0 END AS BIGINT) AS scaled_ppm
+FROM e JOIN g ON e.event_type = g.event_type
+"""
+
+QUERIES["minmax_scale_ppm"] = Q(
+    minmax_scale_ppm,
+    MINMAX_SCALE_PPM_SQL,
+    "per-group min-max scaling to [0, 1e6] (broadcast moments, map-side scale)",
+)
