@@ -463,3 +463,39 @@ QUERIES["sql_except_all"] = Q(
     SQL_EXCEPT_ALL,
     "bag-semantics EXCEPT ALL (multiplicity subtraction, not distinct)",
 )
+
+
+def try_arithmetic_pin(spark, sf_dir):
+    """ANSI-safe arithmetic pin: try_multiply returns NULL on BIGINT
+    overflow instead of failing the job (DuckDB has no try_* family and
+    ERRORS on overflow, so the oracle guards with an explicit bound
+    check — which is exactly the portable semantics the pin records).
+    Factor 1 stays exact; factors ≥ 2 overflow 2⁶² and must null."""
+    from pyspark.sql import functions as F
+
+    from .base import load
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 31 == 0)
+    m = (F.col("event_id") % 5 + 1).cast("long")
+    return ev.select(
+        "event_id",
+        m.alias("factor"),
+        F.expr(
+            "try_multiply(CAST(event_id % 5 + 1 AS BIGINT), CAST(4611686018427387904 AS BIGINT))"
+        ).alias("product"),
+    )
+
+
+TRY_ARITHMETIC_PIN_SQL = """
+SELECT event_id,
+       CAST(event_id % 5 + 1 AS BIGINT) AS factor,
+       CASE WHEN event_id % 5 + 1 = 1
+            THEN CAST(4611686018427387904 AS BIGINT) END AS product
+FROM events WHERE event_id % 31 = 0
+"""
+
+QUERIES["try_arithmetic_pin"] = Q(
+    try_arithmetic_pin,
+    TRY_ARITHMETIC_PIN_SQL,
+    "try_multiply overflow-to-NULL vs the explicit guard the oracle must use",
+)

@@ -1369,3 +1369,62 @@ QUERIES["lineitem_unpivot_measures"] = Q(
     LINEITEM_UNPIVOT_MEASURES_SQL,
     "unpivot/melt to long form + per-measure rollup vs UNION ALL oracle",
 )
+
+
+def value_run_lengths(spark, sf_dir):
+    """Run-length encoding of per-user activity (gaps-and-islands on
+    VALUE equality): consecutive same-event-type rows form runs via the
+    LAG-change-flag + running-sum island id; emits per-user run counts
+    and the longest run. One user-keyed sort carries all three window
+    passes (same partitioning, no extra exchange)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 11 == 0).select(
+        "user_id", "event_id", "event_type", ms("ts").alias("ts_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    changed = (
+        (F.lag("event_type").over(w).isNull())
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("long")
+    runs = ev.withColumn("island", F.sum(changed).over(w))
+    per_run = runs.groupBy("user_id", "island").agg(
+        F.count("*").alias("run_len")
+    )
+    return per_run.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_runs"),
+        F.max("run_len").cast("long").alias("longest_run"),
+    )
+
+
+VALUE_RUN_LENGTHS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+  FROM events WHERE user_id % 11 = 0
+),
+flagged AS (
+  SELECT user_id, event_id, ts_ms,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+),
+islands AS (
+  SELECT user_id,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+),
+per_run AS (
+  SELECT user_id, island, COUNT(*) AS run_len FROM islands GROUP BY user_id, island
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(run_len) AS BIGINT) AS longest_run
+FROM per_run GROUP BY user_id
+"""
+
+QUERIES["value_run_lengths"] = Q(
+    value_run_lengths,
+    VALUE_RUN_LENGTHS_SQL,
+    "gaps-and-islands run-length encoding: runs per user + longest run",
+)
