@@ -1420,3 +1420,110 @@ QUERIES["stream_update_mode_counts"] = Q(
     STREAM_UPDATE_MODE_COUNTS_SQL,
     "UPDATE-mode revision stream: MAX(count) per key == the batch total",
 )
+
+
+def stream_chained_windows(spark, sf_dir):
+    """Chained stateful aggregations in ONE streaming query (Spark 4:
+    multiple stateful operators in append mode): hourly counts per type
+    feed a second windowed aggregation — `window(window_col, '1 day')`
+    — producing each day's peak hourly rate and distinct active hours.
+    Only CLOSED hourly windows flow downstream, and only CLOSED day
+    windows reach the sink, so the oracle is the two-level batch rollup
+    restricted to days whose end precedes the final watermark (the
+    stream's input is staged punctually, watermark = max ts − 30 min).
+    Before Spark 4 this required two queries and an intermediate sink."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 0)
+        .select("event_id", "ts", "event_type")
+        .toPandas()
+        .sort_values("ts")
+    )
+    n = len(ev)
+    base = tempfile.mkdtemp(prefix="stream-chain-")
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")), ("event_type", pa.string())]
+    )
+    try:
+        os.makedirs(f"{base}/in")
+        now = _time.time()
+        for i in range(3):
+            part = ev.iloc[i * n // 3 : (i + 1) * n // 3]
+            path = f"{base}/in/tick-{i}.parquet"
+            pq.write_table(
+                pa.Table.from_pandas(part, schema=schema, preserve_index=False), path
+            )
+            os.utime(path, (now - 30 + i * 10, now - 30 + i * 10))
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/in")
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("hw"), "event_type")
+            .agg(F.count("*").alias("hourly_n"))
+            .groupBy(F.window(F.col("hw"), "1 day").alias("dw"), "event_type")
+            .agg(
+                F.max("hourly_n").alias("max_hourly"),
+                F.count("*").alias("n_hours"),
+            )
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_chain_sink")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout=300)
+        finally:
+            q.stop()
+        out = spark.table("stream_chain_sink").select(
+            F.unix_millis("dw.start").alias("day_start_ms"),
+            "event_type",
+            F.col("max_hourly").cast("long").alias("max_hourly"),
+            F.col("n_hours").cast("long").alias("n_hours"),
+        )
+        collected = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.catalog.dropTempView("stream_chain_sink")
+    return spark.createDataFrame(
+        collected, "day_start_ms long, event_type string, max_hourly long, n_hours long"
+    )
+
+
+STREAM_CHAINED_WINDOWS_SQL = """
+WITH s AS (SELECT * FROM events WHERE event_id % 5 = 0),
+wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM s),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS hourly_n
+  FROM s GROUP BY date_trunc('hour', ts), event_type
+),
+daily AS (
+  SELECT date_trunc('day', h) AS d, event_type,
+         MAX(hourly_n) AS max_hourly, COUNT(*) AS n_hours
+  FROM hourly GROUP BY date_trunc('day', h), event_type
+)
+SELECT epoch_ms(d) AS day_start_ms, event_type,
+       CAST(max_hourly AS BIGINT) AS max_hourly,
+       CAST(n_hours AS BIGINT) AS n_hours
+FROM daily
+WHERE epoch_ms(d + INTERVAL 1 DAY) <= (SELECT epoch_ms(w) FROM wm)
+"""
+
+QUERIES["stream_chained_windows"] = Q(
+    stream_chained_windows,
+    STREAM_CHAINED_WINDOWS_SQL,
+    "Spark 4 chained stateful aggregations: day-over-hour windows in one query",
+)
