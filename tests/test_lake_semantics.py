@@ -66,3 +66,26 @@ def test_merge_schema_read_unions_footers(spark, tmp_path):
     # documented reason the state store rewrites schemas explicitly
     plain = spark.read.parquet(f"{d}/f1", f"{d}/f2")
     assert len(plain.columns) <= 3
+
+
+def test_metadata_columns_expose_file_provenance(spark, tmp_path):
+    """The hidden _metadata struct must expose per-row file provenance
+    (path, size, modification time) on parquet reads — the mechanism a
+    lake debugger uses to trace a bad row to its file without a manifest
+    join. Row counts per file must agree with the written layout."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "files")
+    spark.range(0, 30).withColumn("p", F.col("id") % 3).write.partitionBy(
+        "p"
+    ).parquet(d)
+    df = spark.read.parquet(d).select(
+        "id", "p", F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.file_size").alias("sz"),
+    )
+    per_file = df.groupBy("fp").count().collect()
+    assert sum(r["count"] for r in per_file) == 30
+    # every file path carries its partition directory
+    for r in per_file:
+        assert "/p=" in r["fp"]
+    assert df.filter(F.col("sz") <= 0).count() == 0
