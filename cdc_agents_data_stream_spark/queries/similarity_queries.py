@@ -935,3 +935,85 @@ QUERIES["semdedup_prune"] = Q(
     SEMDEDUP_PRUNE_SQL,
     "SemDeDup: cluster-blocked semantic prune, min-id keeper per similar group",
 )
+
+
+def ann_dim_truncation_eval(spark, sf_dir):
+    """Dimension-truncation retrieval eval (the matryoshka question: how
+    much ranking survives if we keep only the first 16 of 64 dims?):
+    exact cosine top-10 under the full vectors vs the truncated prefix
+    for the first 5 query vectors, joined per (query, neighbor) —
+    overlap membership and the integer squared rank displacement. All
+    ranks are integers, so the quality signal is hash-exact; at scale
+    each ranking is the brute-force baseline path (corpus never
+    shuffles, queries broadcast)."""
+    emb = load(spark, sf_dir, "embeddings")
+    full = S.cosine_topk(emb, query_ids_below=5, k=10).select(
+        F.col("query_id"), F.col("neighbor_id"), F.col("rank").alias("rank_full")
+    )
+    trunc_emb = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, 16).alias("embedding")
+    )
+    trunc = S.cosine_topk(trunc_emb, query_ids_below=5, k=10).select(
+        F.col("query_id"), F.col("neighbor_id"), F.col("rank").alias("rank_trunc")
+    )
+    j = full.join(trunc, ["query_id", "neighbor_id"], "full_outer")
+    return j.groupBy("query_id").agg(
+        F.sum((F.col("rank_full").isNotNull() & F.col("rank_trunc").isNotNull()).cast("long"))
+        .cast("long")
+        .alias("overlap_at_10"),
+        F.sum(
+            F.when(
+                F.col("rank_full").isNotNull() & F.col("rank_trunc").isNotNull(),
+                (F.col("rank_full") - F.col("rank_trunc"))
+                * (F.col("rank_full") - F.col("rank_trunc")),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("sq_rank_disp"),
+    )
+
+
+ANN_DIM_TRUNCATION_EVAL_SQL = f"""
+WITH {_BASE_CTE},
+q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM base WHERE vec_id < 5),
+full_rank AS (
+  SELECT query_id, neighbor_id, rank_full FROM (
+    SELECT q.query_id, b.vec_id AS neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(b.v, q.qv) / (b.norm * q.qnorm) DESC,
+                      b.vec_id ASC) AS BIGINT) AS rank_full
+    FROM base b CROSS JOIN q WHERE b.vec_id <> q.query_id
+  ) WHERE rank_full <= 10
+),
+tbase AS (
+  SELECT vec_id, v[1:16] AS v,
+         sqrt(list_dot_product(v[1:16], v[1:16])) AS norm
+  FROM base
+),
+tq AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM tbase WHERE vec_id < 5),
+trunc_rank AS (
+  SELECT query_id, neighbor_id, rank_trunc FROM (
+    SELECT tq.query_id, b.vec_id AS neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY tq.query_id
+             ORDER BY list_dot_product(b.v, tq.qv) / (b.norm * tq.qnorm) DESC,
+                      b.vec_id ASC) AS BIGINT) AS rank_trunc
+    FROM tbase b CROSS JOIN tq WHERE b.vec_id <> tq.query_id
+  ) WHERE rank_trunc <= 10
+)
+SELECT COALESCE(f.query_id, t.query_id) AS query_id,
+       CAST(SUM(CASE WHEN f.rank_full IS NOT NULL AND t.rank_trunc IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS overlap_at_10,
+       CAST(SUM(CASE WHEN f.rank_full IS NOT NULL AND t.rank_trunc IS NOT NULL
+                     THEN (f.rank_full - t.rank_trunc) * (f.rank_full - t.rank_trunc)
+                     ELSE 0 END) AS BIGINT) AS sq_rank_disp
+FROM full_rank f
+FULL OUTER JOIN trunc_rank t
+  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+GROUP BY COALESCE(f.query_id, t.query_id)
+"""
+
+QUERIES["ann_dim_truncation_eval"] = Q(
+    ann_dim_truncation_eval,
+    ANN_DIM_TRUNCATION_EVAL_SQL,
+    "matryoshka truncation eval: top-10 overlap + integer rank displacement",
+)
