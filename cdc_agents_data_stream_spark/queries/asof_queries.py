@@ -324,3 +324,79 @@ QUERIES["pit_feature_join"] = Q(
     PIT_FEATURE_JOIN_SQL,
     "point-in-time feature retrieval: two leak-free as-of feature groups on one spine",
 )
+
+
+def linear_attribution_credit(spark, sf_dir):
+    """Multi-touch LINEAR attribution: each order's value splits equally
+    across every event the user produced in the 7 days before it
+    (credit = cents DIV n_touches, remainder to the earliest touch so
+    credits sum EXACTLY to the order value — the same largest-remainder
+    discipline as the budget allocator). Touch discovery is the
+    day-bucketed interval join; per-type credit rolls up in one partial
+    agg. Integer end-to-end."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        ms("o_orderdate").alias("order_ts_ms"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", ms("ts").alias("t_ms")
+    )
+    touches = orders.join(
+        ev,
+        (orders.user_id == ev.user_id)
+        & (ev.t_ms <= orders.order_ts_ms)
+        & (ev.t_ms > orders.order_ts_ms - F.lit(604_800_000)),
+    ).select(orders.o_orderkey, orders.cents, ev.event_id, ev.event_type, ev.t_ms)
+    w = Window.partitionBy("o_orderkey")
+    w_first = Window.partitionBy("o_orderkey").orderBy("t_ms", "event_id")
+    credited = touches.select(
+        "o_orderkey",
+        "event_type",
+        (F.col("cents") / F.count("*").over(w)).cast("long").alias("base_credit"),
+        (
+            (F.col("cents") % F.count("*").over(w))
+            * (F.row_number().over(w_first) == 1).cast("long")
+        ).alias("remainder_credit"),
+    )
+    return credited.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.sum(F.col("base_credit") + F.col("remainder_credit")).cast("long").alias("credit_cents"),
+    )
+
+
+LINEAR_ATTRIBUTION_CREDIT_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey AS user_id, epoch_ms(o_orderdate) AS order_ts_ms,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+touches AS (
+  SELECT o.o_orderkey, o.cents, e.event_id, e.event_type, epoch_ms(e.ts) AS t_ms
+  FROM o JOIN events e
+    ON o.user_id = e.user_id
+   AND epoch_ms(e.ts) <= o.order_ts_ms
+   AND epoch_ms(e.ts) > o.order_ts_ms - 604800000
+),
+credited AS (
+  SELECT event_type,
+         cents // COUNT(*) OVER w AS base_credit,
+         (cents % COUNT(*) OVER w)
+           * CASE WHEN ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY t_ms, event_id) = 1
+                  THEN 1 ELSE 0 END AS remainder_credit
+  FROM touches
+  WINDOW w AS (PARTITION BY o_orderkey)
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(base_credit + remainder_credit) AS BIGINT) AS credit_cents
+FROM credited GROUP BY event_type
+"""
+
+QUERIES["linear_attribution_credit"] = Q(
+    linear_attribution_credit,
+    LINEAR_ATTRIBUTION_CREDIT_SQL,
+    "multi-touch linear attribution: exact integer credit split, remainder to first touch",
+)
