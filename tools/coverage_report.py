@@ -1,0 +1,161 @@
+#!/usr/bin/env python3
+"""Generate COVERAGE.md: the SURVEY §2 operator → gate-query map plus the
+full auto-generated query catalog (every registry entry with its one-line
+doc, grouped by module). tests/test_coverage_map.py asserts the static
+map stays consistent with the registry.
+
+Run: python tools/coverage_report.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# SURVEY §2 operator id -> (gate, kind) where kind is "query" (declared,
+# oracle-backed, name must exist in the registry) or "test"/"doc" (pytest
+# or documented-deviation coverage).
+SURVEY_S2_MAP: dict[str, tuple[str, str]] = {
+    "S1 CDC incremental poller": ("incremental_poll_rounds", "query"),
+    "S2 notification payload parse": ("trigger_parse", "query"),
+    "S3 writes ⋈ checkpoints scan": ("writes_checkpoints_scan", "query"),
+    "S4 ide_checkpoints scan": ("backfill_dual_stream", "query"),
+    "S5 test-report consume-once source": ("report_consume_once", "query"),
+    "S6 git repository source": ("git_repo_scan", "query"),
+    "S7 upsert sink (manifest MERGE)": ("stream_pipeline_state", "query"),
+    "S8 schema bootstrap DDL": ("schema_bootstrap_ddl", "query"),
+    "F1 channel/type filter": ("events_filter_json", "query"),
+    "F2 key equality filters": ("events_filter_json", "query"),
+    "F3 JSON projection + ts cast": ("latest_event_per_user", "query"),
+    "F4 DISTINCT projection": ("distinct_event_types", "query"),
+    "F5 null/empty guards": ("trigger_parse", "query"),
+    "F6 empty-diff suppression": ("merge_empty_diff_suppress", "query"),
+    "F7 __start__ key predicate": ("merge_transition_seq", "query"),
+    "J1 inner equi-join": ("orders_customer_join", "query"),
+    "J2 full-outer keyset classify": ("user_change_classify", "query"),
+    "J3 lookup join (state fetch)": ("backfill_state_build", "query"),
+    "A1 grouped argmax": ("argmax_event_value", "query"),
+    "A2 max over union of lists": ("line_diff_ops", "query"),
+    "A3 max-per-key staleness": ("fresh_events_after_signup", "query"),
+    "A4 group + ordered collect": ("user_event_type_concat", "query"),
+    "A5 ordered concat": ("user_event_type_concat", "query"),
+    "A6 count": ("tpch_q1", "query"),
+    "A7 map-collect": ("user_event_map_collect", "query"),
+    "W1 row_number dedup-to-latest": ("latest_event_per_user", "query"),
+    "T1 ORDER BY ts DESC LIMIT 1": ("top1_global_event", "query"),
+    "T2 ranked-CTE top-1": ("latest_event_rank_parity", "query"),
+    "T3 in-memory sort by ts": ("line_diff_ops", "query"),
+    "T4 max_by top-1": ("argmax_event_value", "query"),
+    "T5 git log limit N": ("git_repo_scan", "query"),
+    "U1 union of keysets": ("union_active_users", "query"),
+    "C1 bytes↔UTF-8 decode": ("checkpoint_blob_messages", "query"),
+    "C2 split on line separator": ("text_token_stats", "query"),
+    "C3 string join lines": ("doc_fingerprint", "query"),
+    "C4 substring containment": ("scalar_expr_sampler", "query"),
+    "C5 JSON parse/serialize": ("message_normalize", "query"),
+    "C6 JSON canonicalization": ("json_canonicalize", "query"),
+    "C7 json_build_object": ("trigger_parse", "query"),
+    "C8 ->>'ts' extraction": ("events_filter_json", "query"),
+    "C9 timestamptz cast": ("latest_event_per_user", "query"),
+    "C10 timestamp compare": ("fresh_events_after_signup", "query"),
+    "C11 UUID generation": ("message_uuid_assign", "query"),
+    "C12 string templating": ("scalar_expr_sampler", "query"),
+    "C13 encode UTF-8": ("multimodal_binary_meta", "query"),
+    "C14 current timestamp": ("tests (wall-clock, excluded from deterministic gates)", "test"),
+    "X1 keyed mutable session state": ("stream_pipeline_state", "query"),
+    "X2 merge policy (LWW + __start__)": ("merge_transition_seq", "query"),
+    "X3 late/stale event drop": ("merge_transition_seq", "query"),
+    "X4 read-repair": ("superseded — documented deviation, SURVEY §7.3", "doc"),
+    "X5 incremental diff computation": ("line_diff_ops", "query"),
+    "X6 monotone sequence numbers": ("merge_transition_seq", "query"),
+    "X7 backfill then incremental": ("backfill_state_build", "query"),
+    "X8 per-key serialization": ("tests/test_streaming.py (partitioning design)", "test"),
+    "X9 consume-once side input": ("report_consume_once", "query"),
+    "X10 dual-stream fan-in": ("backfill_dual_stream", "query"),
+    "UD1 Myers line diff": ("line_diff_ops", "query"),
+    "UD2 whole-content add/remove": ("line_diff_ops", "query"),
+    "UD3 JSON canonicalizer": ("json_canonicalize", "query"),
+    "UD4 polymorphic message codec": ("message_normalize", "query"),
+    "UD5 context-provider fan-out": ("ctx_enrich_fanout", "query"),
+    "UD6 git metadata collector": ("git_repo_scan", "query"),
+}
+
+TEST_BATTERIES = [
+    ("tests/test_plan_lint.py", "driver-window + bench plans: no cartesian; audited BNLJ/global-window allowlist"),
+    ("tests/test_collect_lint.py", "every engine-core .collect() audited with its boundedness justification"),
+    ("tests/test_plan_shapes.py", "broadcast/pushdown/DPP/AQE-skew/runtime-bloom plan proofs"),
+    ("tests/test_dedup_plans.py", "dedup plan shapes: wide-agg signatures, candidate-restricted verify"),
+    ("tests/test_asof_pandas_parity.py", "as-of kernel vs pandas merge_asof over random frames"),
+    ("tests/test_harness_sensitivity.py", "negative controls: the oracle comparator must fire on corruption"),
+    ("tests/test_lake_semantics.py", "dynamic partition overwrite, mergeSchema, _metadata provenance"),
+    ("tests/test_api_surface_pins.py", "join hints, df.sample layout-dependence, mapInArrow, Arrow UDF, approx_percentile contract"),
+    ("tests/test_observe.py", "Observation metrics riding one action (batch + micro-batch)"),
+    ("tests/test_concurrency.py", "multi-writer optimistic commits, no lost updates"),
+    ("tests/test_streaming.py", "live pipeline, restart recovery, session merging"),
+    ("tests/test_store.py", "state-store MERGE, time travel, CDF, schema evolution, torn commits"),
+]
+
+
+def main() -> int:
+    from cdc_agents_data_stream_spark.queries.registry import DRIVER_WINDOW, all_queries
+
+    qs = all_queries()
+    window_pos = {n: i for i, n in enumerate(DRIVER_WINDOW)}
+
+    out = [
+        "# COVERAGE — operator inventory → hard gate",
+        "",
+        f"Registry: **{len(qs)} declared queries**, every one either paired with a",
+        "full-value DuckDB oracle or (for live streaming gates) an analytically",
+        "derived batch oracle. The driver's CORRECTNESS harness runs the first",
+        f"{len(DRIVER_WINDOW)} registry positions (curated one-gate-per-family); the",
+        "replica harness (`tests/driver_replica.py`) runs ALL of them.",
+        "",
+        "## 1. Reference operators (SURVEY §2)",
+        "",
+        "| Operator | Gate | Driver window pos |",
+        "|---|---|---|",
+    ]
+    for op, (gate, kind) in SURVEY_S2_MAP.items():
+        if kind == "query":
+            pos = window_pos.get(gate)
+            pos_s = str(pos) if pos is not None else "replica-only"
+            assert gate in qs, f"coverage map names unknown query {gate}"
+            out.append(f"| {op} | `{gate}` | {pos_s} |")
+        else:
+            out.append(f"| {op} | {gate} | — |")
+
+    out += [
+        "",
+        "## 2. Full declared-query catalog (auto-generated)",
+        "",
+    ]
+    from collections import defaultdict
+
+    by_mod: dict[str, list[str]] = defaultdict(list)
+    for name, q in qs.items():
+        mod = q.fn.__module__.rsplit(".", 1)[-1]
+        by_mod[mod].append(name)
+    for mod in sorted(by_mod):
+        out.append(f"### {mod} ({len(by_mod[mod])})")
+        out.append("")
+        for name in sorted(by_mod[mod]):
+            doc = (qs[name].doc or "").strip()
+            oracle = "oracle" if qs[name].oracle else "rows-only"
+            out.append(f"- `{name}` — {doc} [{oracle}]")
+        out.append("")
+
+    out += ["## 3. Test batteries (non-query coverage)", ""]
+    for f, d in TEST_BATTERIES:
+        out.append(f"- `{f}` — {d}")
+    out.append("")
+
+    with open("/root/repo/COVERAGE.md", "w") as fh:
+        fh.write("\n".join(out))
+    print(f"COVERAGE.md written ({len(qs)} queries, {len(SURVEY_S2_MAP)} §2 rows)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
