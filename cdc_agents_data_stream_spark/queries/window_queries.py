@@ -1428,3 +1428,45 @@ QUERIES["value_run_lengths"] = Q(
     VALUE_RUN_LENGTHS_SQL,
     "gaps-and-islands run-length encoding: runs per user + longest run",
 )
+
+
+def cumulative_new_users(spark, sf_dir):
+    """Growth accounting: each user's FIRST event day (one grouped min —
+    the first-touch dedup), rolled up to new-users-per-day, with the
+    running cumulative via a window over the day-count-bounded
+    aggregate. The corpus-scale pass is the per-user min; everything
+    after runs on ≤ calendar-days rows."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_millis(cast(ts as timestamp)) DIV 86400000").alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    daily = first_day.groupBy("d0").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("d0").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("d0").cast("long").alias("day"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+CUMULATIVE_NEW_USERS_SQL = """
+WITH f AS (
+  SELECT user_id, MIN(epoch_ms(ts) // 86400000) AS d0
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT d0, COUNT(*) AS new_users FROM f GROUP BY d0
+)
+SELECT CAST(d0 AS BIGINT) AS day, CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY d0
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM daily
+"""
+
+QUERIES["cumulative_new_users"] = Q(
+    cumulative_new_users,
+    CUMULATIVE_NEW_USERS_SQL,
+    "first-touch dedup + new/cumulative users per day (calendar-bounded window)",
+)
