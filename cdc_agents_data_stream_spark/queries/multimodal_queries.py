@@ -5,6 +5,8 @@ DuckDB reproduces."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..operators import multimodal as M
 from .base import Q, load
 
@@ -102,3 +104,95 @@ FROM meta
 """
 
 QUERIES["multimodal_resize"] = Q(multimodal_resize, MULTIMODAL_RESIZE_SQL, "resize dims stage")
+
+
+def audio_frame_windows(spark, sf_dir):
+    """Audio framing arithmetic over opaque clips: synthesize each
+    clip's sample count deterministically from its payload hash (the
+    stand-in for a WAV header read — the real decoder is the documented
+    plug-point), then compute STFT-style window counts: n_windows = 1 +
+    (n_samples − WIN) DIV HOP for clips long enough, else 0. This is
+    the Spark-side plumbing an audio featurizer needs — schema, exact
+    framing math, per-clip fan-out size — kept codegen-side; only the
+    sample decode itself would run in mapInPandas."""
+    WIN, HOP, SR = 400, 160, 16_000
+    docs = load(spark, sf_dir, "documents")
+    n_samples = (
+        F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast("long") % (SR * 30) + SR
+    )
+    base = docs.select("doc_id", n_samples.alias("n_samples"))
+    n_windows = F.when(
+        F.col("n_samples") >= WIN,
+        1 + F.expr(f"(n_samples - {WIN}) DIV {HOP}"),
+    ).otherwise(0)
+    return base.select(
+        "doc_id",
+        "n_samples",
+        # integer DIV on both engines: double-division casts disagree
+        # (Spark truncates, DuckDB rounds) at millisecond boundaries
+        F.expr(f"(n_samples * 1000) DIV {SR}").cast("long").alias("dur_ms"),
+        n_windows.cast("long").alias("n_windows"),
+    )
+
+
+AUDIO_FRAME_WINDOWS_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(text), 1, 6) AS BIGINT) % 480000 + 16000 AS n_samples
+  FROM documents
+)
+SELECT doc_id, n_samples,
+       CAST((n_samples * 1000) // 16000 AS BIGINT) AS dur_ms,
+       CAST(CASE WHEN n_samples >= 400 THEN 1 + (n_samples - 400) // 160 ELSE 0 END AS BIGINT) AS n_windows
+FROM m
+"""
+
+QUERIES["audio_frame_windows"] = Q(
+    audio_frame_windows,
+    AUDIO_FRAME_WINDOWS_SQL,
+    "audio STFT framing arithmetic from header metadata (decode stays the plug-point)",
+)
+
+
+def image_tile_grid(spark, sf_dir):
+    """Image tiling fan-out (ViT-style patching): tiles = ceil(w/T) ×
+    ceil(h/T) from the decoded dimensions (the stub decoder's
+    deterministic dims), plus the padded canvas size — the exact
+    integer accounting a patch-embedding pipeline shuffles by. The
+    fan-out ROW COUNT is computed, not materialized: at 100 TB you
+    explode per-tile only inside the Arrow batch that featurizes it."""
+    TILE = 16
+    docs = load(spark, sf_dir, "documents")
+    width = (F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("int") % 64 + 1)
+    height = (F.conv(F.substring(F.md5("text"), 3, 2), 16, 10).cast("int") % 64 + 1)
+    tx = F.ceil(width / F.lit(TILE)).cast("long")
+    ty = F.ceil(height / F.lit(TILE)).cast("long")
+    return docs.select(
+        "doc_id",
+        width.cast("long").alias("width"),
+        height.cast("long").alias("height"),
+        (tx * ty).alias("n_tiles"),
+        (tx * TILE).alias("padded_w"),
+        (ty * TILE).alias("padded_h"),
+    )
+
+
+IMAGE_TILE_GRID_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64 + 1 AS width,
+         CAST('0x' || substr(md5(text), 3, 2) AS INT) % 64 + 1 AS height
+  FROM documents
+)
+SELECT doc_id, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       CAST(CEIL(width / 16.0) * CEIL(height / 16.0) AS BIGINT) AS n_tiles,
+       CAST(CEIL(width / 16.0) * 16 AS BIGINT) AS padded_w,
+       CAST(CEIL(height / 16.0) * 16 AS BIGINT) AS padded_h
+FROM m
+"""
+
+QUERIES["image_tile_grid"] = Q(
+    image_tile_grid,
+    IMAGE_TILE_GRID_SQL,
+    "ViT-style tile/padding accounting from stub-decoded dims",
+)
