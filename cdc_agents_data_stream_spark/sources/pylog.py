@@ -20,8 +20,10 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     LongType,
@@ -85,6 +87,9 @@ class AppLogDataSource(DataSource):
     def simpleStreamReader(self, schema):
         return AppLogStreamReader(self.options)
 
+    def writer(self, schema, overwrite):
+        return AppLogWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     """Idempotently register the applog format on this session."""
@@ -138,3 +143,62 @@ class AppLogStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start, end):
         files = self._files()[start["files"] : end["files"]]
         return iter([r for p in files for r in self._parse(p)])
+
+
+# --- write path: the other half of the custom-connector contract -----------
+
+class _ShardCommit(WriterCommitMessage):
+    """Per-task commit message: the staged temp file and its row count
+    (picklable — it travels executor → driver)."""
+
+    def __init__(self, tmp_path: str, n_rows: int):
+        self.tmp_path = tmp_path
+        self.n_rows = n_rows
+
+
+class AppLogWriter(DataSourceWriter):
+    """Partition-parallel applog writer with a stage-then-rename commit:
+    each task streams its rows to a uniquely named ``_tmp-*`` file and
+    reports it in the commit message; only the DRIVER's commit() renames
+    staged files into visible ``part-NNNNN.applog`` names (and abort()
+    deletes them), so failed/speculative task attempts never publish
+    partial shards — the same two-phase protocol every production sink
+    uses, here over the DataSourceWriter API."""
+
+    def __init__(self, options, overwrite: bool):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("applog sink requires a 'path' option")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = os.path.join(self.dir, f"_tmp-{uuid.uuid4().hex}.applog")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(f"{row.key}\t{row.ts_ms}\t{row.kind}\t{row.payload}\n")
+                n += 1
+        return _ShardCommit(tmp, n)
+
+    def commit(self, messages):
+        if self.overwrite:
+            for f in os.listdir(self.dir):
+                if f.endswith(".applog") and not f.startswith("_tmp-"):
+                    os.remove(os.path.join(self.dir, f))
+        idx = 0
+        for m in messages:
+            if m is None:
+                continue
+            if m.n_rows == 0:
+                os.remove(m.tmp_path)
+                continue
+            os.rename(m.tmp_path, os.path.join(self.dir, f"part-{idx:05d}.applog"))
+            idx += 1
+
+    def abort(self, messages):
+        for m in messages or []:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)

@@ -82,3 +82,31 @@ def test_append_log_compaction(spark, tmp_path):
     assert log.read().selectExpr("max(sequence_number)").collect()[0][0] == 39
     # below threshold -> no-op
     assert log.compact() is False
+
+
+def test_applog_python_datasource_write_roundtrip(spark, tmp_path):
+    """The Python DataSource WRITE path (Spark 4 DataSourceWriter):
+    partition-parallel stage-then-rename commit, then the applog READER
+    must reproduce the exact rows — the custom connector is now
+    symmetric. No _tmp staging files may survive the commit."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from cdc_agents_data_stream_spark.sources.pylog import register
+
+    register(spark)
+    d = str(tmp_path / "out")
+    src = spark.range(0, 500).select(
+        F.concat(F.lit("k"), (F.col("id") % 7).cast("string")).alias("key"),
+        (F.col("id") * 1000).alias("ts_ms"),
+        F.when(F.col("id") % 2 == 0, "event").otherwise("audit").alias("kind"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    ).repartition(4)
+    src.write.format("applog").option("path", d).mode("append").save()
+    files = os.listdir(d)
+    assert all(f.startswith("part-") and f.endswith(".applog") for f in files)
+    assert len(files) == 4
+    back = spark.read.format("applog").option("path", d).load()
+    assert back.count() == 500
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
