@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Compare two bench JSON lines (e.g. BENCH_r02.json's embedded line vs a
+fresh run): per-query deltas sorted by regression size, with a noise
+threshold so host-load jitter doesn't read as a regression.
+
+Run: python tools/bench_compare.py OLD.json NEW.json [--noise 0.3]
+Accepts either a raw bench line ({"metric": ...}) or a driver wrapper
+({"tail": ..., "rc": ...}) whose last line embeds the bench JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load_bench(path: str) -> dict:
+    with open(path) as fh:
+        doc = json.load(fh)
+    if "queries" in doc:
+        return doc
+    # driver wrapper: the bench line is embedded in the captured tail
+    tail = doc.get("tail", "")
+    for line in reversed(tail.splitlines()):
+        line = line.strip()
+        if line.startswith('{"metric"'):
+            return json.loads(line)
+    raise SystemExit(f"{path}: no bench line found")
+
+
+def main(old_path: str, new_path: str, noise: float = 0.3) -> int:
+    old, new = load_bench(old_path), load_bench(new_path)
+    oq, nq = old["queries"], new["queries"]
+    rows = []
+    for name in sorted(set(oq) | set(nq)):
+        a, b = oq.get(name), nq.get(name)
+        if a is None or b is None:
+            rows.append((float("inf"), name, a, b, "added" if a is None else "removed"))
+            continue
+        delta = (b - a) / a if a else 0.0
+        flag = ""
+        if delta > noise and b - a > 0.3:
+            flag = "REGRESSED"
+        elif delta < -noise and a - b > 0.3:
+            flag = "improved"
+        rows.append((-(delta), name, a, b, flag))
+    rows.sort()
+    print(f"total: {old.get('value')} -> {new.get('value')} s (noise gate ±{noise:.0%} and ±0.3 s)")
+    for _, name, a, b, flag in rows:
+        if flag:
+            a_s = f"{a:.2f}" if a is not None else "—"
+            b_s = f"{b:.2f}" if b is not None else "—"
+            print(f"  {name:36s} {a_s:>8} -> {b_s:>8}  {flag}")
+    n_reg = sum(1 for r in rows if r[4] == "REGRESSED")
+    print(f"{n_reg} regression(s) beyond noise")
+    return 0
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    noise = 0.3
+    for a in sys.argv[1:]:
+        if a.startswith("--noise"):
+            noise = float(a.split("=", 1)[1]) if "=" in a else noise
+    sys.exit(main(*args[:2], noise=noise))
