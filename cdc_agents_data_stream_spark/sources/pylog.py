@@ -20,6 +20,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -89,6 +90,9 @@ class AppLogDataSource(DataSource):
 
     def writer(self, schema, overwrite):
         return AppLogWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite):
+        return AppLogStreamWriter(self.options, overwrite)
 
 
 def register(spark) -> None:
@@ -199,6 +203,49 @@ class AppLogWriter(DataSourceWriter):
             idx += 1
 
     def abort(self, messages):
+        for m in messages or []:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class AppLogStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the applog SINK: same stage-then-rename commit
+    as the batch writer, but published names carry the micro-batch id
+    (``part-b{batchId:06d}-{i:05d}.applog``), so a replayed batch after
+    a crash re-publishes the SAME names — the sink is idempotent under
+    the engine's at-least-once batch replay, which is exactly how
+    exactly-once file sinks are built (the batch id is the dedup key)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("applog stream sink requires a 'path' option")
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = os.path.join(self.dir, f"_tmp-{uuid.uuid4().hex}.applog")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(f"{row.key}\t{row.ts_ms}\t{row.kind}\t{row.payload}\n")
+                n += 1
+        return _ShardCommit(tmp, n)
+
+    def commit(self, messages, batchId):
+        idx = 0
+        for m in messages:
+            if m is None:
+                continue
+            if m.n_rows == 0:
+                os.remove(m.tmp_path)
+                continue
+            final = os.path.join(self.dir, f"part-b{batchId:06d}-{idx:05d}.applog")
+            os.replace(m.tmp_path, final)  # replace: idempotent on batch replay
+            idx += 1
+
+    def abort(self, messages, batchId):
         for m in messages or []:
             if m is not None and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)

@@ -110,3 +110,54 @@ def test_applog_python_datasource_write_roundtrip(spark, tmp_path):
     back = spark.read.format("applog").option("path", d).load()
     assert back.count() == 500
     assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+
+def test_applog_stream_sink_idempotent_publish(spark, tmp_path):
+    """Streaming applog sink: three micro-batches publish
+    batch-id-stamped shards; a second run over the SAME checkpoint must
+    publish nothing new (the replayed plan sees no new input), leaving
+    the row set exactly equal to the source — the idempotence contract
+    an at-least-once engine requires from a file sink."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from cdc_agents_data_stream_spark.sources.pylog import register
+
+    register(spark)
+    src_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.range(0, 90).select(
+        F.concat(F.lit("k"), (F.col("id") % 5).cast("string")).alias("key"),
+        (F.col("id") * 10).alias("ts_ms"),
+        F.lit("event").alias("kind"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    for i in range(3):
+        base.filter((F.col("ts_ms") / 10) % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    def run():
+        q = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .writeStream.format("applog")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=180)
+        q.stop()
+
+    run()
+    files1 = sorted(os.listdir(out_dir))
+    assert files1 and all(f.startswith("part-b") for f in files1)
+    back = spark.read.format("applog").option("path", out_dir).load()
+    assert back.count() == 90
+    assert back.exceptAll(base).count() == 0
+    run()  # same checkpoint: no new input -> no new shards
+    assert sorted(os.listdir(out_dir)) == files1
