@@ -499,3 +499,37 @@ QUERIES["try_arithmetic_pin"] = Q(
     TRY_ARITHMETIC_PIN_SQL,
     "try_multiply overflow-to-NULL vs the explicit guard the oracle must use",
 )
+
+
+def bitwise_agg_pin(spark, sf_dir):
+    """Bitwise aggregate family (bit_and / bit_or / bit_xor) per event
+    type over the low byte of user ids — exact integers, order-free
+    (bitwise ops are commutative/associative), identical names in both
+    engines."""
+    from pyspark.sql import functions as F
+
+    from .base import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 256).cast("long").alias("b")
+    )
+    return ev.groupBy("event_type").agg(
+        F.expr("bit_and(b)").cast("long").alias("band"),
+        F.expr("bit_or(b)").cast("long").alias("bor"),
+        F.expr("bit_xor(b)").cast("long").alias("bxor"),
+    )
+
+
+BITWISE_AGG_PIN_SQL = """
+SELECT event_type,
+       CAST(BIT_AND(user_id % 256) AS BIGINT) AS band,
+       CAST(BIT_OR(user_id % 256) AS BIGINT) AS bor,
+       CAST(BIT_XOR(user_id % 256) AS BIGINT) AS bxor
+FROM events GROUP BY event_type
+"""
+
+QUERIES["bitwise_agg_pin"] = Q(
+    bitwise_agg_pin,
+    BITWISE_AGG_PIN_SQL,
+    "bit_and/bit_or/bit_xor aggregates (order-free exact integers)",
+)

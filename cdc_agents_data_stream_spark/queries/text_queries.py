@@ -1301,3 +1301,47 @@ QUERIES["struct_json_roundtrip"] = Q(
     STRUCT_JSON_ROUNDTRIP_SQL,
     "named_struct -> to_json -> from_json(schema) must be lossless",
 )
+
+
+def explode_outer_semantics(spark, sf_dir):
+    """explode vs explode_outer null-preservation pin: docs whose
+    long-token array is EMPTY vanish under explode but survive as a
+    NULL row under explode_outer — the row-accounting difference that
+    silently drops entities from a fan-out join. The oracle emulates
+    outer-unnest with a LEFT JOIN (DuckDB's unnest drops empties)."""
+    docs = load(spark, sf_dir, "documents")
+    long_toks = F.filter(F.split("text", " "), lambda t: F.length(t) >= 9)
+    inner = (
+        docs.select(F.explode(long_toks).alias("tok"))
+        .agg(F.count("*").cast("long").alias("n_inner_rows"))
+    )
+    outer = docs.select("doc_id", F.explode_outer(long_toks).alias("tok"))
+    return outer.groupBy().agg(
+        F.count("*").cast("long").alias("n_outer_rows"),
+        F.sum(F.col("tok").isNull().cast("long")).cast("long").alias("n_null_rows"),
+    ).crossJoin(F.broadcast(inner))
+
+
+EXPLODE_OUTER_SEMANTICS_SQL = """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) >= 9) AS lt
+  FROM documents
+),
+inner_rows AS (
+  SELECT doc_id, unnest(lt) AS tok FROM d
+),
+outer_rows AS (
+  SELECT d.doc_id, i.tok
+  FROM d LEFT JOIN inner_rows i ON d.doc_id = i.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_outer_rows,
+       CAST(SUM(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_rows,
+       CAST((SELECT COUNT(*) FROM inner_rows) AS BIGINT) AS n_inner_rows
+FROM outer_rows
+"""
+
+QUERIES["explode_outer_semantics"] = Q(
+    explode_outer_semantics,
+    EXPLODE_OUTER_SEMANTICS_SQL,
+    "explode vs explode_outer row accounting (empty arrays survive as NULL rows)",
+)
