@@ -1017,3 +1017,112 @@ QUERIES["ann_dim_truncation_eval"] = Q(
     ANN_DIM_TRUNCATION_EVAL_SQL,
     "matryoshka truncation eval: top-10 overlap + integer rank displacement",
 )
+
+
+def _ivf_probe_cte(nprobe: int) -> str:
+    """Parameterized rendering of the IVF probe ranking (the
+    ANN_IVF_PROBE_SQL pipeline) for the nprobe sweep."""
+    return f"""
+cents_{nprobe} AS (
+  SELECT vec_id AS centroid_id, v AS cvec, norm AS cnorm FROM base
+  WHERE vec_id % {S.CENTROID_MOD} = 0 AND vec_id < {S.CENTROID_MOD * S.MAX_CENTROIDS}
+),
+assigned_{nprobe} AS (
+  SELECT vec_id, v, norm, centroid_id AS cluster FROM (
+    SELECT b.vec_id, b.v, b.norm, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.v, c.cvec) / (b.norm * c.cnorm) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM base b CROSS JOIN cents_{nprobe} c
+  ) WHERE rn = 1
+),
+q_{nprobe} AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+               FROM assigned_{nprobe} WHERE vec_id < 5),
+probes_{nprobe} AS (
+  SELECT query_id, qv, qnorm, centroid_id AS cluster FROM (
+    SELECT q.query_id, q.qv, q.qnorm, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, c.cvec) / (q.qnorm * c.cnorm) DESC,
+                      c.centroid_id ASC) AS probe_rank
+    FROM q_{nprobe} q CROSS JOIN cents_{nprobe} c
+  ) WHERE probe_rank <= {nprobe}
+),
+approx_{nprobe} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.query_id
+             ORDER BY list_dot_product(a.v, p.qv) / (a.norm * p.qnorm) DESC,
+                      a.vec_id ASC) AS rank
+    FROM assigned_{nprobe} a
+    JOIN probes_{nprobe} p ON a.cluster = p.cluster AND a.vec_id != p.query_id
+  ) WHERE rank <= 5
+),
+recall_{nprobe} AS (
+  SELECT CAST({nprobe} AS BIGINT) AS nprobe, ne.query_id, ne.n_exact,
+         CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit
+  FROM (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM exact5 GROUP BY query_id) ne
+  LEFT JOIN (
+    SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+    FROM exact5 e JOIN approx_{nprobe} a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+  ) h USING (query_id)
+)"""
+
+
+def ann_nprobe_recall_sweep(spark, sf_dir):
+    """The IVF tuning curve as one query: recall@5 vs the exact ranking
+    at nprobe ∈ {1, 2, 4} — the cost/quality trade an index owner reads
+    before picking a production probe width (more probed clusters →
+    more rerank work → higher recall). Integer hit counts per (nprobe,
+    query); everything reuses the shared quantizer machinery."""
+    emb = load(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, query_ids_below=5, k=5).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint()
+    n_exact = exact.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    parts = []
+    for nprobe in (1, 2, 4):
+        approx = S.ivf_topk(emb, query_ids_below=5, k=5, nprobe=nprobe).select(
+            "query_id", "neighbor_id"
+        )
+        hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
+            "query_id"
+        ).agg(F.count("*").cast("long").alias("n_hit"))
+        parts.append(
+            n_exact.join(hits, "query_id", "left").select(
+                F.lit(nprobe).cast("long").alias("nprobe"),
+                "query_id",
+                "n_exact",
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+ANN_NPROBE_RECALL_SWEEP_SQL = f"""
+WITH {_BASE_CTE},
+exact10 AS ({ANN_COSINE_TOPK_SQL}),
+exact5 AS (SELECT query_id, neighbor_id FROM exact10 WHERE rank <= 5),
+{_ivf_probe_cte(1).lstrip()},
+{_ivf_probe_cte(2).lstrip()},
+{_ivf_probe_cte(4).lstrip()}
+SELECT * FROM recall_1
+UNION ALL SELECT * FROM recall_2
+UNION ALL SELECT * FROM recall_4
+"""
+
+QUERIES["ann_nprobe_recall_sweep"] = Q(
+    ann_nprobe_recall_sweep,
+    ANN_NPROBE_RECALL_SWEEP_SQL,
+    "IVF tuning curve: recall@5 at nprobe 1/2/4 in one query",
+)
