@@ -827,3 +827,41 @@ QUERIES["dedup_prefix_filter"] = Q(
     DEDUP_PREFIX_FILTER_SQL,
     "PPJoin-style prefix-filter join at token Jaccard >= 0.7 (exact, no false negatives)",
 )
+
+
+def dedup_similarity_histogram(spark, sf_dir):
+    """Threshold-selection artifact for near-dup policy (the dedup
+    counterpart of the IVF nprobe curve): exact Jaccard over the LSH
+    candidate pairs, bucketed into 0.1-wide bands on the ppm grid —
+    where would a 0.5 vs 0.7 vs 0.9 cutoff land? Pair volume stays
+    banding-bounded (no all-pairs anywhere); bands are integer DIV so
+    the bucketing is cross-engine exact."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.0)
+    # ROUND to the ppm grid BEFORE the integer band split: a bare cast
+    # truncates in Spark but rounds in DuckDB at band boundaries
+    band = F.least(F.lit(9), F.expr("CAST(ROUND(jaccard * 1000000) AS BIGINT) DIV 100000"))
+    return (
+        pairs.select(band.cast("long").alias("sim_band"))
+        .groupBy("sim_band")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
+_LSH_ALLPAIRS_SQL = DEDUP_MINHASH_LSH_SQL.replace(">= 0.5", ">= 0.0")
+
+DEDUP_SIMILARITY_HISTOGRAM_SQL = f"""
+WITH verified AS ({_LSH_ALLPAIRS_SQL})
+SELECT sim_band, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM (
+  SELECT LEAST(9, CAST(ROUND(jaccard * 1000000) AS BIGINT) // 100000) AS sim_band
+  FROM verified
+)
+GROUP BY sim_band
+"""
+
+QUERIES["dedup_similarity_histogram"] = Q(
+    dedup_similarity_histogram,
+    DEDUP_SIMILARITY_HISTOGRAM_SQL,
+    "near-dup threshold selection: Jaccard band histogram over LSH candidates",
+)
