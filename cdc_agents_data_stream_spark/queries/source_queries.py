@@ -631,3 +631,61 @@ QUERIES["cdc_apply_envelope"] = Q(
     CDC_APPLY_ENVELOPE_SQL,
     "generic c/u/d CDC envelope apply with store deletes",
 )
+
+
+def applog_write_roundtrip(spark, sf_dir):
+    """The Python DataSource WRITE path under the hard gate: project
+    events into applog records, write through the two-phase-commit
+    writer, read back with the applog READER, and aggregate — the
+    round-trip must be invisible (the oracle aggregates the same
+    projection straight from the source table). Exercises
+    executor-parallel staging, driver-side publish, and the reader's
+    partition-per-shard scan in one query."""
+    import shutil
+    import tempfile
+
+    from ..sources.pylog import register
+    from .base import ms
+
+    register(spark)
+    base = tempfile.mkdtemp(prefix="applog-rt-")
+    try:
+        src = load(spark, sf_dir, "events").filter(F.col("event_id") % 9 == 0).select(
+            F.concat(F.lit("u"), (F.col("user_id") % 16).cast("string")).alias("key"),
+            ms("ts").alias("ts_ms"),
+            F.col("event_type").alias("kind"),
+            F.md5(F.col("event_id").cast("string")).alias("payload"),
+        )
+        src.repartition(4).write.format("applog").option("path", base).mode(
+            "append"
+        ).save()
+        back = spark.read.format("applog").option("path", base).load()
+        collected = (
+            back.groupBy("kind")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.count_distinct("key").cast("long").alias("n_keys"),
+                F.sum("ts_ms").cast("long").alias("ts_sum"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        collected, "kind string, n long, n_keys long, ts_sum long"
+    )
+
+
+APPLOG_WRITE_ROUNDTRIP_SQL = """
+SELECT event_type AS kind, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT 'u' || CAST(user_id % 16 AS VARCHAR)) AS BIGINT) AS n_keys,
+       CAST(SUM(epoch_ms(ts)) AS BIGINT) AS ts_sum
+FROM events WHERE event_id % 9 = 0
+GROUP BY event_type
+"""
+
+QUERIES["applog_write_roundtrip"] = Q(
+    applog_write_roundtrip,
+    APPLOG_WRITE_ROUNDTRIP_SQL,
+    "Python DataSource write->read round-trip must be invisible to the aggregate",
+)

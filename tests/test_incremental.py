@@ -161,3 +161,39 @@ def test_applog_stream_sink_idempotent_publish(spark, tmp_path):
     assert back.exceptAll(base).count() == 0
     run()  # same checkpoint: no new input -> no new shards
     assert sorted(os.listdir(out_dir)) == files1
+
+
+def test_applog_writer_abort_publishes_nothing(spark, tmp_path):
+    """Failure path of the two-phase commit: when a task fails the
+    write job, abort() must leave NO published part files (staged _tmp
+    shards are cleaned or at worst orphaned as _tmp — never visible to
+    the reader's *.applog glob... which ignores _tmp names only via the
+    part- prefix check, so assert both)."""
+    import os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import udf
+
+    from cdc_agents_data_stream_spark.sources.pylog import register
+
+    register(spark)
+    d = str(tmp_path / "out")
+
+    @udf("string")
+    def boom(x):
+        if x == 37:
+            raise ValueError("injected task failure")
+        return f"p{x}"
+
+    src = spark.range(0, 100).repartition(4).select(
+        F.lit("k").alias("key"),
+        F.col("id").alias("ts_ms"),
+        F.lit("event").alias("kind"),
+        boom(F.col("id")).alias("payload"),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        src.write.format("applog").option("path", d).mode("append").save()
+    published = [f for f in os.listdir(d)] if os.path.exists(d) else []
+    assert not [f for f in published if f.startswith("part-")], published
