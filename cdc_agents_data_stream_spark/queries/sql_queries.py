@@ -533,3 +533,20 @@ QUERIES["bitwise_agg_pin"] = Q(
     BITWISE_AGG_PIN_SQL,
     "bit_and/bit_or/bit_xor aggregates (order-free exact integers)",
 )
+
+
+SQL_GROUP_BY_ALL = """
+SELECT event_type, user_id % 10 AS bucket, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN props IS DISTINCT FROM '{"k": 0}' THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero_k
+FROM events
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+QUERIES["sql_group_by_all"] = Q(
+    _sql_query(SQL_GROUP_BY_ALL),
+    SQL_GROUP_BY_ALL,
+    # GROUP BY ALL / ORDER BY ALL (the modern analyst dialect both
+    # engines converged on) + null-safe IS DISTINCT FROM, one shared text
+    "GROUP BY ALL + ORDER BY ALL + IS DISTINCT FROM (one shared text)",
+)
