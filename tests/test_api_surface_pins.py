@@ -138,3 +138,31 @@ def test_approx_percentile_respects_rank_error(spark):
         assert lo - slack <= target <= hi + slack, (
             f"acc={acc}: rank window [{lo},{hi}] vs target {target} ± {slack}"
         )
+
+
+def test_sql_scripting_control_flow(spark):
+    """Spark 4 SQL scripting (BEGIN/DECLARE/WHILE/SET): an iterative
+    script's result must equal the declarative equivalent — the
+    procedural surface migrating stored-procedure workloads needs.
+    DuckDB has no counterpart, so this pin is engine-internal."""
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").createOrReplaceTempView(
+        "orders_script"
+    )
+    got = spark.sql(
+        """
+        BEGIN
+          DECLARE total BIGINT DEFAULT 0;
+          DECLARE i INT DEFAULT 0;
+          WHILE i < 3 DO
+            SET total = total + (
+              SELECT COUNT(*) FROM orders_script
+              WHERE o_orderstatus = element_at(array('P','O','F'), i + 1)
+            );
+            SET i = i + 1;
+          END WHILE;
+          SELECT total;
+        END
+        """
+    ).collect()[0][0]
+    want = spark.sql("SELECT COUNT(*) FROM orders_script").collect()[0][0]
+    assert got == want
