@@ -349,3 +349,78 @@ QUERIES["minmax_scale_ppm"] = Q(
     MINMAX_SCALE_PPM_SQL,
     "per-group min-max scaling to [0, 1e6] (broadcast moments, map-side scale)",
 )
+
+
+def value_ks_statistic(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift statistic, exact integers:
+    split events by id parity, pre-aggregate counts per cent value
+    (the corpus-scale pass — the running CDFs then live on the
+    distinct-value domain, bounded by the cent grid, not the row
+    count), and take D = max |F1 − F2| cross-multiplied onto the
+    n1·n2 grid: ks_num = max |c1·n2 − c2·n1|, reported with the exact
+    denominator and the argmax cent value. The classic drift test the
+    L1-histogram monitor approximates."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        (F.col("event_id") % 2 == 0).cast("int").alias("s1"),
+    )
+    per_val = ev.groupBy("c").agg(
+        F.sum("s1").cast("long").alias("n1_v"),
+        F.sum(1 - F.col("s1")).cast("long").alias("n2_v"),
+    )
+    tot = per_val.agg(
+        F.sum("n1_v").alias("n1"), F.sum("n2_v").alias("n2")
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = per_val.select(
+        "c",
+        F.sum("n1_v").over(w).alias("c1"),
+        F.sum("n2_v").over(w).alias("c2"),
+    ).crossJoin(F.broadcast(tot))
+    diff = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    return cdf.select("c", diff.alias("d"), "n1", "n2").groupBy().agg(
+        F.max("d").cast("long").alias("ks_num"),
+        (F.first("n1") * F.first("n2")).cast("long").alias("ks_den"),
+        F.max_by(F.col("c"), F.struct(F.col("d"), -F.col("c"))).cast("long").alias("ks_at_cent"),
+    )
+
+
+VALUE_KS_STATISTIC_SQL = """
+WITH e AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS s1
+  FROM events
+),
+per_val AS (
+  SELECT c, CAST(SUM(s1) AS BIGINT) AS n1_v, CAST(SUM(1 - s1) AS BIGINT) AS n2_v
+  FROM e GROUP BY c
+),
+tot AS (SELECT SUM(n1_v) AS n1, SUM(n2_v) AS n2 FROM per_val),
+cdf AS (
+  SELECT c,
+         SUM(n1_v) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+         SUM(n2_v) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+  FROM per_val
+),
+d AS (
+  SELECT c, ABS(c1 * t.n2 - c2 * t.n1) AS d, t.n1, t.n2
+  FROM cdf CROSS JOIN tot t
+),
+r AS (
+  SELECT c, d, n1, n2,
+         ROW_NUMBER() OVER (ORDER BY d DESC, c ASC) AS rn
+  FROM d
+)
+SELECT CAST(MAX(d) AS BIGINT) AS ks_num,
+       CAST(MIN(n1) * MIN(n2) AS BIGINT) AS ks_den,
+       CAST(MIN(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS ks_at_cent
+FROM r
+"""
+
+QUERIES["value_ks_statistic"] = Q(
+    value_ks_statistic,
+    VALUE_KS_STATISTIC_SQL,
+    "exact two-sample KS drift statistic on the cross-multiplied integer grid",
+)
