@@ -165,4 +165,5 @@ def test_sql_scripting_control_flow(spark):
         """
     ).collect()[0][0]
     want = spark.sql("SELECT COUNT(*) FROM orders_script").collect()[0][0]
+    spark.catalog.dropTempView("orders_script")  # listTables() sees temp views
     assert got == want
