@@ -1345,3 +1345,85 @@ QUERIES["explode_outer_semantics"] = Q(
     EXPLODE_OUTER_SEMANTICS_SQL,
     "explode vs explode_outer row accounting (empty arrays survive as NULL rows)",
 )
+
+
+def seq_length_distribution(spark, sf_dir):
+    """Pre-training sequence-length report: docs per (source,
+    256-subword-token bucket) with per-bucket token mass — the
+    distribution a packing/truncation policy is tuned against. Subword
+    counts reuse the BPE-ish proxy (whitespace tokens + ceil(len/4)
+    capped pieces) so the bucket edges are integer-exact."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sub = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.least(F.ceil(F.length(t) / 4), F.lit(8)),
+    )
+    d = docs.select("source", sub.alias("n_sub"))
+    bucket = F.expr("n_sub DIV 256")
+    return d.groupBy("source", bucket.cast("long").alias("len_bucket")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_sub").cast("long").alias("token_mass"),
+    )
+
+
+SEQ_LENGTH_DISTRIBUTION_SQL = """
+WITH d AS (
+  SELECT source,
+         (SELECT SUM(LEAST(CAST(CEIL(length(t) / 4.0) AS BIGINT), 8))
+          FROM unnest(string_split(text, ' ')) AS u(t)) AS n_sub
+  FROM documents
+)
+SELECT source, CAST(n_sub // 256 AS BIGINT) AS len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_sub) AS BIGINT) AS token_mass
+FROM d GROUP BY source, n_sub // 256
+"""
+
+QUERIES["seq_length_distribution"] = Q(
+    seq_length_distribution,
+    SEQ_LENGTH_DISTRIBUTION_SQL,
+    "docs and token mass per (source, 256-token length bucket)",
+)
+
+
+def tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language — subword pieces per whitespace
+    word on the ppm grid (the multilingual-pipeline health metric: a
+    tokenizer that fragments one language inflates its effective
+    sequence lengths and training cost). Integer sums, one partial-agg
+    shuffle keyed by the language dimension."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sub = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.least(F.ceil(F.length(t) / 4), F.lit(8)),
+    )
+    d = docs.select("lang", F.size(toks).cast("long").alias("n_words"), sub.alias("n_sub"))
+    return d.groupBy("lang").agg(
+        F.sum("n_words").cast("long").alias("words"),
+        F.sum("n_sub").cast("long").alias("subwords"),
+        F.expr("(SUM(n_sub) * 1000000) DIV SUM(n_words)").cast("long").alias("fertility_ppm"),
+    )
+
+
+TOKENIZER_FERTILITY_SQL = """
+WITH d AS (
+  SELECT lang, len(string_split(text, ' ')) AS n_words,
+         (SELECT SUM(LEAST(CAST(CEIL(length(t) / 4.0) AS BIGINT), 8))
+          FROM unnest(string_split(text, ' ')) AS u(t)) AS n_sub
+  FROM documents
+)
+SELECT lang, CAST(SUM(n_words) AS BIGINT) AS words,
+       CAST(SUM(n_sub) AS BIGINT) AS subwords,
+       CAST((SUM(n_sub) * 1000000) // SUM(n_words) AS BIGINT) AS fertility_ppm
+FROM d GROUP BY lang
+"""
+
+QUERIES["tokenizer_fertility"] = Q(
+    tokenizer_fertility,
+    TOKENIZER_FERTILITY_SQL,
+    "subword-per-word fertility ppm per language",
+)
