@@ -424,3 +424,53 @@ QUERIES["value_ks_statistic"] = Q(
     VALUE_KS_STATISTIC_SQL,
     "exact two-sample KS drift statistic on the cross-multiplied integer grid",
 )
+
+
+def value_percentile_disc(spark, sf_dir):
+    """Discrete percentiles (percentile_disc WITHIN GROUP — the value
+    returned must be an ACTUAL element, not an interpolation, so on the
+    cent grid it is hash-exact with no float anywhere): p25/p50/p75 per
+    event type plus the interpolated median's 2× integer form for
+    contrast. DuckDB's quantile_disc uses the same lower-rank
+    definition."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    ev.createOrReplaceTempView("pd_events")
+    out = spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY c) AS p25_cents,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY c) AS p50_cents,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY c) AS p75_cents,
+               CAST(ROUND(2 * percentile(c, 0.5)) AS BIGINT) AS median2_cents
+        FROM pd_events GROUP BY event_type
+        """
+    ).select(
+        "event_type",
+        F.col("p25_cents").cast("long").alias("p25_cents"),
+        F.col("p50_cents").cast("long").alias("p50_cents"),
+        F.col("p75_cents").cast("long").alias("p75_cents"),
+        "median2_cents",
+    )
+    spark.catalog.dropTempView("pd_events")
+    return out
+
+
+VALUE_PERCENTILE_DISC_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+)
+SELECT event_type,
+       CAST(quantile_disc(c, 0.25) AS BIGINT) AS p25_cents,
+       CAST(quantile_disc(c, 0.5)  AS BIGINT) AS p50_cents,
+       CAST(quantile_disc(c, 0.75) AS BIGINT) AS p75_cents,
+       CAST(ROUND(2 * quantile_cont(c, 0.5)) AS BIGINT) AS median2_cents
+FROM e GROUP BY event_type
+"""
+
+QUERIES["value_percentile_disc"] = Q(
+    value_percentile_disc,
+    VALUE_PERCENTILE_DISC_SQL,
+    "discrete percentiles (actual elements, WITHIN GROUP) + 2x interpolated median",
+)
