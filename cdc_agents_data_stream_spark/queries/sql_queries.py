@@ -550,3 +550,20 @@ QUERIES["sql_group_by_all"] = Q(
     # engines converged on) + null-safe IS DISTINCT FROM, one shared text
     "GROUP BY ALL + ORDER BY ALL + IS DISTINCT FROM (one shared text)",
 )
+
+
+SQL_TUPLE_SEMANTICS = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN (o_orderstatus, o_orderpriority) < ('O', '3-MEDIUM') THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+FROM orders
+WHERE (o_orderstatus, o_orderpriority) IN (('O', '1-URGENT'), ('F', '5-LOW'), ('P', '2-HIGH'))
+GROUP BY ALL
+"""
+
+QUERIES["sql_tuple_semantics"] = Q(
+    _sql_query(SQL_TUPLE_SEMANTICS),
+    SQL_TUPLE_SEMANTICS,
+    # row-value (tuple) IN-list membership and lexicographic tuple
+    # comparison — one shared text
+    "row-value IN list + lexicographic tuple comparison (one shared text)",
+)
