@@ -136,3 +136,80 @@ QUERIES = {
         "Johnson-Lindenstrauss ±1 projection on the integer grid",
     ),
 }
+
+
+def nb_train_counts(spark, sf_dir):
+    """Multinomial Naive Bayes TRAINING as pure aggregation — the
+    canonical fit-a-classifier-with-one-shuffle shape: class priors
+    (docs per language, ppm) and the top-5 per-class token likelihoods
+    with add-one smoothing on the ppm integer grid (likelihood =
+    (count+1)·10⁶ DIV (class_tokens + vocab)). Everything is counting
+    + one broadcast of the per-class totals; no float ever enters, so
+    the trained parameters hash exactly. Scoring with these parameters
+    is the log-free doc_lm_score / quality_classifier path."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    tok_counts = toks.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    class_tot = tok_counts.groupBy("lang").agg(
+        F.sum("n").alias("class_tokens"), F.count("*").alias("class_vocab")
+    )
+    vocab = toks.select("tok").distinct().agg(F.count("*").alias("v"))
+    priors = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    total_docs = docs.agg(F.count("*").alias("td"))
+    j = (
+        tok_counts.join(F.broadcast(class_tot), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(priors), "lang")
+        .crossJoin(F.broadcast(total_docs))
+    )
+    lik_ppm = F.expr("((n + 1) * 1000000) DIV (class_tokens + v)")
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "lang",
+            F.expr("(n_docs * 1000000) DIV td").cast("long").alias("prior_ppm"),
+            F.col("rnk").cast("long").alias("rnk"),
+            "tok",
+            lik_ppm.cast("long").alias("lik_ppm"),
+        )
+    )
+
+
+NB_TRAIN_COUNTS_SQL = """
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tok_counts AS (
+  SELECT lang, tok, COUNT(*) AS n FROM toks GROUP BY lang, tok
+),
+class_tot AS (
+  SELECT lang, SUM(n) AS class_tokens FROM tok_counts GROUP BY lang
+),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+priors AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+td AS (SELECT COUNT(*) AS td FROM documents),
+ranked AS (
+  SELECT tc.lang, tc.tok, tc.n, ct.class_tokens, v.v, p.n_docs, td.td,
+         ROW_NUMBER() OVER (PARTITION BY tc.lang ORDER BY tc.n DESC, tc.tok ASC) AS rnk
+  FROM tok_counts tc
+  JOIN class_tot ct USING (lang)
+  CROSS JOIN vocab v
+  JOIN priors p USING (lang)
+  CROSS JOIN td
+)
+SELECT lang,
+       CAST((n_docs * 1000000) // td AS BIGINT) AS prior_ppm,
+       CAST(rnk AS BIGINT) AS rnk, tok,
+       CAST(((n + 1) * 1000000) // (class_tokens + v) AS BIGINT) AS lik_ppm
+FROM ranked WHERE rnk <= 5
+"""
+
+QUERIES["nb_train_counts"] = Q(
+    nb_train_counts,
+    NB_TRAIN_COUNTS_SQL,
+    "Naive Bayes training by aggregation: priors + smoothed top-5 likelihoods (ppm)",
+)
