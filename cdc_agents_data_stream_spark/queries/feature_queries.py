@@ -474,3 +474,40 @@ QUERIES["value_percentile_disc"] = Q(
     VALUE_PERCENTILE_DISC_SQL,
     "discrete percentiles (actual elements, WITHIN GROUP) + 2x interpolated median",
 )
+
+
+def kfold_assignment(spark, sf_dir):
+    """Deterministic k-fold cross-validation assignment (k=5): the fold
+    of a row is md5(id) mod k — a pure row function, layout-invariant
+    and reproducible across engines and reruns (the generalization of
+    the 80/10/10 holdout split). Per (fold, event_type) counts with the
+    exact id-sum membership signal, so swapped rows cannot hide behind
+    equal counts."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    fold = F.expr(
+        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 5"
+    )
+    return (
+        ev.select(fold.cast("long").alias("fold"), "event_type", "event_id")
+        .groupBy("fold", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("event_id").cast("decimal(38,0)")).cast("double").alias("id_sum"),
+        )
+    )
+
+
+KFOLD_ASSIGNMENT_SQL = """
+SELECT CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 5 AS fold,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(event_id AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS id_sum
+FROM events
+GROUP BY fold, event_type
+"""
+
+QUERIES["kfold_assignment"] = Q(
+    kfold_assignment,
+    KFOLD_ASSIGNMENT_SQL,
+    "deterministic md5 k-fold assignment with id-sum membership signal",
+)
