@@ -213,3 +213,153 @@ QUERIES["nb_train_counts"] = Q(
     NB_TRAIN_COUNTS_SQL,
     "Naive Bayes training by aggregation: priors + smoothed top-5 likelihoods (ppm)",
 )
+
+
+def auc_roc_exact(spark, sf_dir):
+    """Exact ROC-AUC as the tie-corrected Mann-Whitney rank statistic —
+    the canonical model-evaluation reduction: does `value` rank purchase
+    events above the rest, per calendar day?
+
+    AUC = (Σ_pos avg_rank − n_pos(n_pos+1)/2) / (n_pos·n_neg) needs one
+    global sort per group in the naive form; here scores are pre-grouped
+    (day, score_cents), so the window walks O(distinct scores) rows —
+    bounded by the cent grid, not the corpus — and every quantity stays
+    integral (avg ranks carried DOUBLED, so ties never leave the integer
+    grid; AUC reported in ppm by integer division). One shuffle for the
+    score histogram, one bounded per-day window, one per-day rollup:
+    the shape survives 100 TB because rows after stage 1 are
+    |days| × |distinct cents|."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    hist = (
+        ev.select(
+            F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("score_cents"),
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_pos"),
+        )
+        .groupBy("day", "score_cents")
+        .agg(F.count("*").alias("n_at"), F.sum("is_pos").alias("pos_at"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("score_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # doubled 1-based average rank of the tied block ending the cumulative
+    # prefix: 2·cum_before + n_at + 1  (cum_before = cum − n_at)
+    ranked = hist.withColumn("cum", F.sum("n_at").over(w)).withColumn(
+        "dbl_rank", F.expr("2 * (cum - n_at) + n_at + 1")
+    )
+    per_day = ranked.groupBy("day").agg(
+        F.sum("pos_at").cast("bigint").alias("n_pos"),
+        F.sum(F.expr("n_at - pos_at")).cast("bigint").alias("n_neg"),
+        F.sum(F.expr("pos_at * dbl_rank")).cast("bigint").alias("dbl_rank_sum"),
+    )
+    return (
+        per_day.filter("n_pos > 0 AND n_neg > 0")
+        .select(
+            "day",
+            "n_pos",
+            "n_neg",
+            F.expr("dbl_rank_sum - n_pos * (n_pos + 1)").alias("u2"),
+            F.expr("(dbl_rank_sum - n_pos * (n_pos + 1)) * 1000000 DIV (2 * n_pos * n_neg)")
+            .cast("bigint")
+            .alias("auc_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+AUC_ROC_EXACT_SQL = """
+WITH hist AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS score_cents,
+         COUNT(*) AS n_at,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos_at
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT day, n_at, pos_at,
+         SUM(n_at) OVER (PARTITION BY day ORDER BY score_cents
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+per_day AS (
+  SELECT day,
+         SUM(pos_at) AS n_pos,
+         SUM(n_at - pos_at) AS n_neg,
+         SUM(pos_at * (2 * (cum - n_at) + n_at + 1)) AS dbl_rank_sum
+  FROM ranked GROUP BY day
+)
+SELECT day,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(dbl_rank_sum - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+       CAST((dbl_rank_sum - n_pos * (n_pos + 1)) * 1000000
+            // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+FROM per_day
+WHERE n_pos > 0 AND n_neg > 0
+ORDER BY day
+"""
+
+QUERIES["auc_roc_exact"] = Q(
+    auc_roc_exact,
+    AUC_ROC_EXACT_SQL,
+    "exact tie-corrected ROC-AUC (Mann-Whitney) per day on the ppm grid",
+)
+
+
+def calibration_bins(spark, sf_dir):
+    """Reliability diagram for the same value→purchase 'model' the AUC
+    gate evaluates: decile the score by value cents (fixed-width bins on
+    the observed [0,100) dollar span, so bin edges are data-independent —
+    a quantile binning would itself need a sort), then per bin emit
+    support, observed positive rate (ppm), and mean score (cents). One
+    map-side bin assignment + one 10-row aggregation: the evaluation
+    costs a single partial-agg shuffle at any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.least(
+                F.lit(9).cast("bigint"),
+                F.expr("CAST(ROUND(value * 100) AS BIGINT) DIV 1000"),
+            ).alias("bin"),
+            F.round(F.col("value") * 100).cast("bigint").alias("score_cents"),
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_pos"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("is_pos").cast("bigint").alias("n_pos"),
+            F.expr("SUM(is_pos) * 1000000 DIV COUNT(*)").cast("bigint").alias("pos_rate_ppm"),
+            F.expr("SUM(score_cents) DIV COUNT(*)").cast("bigint").alias("mean_score_cents"),
+        )
+        .orderBy("bin")
+    )
+
+
+CALIBRATION_BINS_SQL = """
+WITH scored AS (
+  SELECT LEAST(9, CAST(ROUND(value * 100) AS BIGINT) // 1000) AS bin,
+         CAST(ROUND(value * 100) AS BIGINT) AS score_cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_pos
+  FROM events
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(is_pos) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm,
+       CAST(SUM(score_cents) // COUNT(*) AS BIGINT) AS mean_score_cents
+FROM scored GROUP BY bin ORDER BY bin
+"""
+
+QUERIES["calibration_bins"] = Q(
+    calibration_bins,
+    CALIBRATION_BINS_SQL,
+    "fixed-width reliability bins: support, positive rate, mean score (ppm grid)",
+)
