@@ -567,3 +567,45 @@ QUERIES["sql_tuple_semantics"] = Q(
     # comparison — one shared text
     "row-value IN list + lexicographic tuple comparison (one shared text)",
 )
+
+
+def sql_named_params(spark, sf_dir):
+    """Spark 4 parameterized SQL: named ``:param`` markers bound at
+    ``spark.sql(...)`` call time plus a ``{df}`` DataFrame template
+    argument — the injection-safe programmatic-SQL entry point (literals
+    arrive as typed values, never string-spliced). The oracle runs the
+    equivalent text with the same constants inlined; parameter binding
+    must be invisible to the result."""
+    from .base import load
+
+    orders = load(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT) AS cents
+        FROM {orders}
+        WHERE o_totalprice > :minp AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        orders=orders,
+        args={"minp": 50000.0, "status": "O"},
+    )
+
+
+SQL_NAMED_PARAMS_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(18,0))) AS BIGINT) AS cents
+FROM orders
+WHERE o_totalprice > 50000.0 AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+QUERIES["sql_named_params"] = Q(
+    sql_named_params,
+    SQL_NAMED_PARAMS_ORACLE,
+    "Spark 4 named-parameter SQL + DataFrame template args vs inlined-constant oracle",
+)
