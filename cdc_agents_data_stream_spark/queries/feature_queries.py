@@ -511,3 +511,89 @@ QUERIES["kfold_assignment"] = Q(
     KFOLD_ASSIGNMENT_SQL,
     "deterministic md5 k-fold assignment with id-sum membership signal",
 )
+
+
+def doc_embedding_mean_pool(spark, sf_dir):
+    """Embed-and-pool — the shape that turns a text lake into a vector
+    lake: tokens hash into the (broadcast) embedding table, and each
+    document mean-pools its token vectors componentwise. Three bounded
+    stages: (1) per-doc token-frequency reduction BEFORE the join (the
+    join input is distinct (doc, vec) pairs, not raw tokens), (2) one
+    broadcast hash join against the micro-grid embedding table, (3) a
+    componentwise weighted sum via a 16-wide posexplode of the already-
+    reduced pairs. Everything integral: components on the 1e6 grid,
+    mean = Σ cnt·v DIV Σ cnt. At 100 TB the corpus shuffles once (the
+    doc-token reduction); the embedding table rides the broadcast.
+
+    Output long-form (doc_id, j, mean_micro) over the first 16
+    components — 16 rows/doc, hash-stable."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    n_vecs = F.broadcast(emb.agg(F.count("*").alias("nv")))
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    pairs = (
+        toks.crossJoin(n_vecs)
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+                % F.col("nv")
+            ).alias("vec_id"),
+        )
+        .groupBy("doc_id", "vec_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    emb16 = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr(
+            "transform(slice(embedding, 1, 16), v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("iv"),
+    )
+    j = pairs.join(F.broadcast(emb16), "vec_id")
+    return (
+        j.select("doc_id", "cnt", F.posexplode("iv").alias("j", "v"))
+        .groupBy("doc_id", "j")
+        .agg(
+            F.expr("SUM(cnt * v) DIV SUM(cnt)").cast("long").alias("mean_micro")
+        )
+        .orderBy("doc_id", "j")
+    )
+
+
+DOC_EMBEDDING_MEAN_POOL_SQL = """
+WITH nv AS (SELECT COUNT(*) AS nv FROM embeddings),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % nv.nv AS vec_id,
+         COUNT(*) AS cnt
+  FROM toks CROSS JOIN nv
+  WHERE tok <> ''
+  GROUP BY 1, 2
+),
+emb16 AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding[1:16],
+                        v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+  FROM embeddings
+),
+expl AS (
+  SELECT p.doc_id, p.cnt, u.j - 1 AS j, iv[u.j] AS v
+  FROM pairs p
+  JOIN emb16 e USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS j) u
+)
+SELECT doc_id, CAST(j AS INT) AS j,
+       CAST(SUM(cnt * v) // SUM(cnt) AS BIGINT) AS mean_micro
+FROM expl GROUP BY doc_id, j ORDER BY doc_id, j
+"""
+
+QUERIES["doc_embedding_mean_pool"] = Q(
+    doc_embedding_mean_pool,
+    DOC_EMBEDDING_MEAN_POOL_SQL,
+    "embed-and-pool: hashed token->embedding broadcast join, integer-grid mean pooling",
+)

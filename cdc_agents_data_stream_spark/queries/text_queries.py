@@ -1427,3 +1427,130 @@ QUERIES["tokenizer_fertility"] = Q(
     TOKENIZER_FERTILITY_SQL,
     "subword-per-word fertility ppm per language",
 )
+
+
+def _bpe_spell(col):
+    """space-joined character spelling of a token column ('abc' -> 'a b c')."""
+    return F.trim(F.regexp_replace(col, "(.)", "$1 "))
+
+
+def bpe_train_merges(spark, sf_dir, n_merges: int = 5):
+    """BPE tokenizer training — the first ``n_merges`` merge rules learned
+    from the corpus word-frequency table, as ONE declarative plan (no
+    driver loop, no collect): each round counts adjacent symbol pairs
+    weighted by word frequency (a bounded aggregation over the distinct-
+    word vocabulary, NOT the corpus — the corpus is scanned once into the
+    word table), takes the global argmax (count desc, pair asc — a 1-row
+    TakeOrdered), and applies the winning merge to every vocabulary
+    spelling via a broadcast-crossJoin + delimiter-guarded replace. The
+    per-round argmax rides the lineage as a broadcast, so the whole
+    training is laziness-preserving and cluster-executable.
+
+    Merge application uses non-overlapping left-to-right delimiter
+    replace (' a b '→' ab ' on the space-joined spelling): for runs like
+    'a a a' this merges alternate pairs, which both engines implement
+    identically — the convention is pinned, like the engine's other
+    order-sensitive kernels. At 100 TB you would checkpoint the (tiny)
+    vocabulary between rounds instead of re-deriving it; the plan shape
+    per round is unchanged."""
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    v = words.select(_bpe_spell(F.col("w")).alias("s"), "freq")
+    bests = []
+    for r in range(n_merges):
+        t = F.split("s", " ")
+        pairs = (
+            v.filter(F.size(t) >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - 1),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at(t, i), F.element_at(t, i + 1)
+                        ),
+                    )
+                ).alias("pair"),
+                "freq",
+            )
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+        )
+        bests.append(
+            best.select(
+                F.lit(r + 1).cast("int").alias("rnk"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+                "cnt",
+            )
+        )
+        v = v.crossJoin(F.broadcast(best.select(F.col("pair").alias("_p")))).select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("_p"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("_p"), F.lit(" "), F.lit("")),
+                        F.lit(" "),
+                    ),
+                )
+            ).alias("s"),
+            "freq",
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionAll(b)
+    return out.orderBy("rnk")
+
+
+def _bpe_oracle_sql(n_merges: int = 5) -> str:
+    parts = [
+        """WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+v0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, freq FROM words)"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS pair,
+           freq
+    FROM (SELECT string_split(s, ' ') AS t, freq FROM v{r})
+    WHERE len(t) >= 2
+  ) GROUP BY pair
+),
+b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
+v{r + 1} AS (
+  SELECT trim(replace(' ' || s || ' ',
+                      ' ' || (SELECT pair FROM b{r}) || ' ',
+                      ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' ')) AS s,
+         freq
+  FROM v{r}
+)"""
+        )
+    selects = [
+        f"SELECT CAST({r + 1} AS INT) AS rnk, pair, replace(pair, ' ', '') AS merged, cnt FROM b{r}"
+        for r in range(n_merges)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY rnk")
+    return "".join(parts)
+
+
+QUERIES["bpe_train_merges"] = Q(
+    bpe_train_merges,
+    _bpe_oracle_sql(),
+    "BPE tokenizer training: first 5 merge rules by iterative weighted pair aggregation",
+)
