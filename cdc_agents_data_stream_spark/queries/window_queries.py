@@ -1470,3 +1470,56 @@ QUERIES["cumulative_new_users"] = Q(
     CUMULATIVE_NEW_USERS_SQL,
     "first-touch dedup + new/cumulative users per day (calendar-bounded window)",
 )
+
+
+def rolling_7d_distinct_exact(spark, sf_dir):
+    """EXACT trailing-7-day distinct users per day — the precise
+    counterpart of `hll_rolling_7d_distinct`, and the same range-join-free
+    shape: each (user, active day) pair fans out to the ≤7 report days it
+    covers (a bounded map-side explode — never a range join, whose
+    candidate set grows quadratically in the window), distinct once, and
+    the calendar dimension rides a broadcast semi-join so phantom report
+    days (beyond the observed span) drop out. Cost at 100 TB: 7× the
+    distinct (user, day) pairs — a constant factor chosen at query-author
+    time, against the HLL variant's fixed-register approximation."""
+    ev = load(spark, sf_dir, "events")
+    active = ev.select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"), "user_id"
+    ).distinct()
+    cover = active.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("rday"),
+    ).distinct()
+    days = active.select(F.col("day").alias("rday")).distinct()
+    return (
+        cover.join(F.broadcast(days), "rday")
+        .groupBy("rday")
+        .agg(F.count("*").cast("bigint").alias("n_active_7d"))
+        .orderBy("rday")
+    )
+
+
+ROLLING_7D_DISTINCT_EXACT_SQL = """
+WITH active AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+cover AS (
+  SELECT DISTINCT user_id,
+         CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                                     CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS rday
+  FROM active
+),
+days AS (SELECT DISTINCT day AS rday FROM active)
+SELECT c.rday, CAST(COUNT(*) AS BIGINT) AS n_active_7d
+FROM cover c JOIN days d USING (rday)
+GROUP BY c.rday ORDER BY c.rday
+"""
+
+QUERIES["rolling_7d_distinct_exact"] = Q(
+    rolling_7d_distinct_exact,
+    ROLLING_7D_DISTINCT_EXACT_SQL,
+    "exact trailing-7d distinct users via bounded interval fan-out (no range join)",
+)
