@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from .base import Q, load
 
-_FORMATS = ("parquet", "jsonl", "csv")
+_FORMATS = ("parquet", "jsonl", "csv", "orc")
 
 
 def format_roundtrip_parity(spark, sf_dir):
@@ -36,12 +36,14 @@ def format_roundtrip_parity(spark, sf_dir):
     try:
         ev.write.mode("overwrite").json(f"{base}/jsonl")
         ev.write.mode("overwrite").option("header", "true").csv(f"{base}/csv")
+        ev.write.mode("overwrite").orc(f"{base}/orc")
         readers = {
             "parquet": ev,
             "jsonl": spark.read.schema(schema).json(f"{base}/jsonl"),
             "csv": spark.read.schema(schema)
             .option("header", "true")
             .csv(f"{base}/csv"),
+            "orc": spark.read.schema(schema).orc(f"{base}/orc"),
         }
         aggs = [
             df.agg(
@@ -91,7 +93,7 @@ QUERIES = {
     "format_roundtrip_parity": Q(
         format_roundtrip_parity,
         FORMAT_ROUNDTRIP_PARITY_SQL,
-        "lossless JSONL/CSV lake ingestion parity vs parquet",
+        "lossless JSONL/CSV/ORC lake ingestion parity vs parquet",
     ),
 }
 

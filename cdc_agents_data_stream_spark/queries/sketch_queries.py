@@ -384,3 +384,91 @@ QUERIES["hll_intersection_estimate"] = Q(
     HLL_INTERSECTION_ESTIMATE_SQL,
     "audience overlap by HLL inclusion-exclusion next to the exact count",
 )
+
+
+def log2_histogram_quantiles(spark, sf_dir):
+    """DDSketch-style mergeable quantile sketch on a base-2 grid: values
+    land in bucket ⌊log2(cents)⌋ (computed EXACTLY as the bit length of
+    the integer — no transcendental log, so both engines agree bit-for-
+    bit), the per-type bucket histogram is the sketch (counts merge by
+    addition — shard/day partials combine associatively like the HLL
+    registers), and P50/P99 read off the cumulative histogram with a
+    guaranteed relative error ≤ 2× (the base). One partial-agg shuffle
+    over (type, bucket) — ≤ ~40 buckets per type regardless of corpus
+    size — then a ≤40-row window per type."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    hist = (
+        ev.select(
+            "event_type",
+            F.greatest(
+                F.lit(1), F.round(F.col("value") * 100).cast("bigint")
+            ).alias("cents"),
+        )
+        .select(
+            "event_type", (F.length(F.bin(F.col("cents"))) - 1).alias("bucket")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+    )
+    pick = (
+        lambda q_num, q_den: F.min(
+            F.when(F.col("cum") * q_den >= F.col("n") * q_num, F.col("bucket"))
+        )
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            pick(1, 2).cast("bigint").alias("p50_bucket"),
+            pick(99, 100).cast("bigint").alias("p99_bucket"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "p50_bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p50_bucket AS INT))").alias("p50_lo_cents"),
+            "p99_bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p99_bucket AS INT))").alias("p99_lo_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+LOG2_HISTOGRAM_QUANTILES_SQL = """
+WITH hist AS (
+  SELECT event_type,
+         length(to_base(GREATEST(1, CAST(ROUND(value * 100) AS BIGINT)), 2)) - 1 AS bucket,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN cum * 2 >= n * 1 THEN bucket END) AS BIGINT) AS p50_bucket,
+       CAST(1 << MIN(CASE WHEN cum * 2 >= n * 1 THEN bucket END) AS BIGINT) AS p50_lo_cents,
+       CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN bucket END) AS BIGINT) AS p99_bucket,
+       CAST(1 << MIN(CASE WHEN cum * 100 >= n * 99 THEN bucket END) AS BIGINT) AS p99_lo_cents
+FROM cum GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["log2_histogram_quantiles"] = Q(
+    log2_histogram_quantiles,
+    LOG2_HISTOGRAM_QUANTILES_SQL,
+    "mergeable base-2 log histogram sketch with bounded-error P50/P99",
+)
