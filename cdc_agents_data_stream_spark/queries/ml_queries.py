@@ -363,3 +363,96 @@ QUERIES["calibration_bins"] = Q(
     CALIBRATION_BINS_SQL,
     "fixed-width reliability bins: support, positive rate, mean score (ppm grid)",
 )
+
+
+def tree_split_histogram(spark, sf_dir):
+    """Decision-tree split finding by the gradient-boosting histogram
+    trick: the corpus reduces to a ≤100-bin (dollar, label) histogram in
+    ONE partial-agg shuffle, candidate thresholds are the bin edges, and
+    each threshold's Gini gain reads off the cumulative histogram — so
+    split search costs O(bins), not O(rows·thresholds), at any corpus
+    size (the XGBoost/LightGBM approx-split shape). Gain stays exact:
+    gain ∝ (pos_l·n − pos·n_l)² / (n_l·(n−n_l)), cross-multiplied onto
+    the ppm grid by integer division. Top-5 thresholds returned with
+    their left-side counts; ties break on the threshold."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    hist = (
+        ev.select(
+            F.expr("CAST(ROUND(value * 100) AS BIGINT) DIV 100").alias("dollar"),
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_pos"),
+        )
+        .groupBy("dollar")
+        .agg(F.count("*").alias("cnt"), F.sum("is_pos").alias("pos"))
+    )
+    w = Window.orderBy("dollar").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy()
+    cum = (
+        hist.withColumn("n_l", F.sum("cnt").over(w))
+        .withColumn("pos_l", F.sum("pos").over(w))
+        .withColumn("n", F.sum("cnt").over(tot))
+        .withColumn("pos", F.sum("pos").over(tot))
+        .filter(F.col("n_l") < F.col("n"))  # rightmost bin splits nothing
+    )
+    scored = cum.select(
+        F.col("dollar").alias("threshold_dollar"),
+        F.col("n_l").cast("bigint").alias("n_left"),
+        F.col("pos_l").cast("bigint").alias("pos_left"),
+        # phi-squared split statistic in [0,1], ppm grid: d²/(n_l·n_r·pos·neg)
+        # with d = pos_l·n − pos·n_l.  DECIMAL(38,0) carries the ~1e30
+        # numerator exactly (int64 would overflow at sf0.1's d ~ 1e12).
+        F.expr(
+            "CAST(((CAST(pos_l AS DECIMAL(38,0)) * n - CAST(pos AS DECIMAL(38,0)) * n_l)"
+            " * (CAST(pos_l AS DECIMAL(38,0)) * n - CAST(pos AS DECIMAL(38,0)) * n_l)"
+            " * 1000000)"
+            " DIV (CAST(n_l AS DECIMAL(38,0)) * (n - n_l) * pos * (n - pos))"
+            " AS BIGINT)"
+        ).alias("gain_ppm"),
+    )
+    rk = Window.orderBy(F.col("gain_ppm").desc(), F.col("threshold_dollar").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(rk).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("rnk", "threshold_dollar", "n_left", "pos_left", "gain_ppm")
+        .orderBy("rnk")
+    )
+
+
+TREE_SPLIT_HISTOGRAM_SQL = """
+WITH hist AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) // 100 AS dollar,
+         COUNT(*) AS cnt,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT dollar,
+         SUM(cnt) OVER (ORDER BY dollar ROWS UNBOUNDED PRECEDING) AS n_l,
+         SUM(pos) OVER (ORDER BY dollar ROWS UNBOUNDED PRECEDING) AS pos_l,
+         SUM(cnt) OVER () AS n,
+         SUM(pos) OVER () AS pos
+  FROM hist
+),
+scored AS (
+  SELECT dollar AS threshold_dollar,
+         CAST(n_l AS BIGINT) AS n_left,
+         CAST(pos_l AS BIGINT) AS pos_left,
+         CAST((pos_l * n - pos * n_l) * (pos_l * n - pos * n_l) * 1000000
+              // (n_l * (n - n_l) * pos * (n - pos)) AS BIGINT) AS gain_ppm
+  FROM cum WHERE n_l < n
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY gain_ppm DESC, threshold_dollar ASC) AS INT) AS rnk,
+       threshold_dollar, n_left, pos_left, gain_ppm
+FROM scored
+QUALIFY rnk <= 5
+ORDER BY rnk
+"""
+
+QUERIES["tree_split_histogram"] = Q(
+    tree_split_histogram,
+    TREE_SPLIT_HISTOGRAM_SQL,
+    "histogram-trick decision-tree split search with exact integer Gini gain",
+)
