@@ -1527,3 +1527,119 @@ QUERIES["stream_chained_windows"] = Q(
     STREAM_CHAINED_WINDOWS_SQL,
     "Spark 4 chained stateful aggregations: day-over-hour windows in one query",
 )
+
+
+def stream_corpus_ingest(spark, sf_dir):
+    """LIVE training-corpus ingest loop — the engine's text-pipeline
+    stages composed under Structured Streaming: documents arrive over 3
+    micro-batches (with byte-identical replays across batch boundaries —
+    an at-least-once feed), and each ``foreachBatch`` pass (1) quality-
+    gates JVM-side (≥3 whitespace tokens), (2) dedups within the batch
+    on a per-lang content hash, (3) anti-joins the accumulated corpus to
+    drop cross-batch dups/replays (the incremental exact-dedup shape:
+    at 100 TB the seen-hash side is the bucketed store probed by hash
+    prefix — here the corpus itself, content-addressed), and (4)
+    appends the survivors. Rows carry only (lang, text), so every copy
+    of a document is byte-identical and survivorship is unobservable —
+    the final corpus must equal exactly the DISTINCT quality-passing
+    input, which is the oracle. Trigger.AvailableNow drains the staged
+    ticks one file per batch and stops."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("lang", "text")
+        .toPandas()
+        .sort_values(["lang", "text"])
+        .reset_index(drop=True)
+    )
+    n = len(docs)
+    thirds = [docs.iloc[: n // 3], docs.iloc[n // 3 : 2 * n // 3], docs.iloc[2 * n // 3 :]]
+    ticks = [
+        thirds[0],
+        pd.concat([thirds[1], thirds[0].iloc[::4]]),   # replay a quarter of tick 0
+        pd.concat([thirds[2], thirds[0].iloc[1::5], thirds[1].iloc[::3]]),
+    ]
+    base = tempfile.mkdtemp(prefix="stream-corpus-")
+    schema = pa.schema([("lang", pa.string()), ("text", pa.string())])
+    sink = f"{base}/corpus"
+    try:
+        os.makedirs(f"{base}/in")
+        for i, part in enumerate(ticks):
+            pq.write_table(
+                pa.Table.from_pandas(part, schema=schema, preserve_index=False),
+                f"{base}/in/tick-{i}.parquet",
+            )
+
+        def handle(batch_df, batch_id):
+            b = (
+                batch_df.withColumn(
+                    "h", F.md5(F.concat_ws("|", "lang", "text"))
+                )
+                .withColumn("n_tokens", F.size(F.split("text", " ")))
+                .filter(F.col("n_tokens") >= 3)
+                .dropDuplicates(["h"])
+            )
+            if os.path.isdir(sink) and any(
+                f.endswith(".parquet") for f in os.listdir(sink)
+            ):
+                seen = spark.read.parquet(sink).select("h")
+                b = b.join(seen, "h", "left_anti")
+            b.select("lang", "text", "h", "n_tokens").write.mode("append").parquet(sink)
+
+        stream = (
+            spark.readStream.schema("lang string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/in")
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout=300)
+        finally:
+            q.stop()
+        out = (
+            spark.read.parquet(sink)
+            .groupBy("lang")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+                F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+            )
+        )
+        collected = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        collected, "lang string, n_docs long, sum_tokens long, sum_chars long"
+    ).orderBy("lang")
+
+
+STREAM_CORPUS_INGEST_SQL = """
+WITH d AS (SELECT DISTINCT lang, text FROM documents),
+f AS (
+  SELECT lang, len(string_split(text, ' ')) AS nt, length(text) AS nc
+  FROM d WHERE len(string_split(text, ' ')) >= 3
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+       CAST(SUM(nc) AS BIGINT) AS sum_chars
+FROM f GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["stream_corpus_ingest"] = Q(
+    stream_corpus_ingest,
+    STREAM_CORPUS_INGEST_SQL,
+    "LIVE corpus ingest: quality gate + cross-batch content dedup + append corpus",
+)
