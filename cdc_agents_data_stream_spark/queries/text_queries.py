@@ -1554,3 +1554,92 @@ QUERIES["bpe_train_merges"] = Q(
     _bpe_oracle_sql(),
     "BPE tokenizer training: first 5 merge rules by iterative weighted pair aggregation",
 )
+
+
+def bpe_vocab_compression(spark, sf_dir, n_merges: int = 5):
+    """The measurement half of BPE training: weighted corpus token count
+    after each merge round (round 0 = characters), i.e. how much each
+    learned rule compresses the corpus. Re-derives the same vocabulary
+    chain as `bpe_train_merges` (one declarative plan; the per-round
+    argmax rides a broadcast) and reduces each round's vocabulary to ONE
+    row: Σ freq · |tokens|. Output (rnk, total_tokens) is 6 rows; the
+    compression must be monotone non-increasing — each merge can only
+    shrink spellings."""
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    v = words.select(_bpe_spell(F.col("w")).alias("s"), "freq")
+    totals = []
+
+    def total_of(vdf, rnk):
+        return vdf.agg(
+            F.lit(rnk).cast("int").alias("rnk"),
+            F.sum(F.size(F.split("s", " ")) * F.col("freq"))
+            .cast("long")
+            .alias("total_tokens"),
+        )
+
+    totals.append(total_of(v, 0))
+    for r in range(n_merges):
+        t = F.split("s", " ")
+        pairs = (
+            v.filter(F.size(t) >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - 1),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at(t, i), F.element_at(t, i + 1)
+                        ),
+                    )
+                ).alias("pair"),
+                "freq",
+            )
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+        )
+        v = v.crossJoin(F.broadcast(best.select(F.col("pair").alias("_p")))).select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("_p"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("_p"), F.lit(" "), F.lit("")),
+                        F.lit(" "),
+                    ),
+                )
+            ).alias("s"),
+            "freq",
+        )
+        totals.append(total_of(v, r + 1))
+    out = totals[0]
+    for tdf in totals[1:]:
+        out = out.unionAll(tdf)
+    return out.orderBy("rnk")
+
+
+def _bpe_compression_oracle_sql(n_merges: int = 5) -> str:
+    base = _bpe_oracle_sql(n_merges)
+    # reuse the words/v0..v5 CTE chain, swap the final SELECT for totals
+    head = base.rsplit("\nSELECT CAST(1", 1)[0]
+    selects = [
+        f"SELECT CAST({r} AS INT) AS rnk, CAST(SUM(len(string_split(s, ' ')) * freq) AS BIGINT) AS total_tokens FROM v{r}"
+        for r in range(n_merges + 1)
+    ]
+    return head + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY rnk"
+
+
+QUERIES["bpe_vocab_compression"] = Q(
+    bpe_vocab_compression,
+    _bpe_compression_oracle_sql(),
+    "corpus token count after each BPE merge round (compression curve)",
+)
