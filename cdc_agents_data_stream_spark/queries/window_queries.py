@@ -1523,3 +1523,82 @@ QUERIES["rolling_7d_distinct_exact"] = Q(
     ROLLING_7D_DISTINCT_EXACT_SQL,
     "exact trailing-7d distinct users via bounded interval fan-out (no range join)",
 )
+
+
+def value_ewma_exact(spark, sf_dir):
+    """EXACT exponentially-weighted moving average (α = 1/2) of daily
+    revenue per event type — the level-smoothing recursion
+    s_t = (s_{t-1} + x_t)/2 solved in closed form as a prefix sum of
+    power-of-two weights: s_t·2^(t-1) = x_1 + Σ_{i≥2} x_i·2^(i-2), so
+    one cumulative window over the (bounded) daily rollup computes the
+    whole curve with NO per-row recursion and NO floats — α = 1/2 keeps
+    every intermediate on the integer grid (weights are shifts). The
+    corpus reduces map-side to ≤|days|·|types| rows before the window
+    touches anything; the scaled prefix stays < 2^63 for spans ≤ ~45
+    days at these magnitudes (use DECIMAL for longer horizons)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("x_cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    cum = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        daily.withColumn("t", F.row_number().over(w))
+        .withColumn(
+            "wx",
+            F.when(F.col("t") == 1, F.col("x_cents")).otherwise(
+                F.expr("x_cents * shiftleft(CAST(1 AS BIGINT), CAST(t - 2 AS INT))")
+            ),
+        )
+        .withColumn("p", F.sum("wx").over(cum))
+        .select(
+            "event_type",
+            "day",
+            "x_cents",
+            F.expr("p DIV shiftleft(CAST(1 AS BIGINT), CAST(t - 1 AS INT))")
+            .cast("bigint")
+            .alias("ewma_cents"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+VALUE_EWMA_EXACT_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x_cents
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, day, x_cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t
+  FROM daily
+),
+wx AS (
+  SELECT event_type, day, x_cents, t,
+         CASE WHEN t = 1 THEN x_cents ELSE x_cents * (1 << (t - 2)) END AS wx
+  FROM seq
+)
+SELECT event_type, day, CAST(x_cents AS BIGINT) AS x_cents,
+       CAST(SUM(wx) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING)
+            // (1 << (t - 1)) AS BIGINT) AS ewma_cents
+FROM wx
+ORDER BY event_type, day
+"""
+
+QUERIES["value_ewma_exact"] = Q(
+    value_ewma_exact,
+    VALUE_EWMA_EXACT_SQL,
+    "exact integer EWMA (alpha=1/2) via power-of-two weighted prefix sums",
+)
