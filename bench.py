@@ -76,6 +76,13 @@ BENCH_QUERIES = [
     # UDAF path — the two newest execution shapes worth tracking
     "pit_feature_join",
     "value_gini_ppm",
+    # session-7 additions: iterative declarative BPE training (5 argmax
+    # rounds riding broadcasts), the live streaming corpus-ingest
+    # composite (quality gate + cross-batch dedup + append publish), and
+    # the histogram-trick split search
+    "bpe_train_merges",
+    "stream_corpus_ingest",
+    "tree_split_histogram",
 ]
 
 
