@@ -1602,3 +1602,90 @@ QUERIES["value_ewma_exact"] = Q(
     VALUE_EWMA_EXACT_SQL,
     "exact integer EWMA (alpha=1/2) via power-of-two weighted prefix sums",
 )
+
+
+def ts_sax_motifs(spark, sf_dir):
+    """SAX-style time-series motif discovery over per-user activity: each
+    user's daily event-count series symbolizes onto a fixed 4-letter
+    alphabet (1→a, 2→b, 3→c, ≥4→d — fixed breakpoints, so no global
+    quantile pass), every sliding 4-day-window word is extracted
+    JVM-side from the per-user symbol string, and the global word
+    histogram surfaces the 10 most common local shapes. The per-user
+    series is bounded by the calendar (collect_list stays small and
+    ordered by an array_sort on the (day, count) struct, not a shuffle
+    sort); word extraction is a codegen substring fan-out ≤ |days| per
+    user; the only corpus-wide shuffle is the final word count. The
+    approximation trade vs raw subsequence matching (PAA/SAX, Lin et
+    al.) is the point: motifs at 100 TB cost one agg + one map + one
+    agg."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+        )
+        .groupBy("user_id", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    per_user = (
+        daily.groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("day", "n"))).alias("seq")
+        )
+        .filter(F.size("seq") >= 8)
+        .select(
+            F.concat_ws(
+                "",
+                F.transform(
+                    "seq",
+                    lambda x: F.when(x["n"] == 1, F.lit("a"))
+                    .when(x["n"] == 2, F.lit("b"))
+                    .when(x["n"] == 3, F.lit("c"))
+                    .otherwise(F.lit("d")),
+                ),
+            ).alias("s")
+        )
+    )
+    words = per_user.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("s") - 3),
+                lambda i: F.substring(F.col("s"), i, F.lit(4)),
+            )
+        ).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n_windows"))
+        .orderBy(F.col("n_windows").desc(), F.col("word").asc())
+        .limit(10)
+    )
+
+
+TS_SAX_MOTIFS_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id,
+         string_agg(CASE WHEN n = 1 THEN 'a' WHEN n = 2 THEN 'b'
+                         WHEN n = 3 THEN 'c' ELSE 'd' END,
+                    '' ORDER BY day) AS s
+  FROM daily GROUP BY user_id
+  HAVING COUNT(*) >= 8
+),
+words AS (
+  SELECT substr(s, CAST(i AS INT), 4) AS word
+  FROM per_user, unnest(range(1, length(s) - 2)) AS t(i)
+)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM words GROUP BY word
+ORDER BY n_windows DESC, word ASC
+LIMIT 10
+"""
+
+QUERIES["ts_sax_motifs"] = Q(
+    ts_sax_motifs,
+    TS_SAX_MOTIFS_SQL,
+    "SAX time-series motif discovery: symbolized sliding windows, global top-10",
+)
