@@ -1643,3 +1643,77 @@ QUERIES["stream_corpus_ingest"] = Q(
     STREAM_CORPUS_INGEST_SQL,
     "LIVE corpus ingest: quality gate + cross-batch content dedup + append corpus",
 )
+
+
+def ivm_agg_retraction(spark, sf_dir):
+    """Maintained AGGREGATE under retractions — the weighted-IVM algebra
+    streaming engines use for updates/deletes (Δ-weighted multiset: an
+    update emits (−old, +new), a delete emits (−current), and the view
+    is just SUM(weight) / SUM(weight·value) per key, additively
+    mergeable in any batch order). The change log here derives from
+    orders (every order inserts; every 3rd re-prices +$10; every 7th
+    cancels), arrives as three batches, and the view is maintained by
+    merging each batch's partial aggregate into the running view —
+    never touching prior batches' rows. The maintained view must equal
+    the directly-computed final state (the oracle). At 100 TB each
+    merge step aggregates only the delta; the view stays |keys|-sized."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    cur = F.when(F.col("k") % 3 == 0, F.col("c") + 1000).otherwise(F.col("c"))
+    inserts = o.select("o_orderpriority", F.lit(1).alias("w"), F.col("c").alias("wc"))
+    updates = o.filter(F.col("k") % 3 == 0).select(
+        "o_orderpriority", F.lit(-1).alias("w"), F.col("c").alias("wc")
+    ).unionAll(
+        o.filter(F.col("k") % 3 == 0).select(
+            "o_orderpriority", F.lit(1).alias("w"), (F.col("c") + 1000).alias("wc")
+        )
+    )
+    deletes = o.filter(F.col("k") % 7 == 0).select(
+        "o_orderpriority", F.lit(-1).alias("w"), cur.alias("wc")
+    )
+
+    def agg(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.sum("w").alias("n_live"), F.sum(F.col("w") * F.col("wc")).alias("revenue_cents")
+        )
+
+    view = None
+    for batch in (inserts, updates, deletes):
+        part = agg(batch)
+        view = part if view is None else (
+            view.unionAll(part)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("n_live").alias("n_live"), F.sum("revenue_cents").alias("revenue_cents"))
+        )
+    return view.select(
+        "o_orderpriority",
+        F.col("n_live").cast("bigint").alias("n_live"),
+        F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+    ).orderBy("o_orderpriority")
+
+
+IVM_AGG_RETRACTION_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+final AS (
+  SELECT o_orderpriority,
+         CASE WHEN k % 3 = 0 THEN c + 1000 ELSE c END AS c
+  FROM base WHERE k % 7 <> 0
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(c) AS BIGINT) AS revenue_cents
+FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+QUERIES["ivm_agg_retraction"] = Q(
+    ivm_agg_retraction,
+    IVM_AGG_RETRACTION_SQL,
+    "weighted-IVM aggregate maintenance under updates/deletes == recomputed state",
+)
