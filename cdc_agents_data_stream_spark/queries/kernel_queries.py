@@ -542,3 +542,91 @@ QUERIES = {
         ctx_enrich_fanout, CTX_ENRICH_FANOUT_SQL, "UD5/X9 ctx provider fan-out"
     ),
 }
+
+
+def market_basket_pairs(spark, sf_dir):
+    """Market-basket association mining (the A-Priori support/confidence/
+    lift first pass): per-order brand itemsets reduce map-side to sorted
+    distinct arrays, candidate pairs are generated INSIDE the array by an
+    indexed comprehension (≤ C(|basket|,2) pairs per order, bounded by
+    basket width — never a self-join of the line-item table, whose
+    shuffle would square at 100 TB), and the pair/item supports meet in
+    one broadcast join to yield exact ppm confidence and lift. Top 20 by
+    support with a total pair order."""
+    from .base import load as _load
+
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    ob = (
+        li.join(F.broadcast(part), "l_partkey")
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    baskets = ob.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("p_brand")).alias("arr")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "arr",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("arr"), i + 2, F.size("arr")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    n_ab = pairs.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    item = ob.groupBy("p_brand").agg(F.count("*").alias("n_item"))
+    n_orders = baskets.agg(F.count("*").alias("n_orders"))
+    return (
+        n_ab.join(F.broadcast(item.select(F.col("p_brand").alias("a"), F.col("n_item").alias("n_a"))), "a")
+        .join(F.broadcast(item.select(F.col("p_brand").alias("b"), F.col("n_item").alias("n_b"))), "b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "a",
+            "b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.expr("n_ab * 1000000 DIV n_a").cast("bigint").alias("conf_ppm"),
+            F.expr("n_ab * n_orders * 1000000 DIV (n_a * n_b)")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.col("n_ab").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(20)
+    )
+
+
+MARKET_BASKET_PAIRS_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+pairs AS (
+  SELECT x.l_orderkey, x.p_brand AS a, y.p_brand AS b
+  FROM ob x JOIN ob y
+    ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+),
+n_ab AS (SELECT a, b, COUNT(*) AS n_ab FROM pairs GROUP BY a, b),
+item AS (SELECT p_brand, COUNT(*) AS n_item FROM ob GROUP BY p_brand),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob)
+SELECT c.a, c.b, CAST(c.n_ab AS BIGINT) AS n_ab,
+       CAST(c.n_ab * 1000000 // ia.n_item AS BIGINT) AS conf_ppm,
+       CAST(c.n_ab * o.n_orders * 1000000 // (ia.n_item * ib.n_item) AS BIGINT) AS lift_ppm
+FROM n_ab c
+JOIN item ia ON ia.p_brand = c.a
+JOIN item ib ON ib.p_brand = c.b
+CROSS JOIN n_orders o
+ORDER BY n_ab DESC, a ASC, b ASC
+LIMIT 20
+"""
+
+QUERIES["market_basket_pairs"] = Q(
+    market_basket_pairs,
+    MARKET_BASKET_PAIRS_SQL,
+    "A-Priori pair mining: map-side basket pair fan-out, exact ppm confidence/lift",
+)
