@@ -35,6 +35,7 @@ BNLJ_ALLOWED = {
     "decontam_overlap": "1-row probe-set aggregate",
     "vocab_idf_topk": "1-row corpus-doc-count scalar for idf",
     "ann_ivfpq": "corpus x broadcast centroids + per-probe ADC tables (bounded)",
+    "bpe_train_merges": "vocab x 1-row broadcast argmax merge rule per round",
 }
 
 WINDOW_GLOBAL_ALLOWED = {
@@ -49,6 +50,7 @@ WINDOW_GLOBAL_ALLOWED = {
     "graph_cheapest_route": "orderBy on the bounded reached set (output ordering)",
     "graph_bfs_reach": "orderBy on the bounded reached set (output ordering)",
     "skew_salted_join": "row_number over DISTINCT event types (dimension-bounded, ~5 rows)",
+    "tree_split_histogram": "cumulative window over the <=100-bin value histogram",
 }
 
 
