@@ -124,3 +124,41 @@ def test_parquet_bloom_filter_written_for_point_lookup_column(spark, tmp_path):
     # 2 files x a ~2k-NDV bloom (~4 KB each at fpp 0.01) plus headers:
     # present, but nowhere near the unsized 2 MB default
     assert 2_000 < extra < 100_000, extra
+
+
+def test_zorder_layout_concentrates_matches_in_fewer_files(spark, norm, tmp_path):
+    """Runtime locality proof: under a 2-D box predicate, the files that
+    actually yield rows (``_metadata.file_path``) must be a small subset
+    of the z-ordered layout but spread across (nearly) every file of a
+    hash-random layout — the measurable payoff file skipping builds on.
+    Results themselves must be layout-invariant."""
+    zdir = str(tmp_path / "z")
+    rdir = str(tmp_path / "rand")
+    Z.zorder_layout(norm, ["ux", "vy"], 10, num_files=8).write.parquet(zdir)
+    norm.repartition(8).write.parquet(rdir)
+
+    pred = "ux < 128 AND vy < 16"  # ~2% box (vy occupies only 0..100)
+
+    def probe(path):
+        df = spark.read.parquet(path).filter(pred)
+        agg = df.agg(
+            F.count("*").alias("n"), F.sum("event_id").alias("s")
+        ).collect()[0]
+        nfiles = (
+            spark.read.parquet(path)
+            .filter(pred)
+            .select(F.col("_metadata.file_path").alias("f"))
+            .distinct()
+            .count()
+        )
+        return agg["n"], agg["s"], nfiles
+
+    n_z, s_z, files_z = probe(zdir)
+    n_r, s_r, files_r = probe(rdir)
+    assert (n_z, s_z) == (n_r, s_r)  # layout never changes answers
+    assert n_z > 0
+    # random layout smears matches over (almost) all 8 files; the z-order
+    # curve keeps the 128x128 box inside a contiguous key range
+    assert files_r >= 6
+    assert files_z < files_r
+    assert files_z <= 3
