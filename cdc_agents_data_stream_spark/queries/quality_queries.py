@@ -545,3 +545,61 @@ QUERIES["order_total_reconciliation"] = Q(
     ORDER_TOTAL_RECONCILIATION_SQL,
     "header-vs-lines financial reconciliation on the exact cent grid",
 )
+
+
+def capped_contribution_rollup(spark, sf_dir):
+    """Bounded-sensitivity aggregation — the preprocessing differential
+    privacy and abuse-robust analytics share: each user's contribution
+    to a (type) rollup is capped at k=5 events and a $50 value ceiling
+    BEFORE the global sum, so no single key can move the aggregate by
+    more than the cap. Two-level aggregation (user partials, then the
+    capped rollup) — both stages partial-agg shuffles; the cap is a
+    map-side LEAST on the bounded per-user partial."""
+    ev = load(spark, sf_dir, "events")
+    per_user = (
+        ev.select(
+            "event_type",
+            "user_id",
+            F.least(
+                F.round(F.col("value") * 100).cast("bigint"), F.lit(5000)
+            ).alias("cents_clipped"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n_u"), F.sum("cents_clipped").alias("c_u"))
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("n_u").cast("bigint").alias("n_events"),
+            F.sum(F.least(F.col("n_u"), F.lit(5))).cast("bigint").alias("n_capped"),
+            # value cap: at most 5 clipped events count per user
+            F.sum(
+                F.when(F.col("n_u") <= 5, F.col("c_u")).otherwise(
+                    F.expr("c_u * 5 DIV n_u")
+                )
+            ).cast("bigint").alias("cents_capped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CAPPED_CONTRIBUTION_ROLLUP_SQL = """
+WITH per_user AS (
+  SELECT event_type, user_id, COUNT(*) AS n_u,
+         SUM(LEAST(CAST(ROUND(value * 100) AS BIGINT), 5000)) AS c_u
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_u) AS BIGINT) AS n_events,
+       CAST(SUM(LEAST(n_u, 5)) AS BIGINT) AS n_capped,
+       CAST(SUM(CASE WHEN n_u <= 5 THEN c_u ELSE c_u * 5 // n_u END) AS BIGINT) AS cents_capped
+FROM per_user GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["capped_contribution_rollup"] = Q(
+    capped_contribution_rollup,
+    CAPPED_CONTRIBUTION_ROLLUP_SQL,
+    "bounded-sensitivity rollup: per-user contribution caps before the global sum",
+)
