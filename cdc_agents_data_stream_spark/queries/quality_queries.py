@@ -603,3 +603,54 @@ QUERIES["capped_contribution_rollup"] = Q(
     CAPPED_CONTRIBUTION_ROLLUP_SQL,
     "bounded-sensitivity rollup: per-user contribution caps before the global sum",
 )
+
+
+def threshold_grid_eval(spark, sf_dir):
+    """Hyperparameter-grid evaluation in ONE data pass: the candidate
+    filter thresholds ride a broadcast literal dimension crossed into
+    the scan, so evaluating N configs costs one corpus read + one
+    (config)-keyed partial agg instead of N passes — the grid-search
+    shape for tuning corpus filters at 100 TB. Here: minimum-token
+    cutoffs 5/20/50 over documents, each reporting survivors, survival
+    ppm, and surviving token mass."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.size(F.split("text", " ")).alias("nt"))
+    grid = spark.range(1).select(
+        F.explode(F.array(F.lit(5), F.lit(20), F.lit(50))).alias("min_tokens")
+    )
+    return (
+        toks.crossJoin(F.broadcast(grid))
+        .groupBy("min_tokens")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("nt") >= F.col("min_tokens"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.expr(
+                "SUM(CASE WHEN nt >= min_tokens THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*)"
+            ).cast("bigint").alias("kept_ppm"),
+            F.sum(F.when(F.col("nt") >= F.col("min_tokens"), F.col("nt")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .orderBy("min_tokens")
+    )
+
+
+THRESHOLD_GRID_EVAL_SQL = """
+WITH toks AS (SELECT len(string_split(text, ' ')) AS nt FROM documents),
+grid AS (SELECT unnest([5, 20, 50]) AS min_tokens)
+SELECT min_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN nt >= min_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN nt >= min_tokens THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS kept_ppm,
+       CAST(SUM(CASE WHEN nt >= min_tokens THEN nt ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM toks CROSS JOIN grid
+GROUP BY min_tokens ORDER BY min_tokens
+"""
+
+QUERIES["threshold_grid_eval"] = Q(
+    threshold_grid_eval,
+    THRESHOLD_GRID_EVAL_SQL,
+    "filter-threshold grid evaluated in one scan via a broadcast config dimension",
+)
