@@ -654,3 +654,59 @@ QUERIES["threshold_grid_eval"] = Q(
     THRESHOLD_GRID_EVAL_SQL,
     "filter-threshold grid evaluated in one scan via a broadcast config dimension",
 )
+
+
+def quantity_mode_exact(spark, sf_dir):
+    """Exact MODE (most frequent value) per group with a pinned
+    tie-break — the frequency-argmax aggregate: one (group, value)
+    partial-agg histogram (bounded by the value domain, 1..50 here),
+    then a ≤50-row window per group. Also reports the frequency and the
+    share on the ppm grid."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    hist = (
+        li.select("l_returnflag", F.col("l_quantity").cast("bigint").alias("qty"))
+        .groupBy("l_returnflag", "qty")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = Window.partitionBy("l_returnflag")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("qty").asc()
+    )
+    return (
+        hist.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_all", F.sum("n").over(tot))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("mode_qty"),
+            F.col("n").cast("bigint").alias("n_mode"),
+            F.expr("n * 1000000 DIV n_all").cast("bigint").alias("share_ppm"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUANTITY_MODE_EXACT_SQL = """
+WITH hist AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT l_returnflag, qty, n,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY n DESC, qty ASC) AS rn,
+         SUM(n) OVER (PARTITION BY l_returnflag) AS n_all
+  FROM hist
+)
+SELECT l_returnflag, qty AS mode_qty, CAST(n AS BIGINT) AS n_mode,
+       CAST(n * 1000000 // n_all AS BIGINT) AS share_ppm
+FROM ranked WHERE rn = 1 ORDER BY l_returnflag
+"""
+
+QUERIES["quantity_mode_exact"] = Q(
+    quantity_mode_exact,
+    QUANTITY_MODE_EXACT_SQL,
+    "exact per-group MODE via bounded histogram + pinned tie-break",
+)
