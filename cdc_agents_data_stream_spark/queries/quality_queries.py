@@ -710,3 +710,59 @@ QUERIES["quantity_mode_exact"] = Q(
     QUANTITY_MODE_EXACT_SQL,
     "exact per-group MODE via bounded histogram + pinned tie-break",
 )
+
+
+def string_distance_pin(spark, sf_dir):
+    """Levenshtein edit distance pinned across engines — the record-
+    linkage verify primitive (the LSH gates block candidates; an edit
+    distance is the classic verifier for short strings). Distances are
+    computed between each part's name and the brand-wise
+    lexicographic-successor name (a deterministic same-brand pair via
+    LEAD — no cross join), rolled up per brand: pair count, total
+    distance, max distance. Also pins the bounded form
+    levenshtein(a, b, 10) Spark offers via the 3-arg overload —
+    represented here by capping in the rollup (LEAST(d, 10)) so both
+    engines share one text-level contract."""
+    from pyspark.sql import Window
+
+    part = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_name")
+    pairs = (
+        part.select("p_brand", "p_name")
+        .withColumn("nxt", F.lead("p_name").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("p_brand", F.levenshtein("p_name", "nxt").alias("d"))
+    )
+    return (
+        pairs.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("d").cast("bigint").alias("sum_dist"),
+            F.sum(F.least(F.col("d"), F.lit(10))).cast("bigint").alias("sum_dist_cap10"),
+            F.max("d").cast("bigint").alias("max_dist"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+STRING_DISTANCE_PIN_SQL = """
+WITH pairs AS (
+  SELECT p_brand,
+         levenshtein(p_name,
+                     LEAD(p_name) OVER (PARTITION BY p_brand ORDER BY p_name)) AS d
+  FROM part
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(d) AS BIGINT) AS sum_dist,
+       CAST(SUM(LEAST(d, 10)) AS BIGINT) AS sum_dist_cap10,
+       CAST(MAX(d) AS BIGINT) AS max_dist
+FROM pairs WHERE d IS NOT NULL
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+QUERIES["string_distance_pin"] = Q(
+    string_distance_pin,
+    STRING_DISTANCE_PIN_SQL,
+    "Levenshtein distances over deterministic same-brand name pairs (rollup pin)",
+)
