@@ -456,3 +456,77 @@ QUERIES["tree_split_histogram"] = Q(
     TREE_SPLIT_HISTOGRAM_SQL,
     "histogram-trick decision-tree split search with exact integer Gini gain",
 )
+
+
+def decile_lift_table(spark, sf_dir):
+    """Gains/lift table — the marketing-model companion of AUC and
+    calibration: users rank by total spend (total order: cents desc,
+    user_id asc, so NTILE is deterministic), and each decile reports its
+    captured share of all purchase events plus the cumulative capture
+    ppm — 'the top 10% of users hold X% of purchases'. Per-user rollup
+    is one partial-agg shuffle; the decile pass windows over |users|
+    rows partitioned by nothing but bounded output (10 rows) — the
+    NTILE itself is the documented range-exchange shape shared with
+    `value_equidepth_bins`."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("purchases"),
+    )
+    deciled = per_user.withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.orderBy(F.col("cents").desc(), F.col("user_id").asc())
+        ),
+    )
+    agg = deciled.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("purchases").cast("bigint").alias("purchases"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy()
+    return (
+        agg.withColumn("cum_p", F.sum("purchases").over(w))
+        .withColumn("all_p", F.sum("purchases").over(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_users",
+            "purchases",
+            F.expr("cum_p * 1000000 DIV all_p").cast("bigint").alias("cum_capture_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+DECILE_LIFT_TABLE_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
+  FROM events GROUP BY user_id
+),
+deciled AS (
+  SELECT *, NTILE(10) OVER (ORDER BY cents DESC, user_id ASC) AS decile
+  FROM per_user
+),
+agg AS (
+  SELECT decile, COUNT(*) AS n_users, SUM(purchases) AS purchases
+  FROM deciled GROUP BY decile
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(purchases AS BIGINT) AS purchases,
+       CAST(SUM(purchases) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+            * 1000000 // SUM(purchases) OVER () AS BIGINT) AS cum_capture_ppm
+FROM agg ORDER BY decile
+"""
+
+QUERIES["decile_lift_table"] = Q(
+    decile_lift_table,
+    DECILE_LIFT_TABLE_SQL,
+    "gains/lift table: deterministic spend deciles, cumulative purchase capture ppm",
+)
