@@ -470,3 +470,59 @@ QUERIES["graph_cheapest_route"] = Q(
     GRAPH_CHEAPEST_ROUTE_SQL,
     "bounded Bellman-Ford: cheapest k-edge route cost from a seed set",
 )
+
+
+def graph_degree_histogram(spark, sf_dir):
+    """Degree-distribution profile of the purchase graph — the power-law
+    sanity check every graph pipeline runs first, and the input to
+    skew-aware partitioning decisions (a heavy-tailed histogram says
+    salt the hubs). Distinct (customer, supplier) edges reduce to
+    per-side degrees in one partial agg; degrees land in base-2 buckets
+    via exact integer bit length (shared with the quantile sketch — no
+    float log), and the output is ≤ ~12 rows per side at any scale."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("ck"),
+            F.col("l_suppkey").cast("long").alias("sk"),
+        )
+        .distinct()
+    )
+    deg = pairs.groupBy("ck").agg(F.count("*").alias("d")).select(
+        F.lit("customer").alias("side"), "d"
+    ).unionByName(
+        pairs.groupBy("sk").agg(F.count("*").alias("d")).select(
+            F.lit("supplier").alias("side"), "d"
+        )
+    )
+    return (
+        deg.select("side", (F.length(F.bin(F.col("d"))) - 1).alias("bucket"))
+        .groupBy("side", "bucket")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .orderBy("side", "bucket")
+    )
+
+
+GRAPH_DEGREE_HISTOGRAM_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS ck,
+                  CAST(l.l_suppkey AS BIGINT) AS sk
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+deg AS (
+  SELECT 'customer' AS side, COUNT(*) AS d FROM pairs GROUP BY ck
+  UNION ALL
+  SELECT 'supplier' AS side, COUNT(*) AS d FROM pairs GROUP BY sk
+)
+SELECT side, length(to_base(d, 2)) - 1 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY side, bucket ORDER BY side, bucket
+"""
+
+QUERIES["graph_degree_histogram"] = Q(
+    graph_degree_histogram,
+    GRAPH_DEGREE_HISTOGRAM_SQL,
+    "log2-bucketed degree distribution of the purchase graph (skew profile)",
+)
