@@ -530,3 +530,92 @@ QUERIES["decile_lift_table"] = Q(
     DECILE_LIFT_TABLE_SQL,
     "gains/lift table: deterministic spend deciles, cumulative purchase capture ppm",
 )
+
+
+def survival_hazard_table(spark, sf_dir):
+    """Kaplan-Meier sufficient statistics — time-to-event analysis with
+    right censoring: per user, 'birth' is the first observed day, the
+    event is the first purchase on-or-after birth, and users without one
+    censor at the calendar end. The duration histogram reduces the
+    corpus to ≤|days| rows; the at-risk set n(t) = Σ_{s≥t}(d_s+c_s) is
+    one REVERSE cumulative window over that bounded histogram (never a
+    per-user range join); hazard_ppm = d·10⁶ DIV n stays integral. The
+    float product Π(1−d/n) is left to the caller — the table IS the
+    estimator's exact sufficient statistic."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        F.col("event_type"),
+    )
+    per_user = days.groupBy("user_id").agg(
+        F.min("day").alias("birth"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("day"))).alias(
+            "purchase_day"
+        ),
+    )
+    end = days.agg(F.max("day").alias("end_day"))
+    durs = per_user.crossJoin(F.broadcast(end)).select(
+        F.when(
+            F.col("purchase_day").isNotNull(),
+            F.datediff("purchase_day", "birth"),
+        )
+        .otherwise(F.datediff("end_day", "birth"))
+        .cast("bigint")
+        .alias("t"),
+        F.when(F.col("purchase_day").isNotNull(), 1).otherwise(0).alias("event"),
+    )
+    hist = durs.groupBy("t").agg(
+        F.sum("event").alias("d"),
+        F.sum(F.expr("1 - event")).alias("c"),
+    )
+    w_rev = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        hist.withColumn("n_risk", F.sum(F.col("d") + F.col("c")).over(w_rev))
+        .select(
+            "t",
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").cast("bigint").alias("d"),
+            F.col("c").cast("bigint").alias("c"),
+            F.expr("d * 1000000 DIV n_risk").cast("bigint").alias("hazard_ppm"),
+        )
+        .orderBy("t")
+    )
+
+
+SURVIVAL_HAZARD_TABLE_SQL = """
+WITH days AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+),
+per_user AS (
+  SELECT user_id, MIN(day) AS birth,
+         MIN(CASE WHEN event_type = 'purchase' THEN day END) AS purchase_day
+  FROM days GROUP BY user_id
+),
+end_day AS (SELECT MAX(day) AS end_day FROM days),
+durs AS (
+  SELECT CASE WHEN purchase_day IS NOT NULL
+              THEN date_diff('day', birth, purchase_day)
+              ELSE date_diff('day', birth, e.end_day) END AS t,
+         CASE WHEN purchase_day IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM per_user CROSS JOIN end_day e
+),
+hist AS (
+  SELECT t, SUM(event) AS d, SUM(1 - event) AS c FROM durs GROUP BY t
+)
+SELECT CAST(t AS BIGINT) AS t,
+       CAST(SUM(d + c) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+       CAST(d * 1000000 // SUM(d + c) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hazard_ppm
+FROM hist ORDER BY t
+"""
+
+QUERIES["survival_hazard_table"] = Q(
+    survival_hazard_table,
+    SURVIVAL_HAZARD_TABLE_SQL,
+    "Kaplan-Meier risk-set table: reverse-cumulative at-risk counts, exact hazard ppm",
+)
