@@ -619,3 +619,97 @@ QUERIES["survival_hazard_table"] = Q(
     SURVIVAL_HAZARD_TABLE_SQL,
     "Kaplan-Meier risk-set table: reverse-cumulative at-risk counts, exact hazard ppm",
 )
+
+
+def ab_test_analysis(spark, sf_dir):
+    """Experiment readout over a deterministic assignment: users split
+    50/50 into control/treatment by the layout-invariant md5 coin (the
+    engine's split primitive — df.sample is partition-layout-dependent,
+    pinned in tests/test_api_surface_pins.py), and each arm reports
+    users, purchasers, conversion ppm, and mean spend cents. The
+    between-arm contrast (diff of conversion ppm) rides every row so
+    the table is self-contained. One per-user rollup + one 2-row arm
+    aggregation — experiment analysis at any scale is two partial-agg
+    shuffles."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+    )
+    arms = (
+        per_user.select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("arm"),
+            "converted",
+            "cents",
+        )
+        .groupBy("arm")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.expr("SUM(converted) * 1000000 DIV COUNT(*)")
+            .cast("bigint")
+            .alias("conv_ppm"),
+            F.expr("SUM(cents) DIV COUNT(*)").cast("bigint").alias("mean_cents"),
+        )
+    )
+    both = arms.agg(
+        F.max(F.when(F.col("arm") == 1, F.col("conv_ppm"))).alias("t_ppm"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv_ppm"))).alias("c_ppm"),
+    )
+    return (
+        arms.crossJoin(F.broadcast(both))
+        .select(
+            F.col("arm").cast("bigint").alias("arm"),
+            "n_users",
+            "n_converted",
+            "conv_ppm",
+            "mean_cents",
+            (F.col("t_ppm") - F.col("c_ppm")).cast("bigint").alias("uplift_ppm"),
+        )
+        .orderBy("arm")
+    )
+
+
+AB_TEST_ANALYSIS_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS arm,
+         COUNT(*) AS n_users,
+         SUM(converted) AS n_converted,
+         SUM(converted) * 1000000 // COUNT(*) AS conv_ppm,
+         SUM(cents) // COUNT(*) AS mean_cents
+  FROM per_user GROUP BY 1
+),
+contrast AS (
+  SELECT MAX(CASE WHEN arm = 1 THEN conv_ppm END) AS t_ppm,
+         MAX(CASE WHEN arm = 0 THEN conv_ppm END) AS c_ppm
+  FROM arms
+)
+SELECT CAST(arm AS BIGINT) AS arm,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_converted AS BIGINT) AS n_converted,
+       CAST(conv_ppm AS BIGINT) AS conv_ppm,
+       CAST(mean_cents AS BIGINT) AS mean_cents,
+       CAST(t_ppm - c_ppm AS BIGINT) AS uplift_ppm
+FROM arms CROSS JOIN contrast ORDER BY arm
+"""
+
+QUERIES["ab_test_analysis"] = Q(
+    ab_test_analysis,
+    AB_TEST_ANALYSIS_SQL,
+    "A/B readout on the md5 split: conversion ppm per arm + uplift contrast",
+)
