@@ -766,3 +766,56 @@ QUERIES["string_distance_pin"] = Q(
     STRING_DISTANCE_PIN_SQL,
     "Levenshtein distances over deterministic same-brand name pairs (rollup pin)",
 )
+
+
+def type_diversity_index(spark, sf_dir):
+    """Per-day event-mix diversity via the Gini-Simpson index
+    1 − Σ pᵢ² — the log-free diversity measure (Shannon entropy needs a
+    transcendental log; this one is an exact rational on the ppm grid:
+    (n² − Σ cᵢ²)·10⁶ DIV n²). Two bounded aggregations: (day, type)
+    counts, then the per-day fold of Σ c² — the mix-monitoring shape a
+    corpus pipeline runs per shard/source to spot collapsed diversity."""
+    ev = load(spark, sf_dir, "events")
+    counts = (
+        ev.select(F.to_date(F.col("ts").cast("timestamp")).alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.groupBy("day")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum(F.expr("c * c")).alias("sum_c2"),
+        )
+        .select(
+            "day",
+            "n",
+            "n_types",
+            F.expr("(n * n - sum_c2) * 1000000 DIV (n * n)")
+            .cast("bigint")
+            .alias("gini_simpson_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+TYPE_DIVERSITY_INDEX_SQL = """
+WITH counts AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+per_day AS (
+  SELECT day, SUM(c) AS n, COUNT(*) AS n_types, SUM(c * c) AS sum_c2
+  FROM counts GROUP BY day
+)
+SELECT day, CAST(n AS BIGINT) AS n, CAST(n_types AS BIGINT) AS n_types,
+       CAST((n * n - sum_c2) * 1000000 // (n * n) AS BIGINT) AS gini_simpson_ppm
+FROM per_day ORDER BY day
+"""
+
+QUERIES["type_diversity_index"] = Q(
+    type_diversity_index,
+    TYPE_DIVERSITY_INDEX_SQL,
+    "log-free Gini-Simpson diversity of the daily event mix (ppm grid)",
+)
