@@ -865,3 +865,66 @@ QUERIES["dedup_similarity_histogram"] = Q(
     DEDUP_SIMILARITY_HISTOGRAM_SQL,
     "near-dup threshold selection: Jaccard band histogram over LSH candidates",
 )
+
+
+def dedup_quality_keeper(spark, sf_dir):
+    """Survivorship policy for dedup — not just WHICH rows collide but
+    WHO survives: exact-duplicate groups (content md5) each keep their
+    highest-quality member (longest text, then lowest doc_id — a total
+    order, so the canonical pick is deterministic and engine-agnostic),
+    and the rollup reports kept/dropped per language. One max_by per
+    content group + one language rollup; survivorship at 100 TB is the
+    same two partial-agg shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("h"),
+        F.length("text").alias("quality"),
+    )
+    kept = keyed.groupBy("h").agg(
+        F.expr("max_by(doc_id, struct(quality, -doc_id))").alias("keep_id"),
+        F.count("*").alias("group_size"),
+        F.first("lang").alias("lang_any"),
+    )
+    return (
+        keyed.join(
+            kept.select("h", "keep_id"), "h"
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("doc_id") == F.col("keep_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("doc_id") != F.col("keep_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+        .orderBy("lang")
+    )
+
+
+DEDUP_QUALITY_KEEPER_SQL = """
+WITH keyed AS (
+  SELECT doc_id, lang, md5(text) AS h, length(text) AS quality
+  FROM documents
+),
+kept AS (
+  SELECT h,
+         (ARRAY_AGG(doc_id ORDER BY quality DESC, doc_id ASC))[1] AS keep_id
+  FROM keyed GROUP BY h
+)
+SELECT k.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN k.doc_id = t.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN k.doc_id <> t.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM keyed k JOIN kept t USING (h)
+GROUP BY k.lang ORDER BY k.lang
+"""
+
+QUERIES["dedup_quality_keeper"] = Q(
+    dedup_quality_keeper,
+    DEDUP_QUALITY_KEEPER_SQL,
+    "survivorship: exact-dup groups keep the best-quality member (deterministic pick)",
+)
