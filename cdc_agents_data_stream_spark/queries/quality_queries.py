@@ -819,3 +819,65 @@ QUERIES["type_diversity_index"] = Q(
     TYPE_DIVERSITY_INDEX_SQL,
     "log-free Gini-Simpson diversity of the daily event mix (ppm grid)",
 )
+
+
+def join_key_skew_report(spark, sf_dir):
+    """Join-key skew diagnostic — the profile that decides salting /
+    AQE-skew-join settings before a big join ships: per candidate key
+    (events.user_id, lineitem.l_orderkey), the key count, max and mean
+    per-key cardinality, and the max/mean skew ratio ppm. One partial
+    agg per key column + a 2-row fold; the report is what the engine's
+    `skew_salted_join` gate acts on."""
+    ev = load(spark, sf_dir, "events")
+    li = load(spark, sf_dir, "lineitem")
+
+    def profile(df, col, label):
+        per_key = df.groupBy(col).agg(F.count("*").alias("n"))
+        return per_key.agg(
+            F.lit(label).alias("key_col"),
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.max("n").cast("bigint").alias("max_rows"),
+            F.expr("SUM(n) DIV COUNT(*)").cast("bigint").alias("mean_rows"),
+            F.expr("MAX(n) * 1000000 DIV (SUM(n) DIV COUNT(*))")
+            .cast("bigint")
+            .alias("skew_ratio_ppm"),
+        )
+
+    return (
+        profile(ev, "user_id", "events.user_id")
+        .unionAll(profile(li, "l_orderkey", "lineitem.l_orderkey"))
+        .orderBy("key_col")
+    )
+
+
+JOIN_KEY_SKEW_REPORT_SQL = """
+WITH e AS (
+  SELECT COUNT(*) AS n FROM events GROUP BY user_id
+),
+l AS (
+  SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey
+),
+pe AS (
+  SELECT 'events.user_id' AS key_col, COUNT(*) AS n_keys, SUM(n) AS n_rows,
+         MAX(n) AS max_rows, SUM(n) // COUNT(*) AS mean_rows,
+         MAX(n) * 1000000 // (SUM(n) // COUNT(*)) AS skew_ratio_ppm
+  FROM e
+),
+pl AS (
+  SELECT 'lineitem.l_orderkey' AS key_col, COUNT(*) AS n_keys, SUM(n) AS n_rows,
+         MAX(n) AS max_rows, SUM(n) // COUNT(*) AS mean_rows,
+         MAX(n) * 1000000 // (SUM(n) // COUNT(*)) AS skew_ratio_ppm
+  FROM l
+)
+SELECT key_col, CAST(n_keys AS BIGINT) AS n_keys, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(max_rows AS BIGINT) AS max_rows, CAST(mean_rows AS BIGINT) AS mean_rows,
+       CAST(skew_ratio_ppm AS BIGINT) AS skew_ratio_ppm
+FROM (SELECT * FROM pe UNION ALL SELECT * FROM pl) ORDER BY key_col
+"""
+
+QUERIES["join_key_skew_report"] = Q(
+    join_key_skew_report,
+    JOIN_KEY_SKEW_REPORT_SQL,
+    "join-key skew profile: per-key cardinality extremes and max/mean ratio ppm",
+)
