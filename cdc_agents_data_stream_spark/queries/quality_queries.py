@@ -881,3 +881,82 @@ QUERIES["join_key_skew_report"] = Q(
     JOIN_KEY_SKEW_REPORT_SQL,
     "join-key skew profile: per-key cardinality extremes and max/mean ratio ppm",
 )
+
+
+def customer_rfm_segments(spark, sf_dir):
+    """RFM segmentation — recency / frequency / monetary quartiles per
+    customer, the classic lifecycle-marketing rollup: one per-customer
+    aggregate, three deterministic NTILE(4) passes (each on a total
+    order — metric then customer key — so quartile edges are
+    engine-agnostic), and the 3-digit segment code rollup. Output is the
+    ≤64-row segment census with average spend cents."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    end = o.agg(F.max(F.to_date("o_orderdate")).alias("end_day"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+            F.count("*").alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+        )
+        .crossJoin(F.broadcast(end))
+        .select(
+            "o_custkey",
+            F.datediff("end_day", "last_day").alias("rec_days"),
+            "freq",
+            "cents",
+        )
+    )
+    seg = per_cust.select(
+        "o_custkey",
+        "cents",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("rec_days").asc(), F.col("o_custkey").asc()))
+        .alias("r"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("freq").desc(), F.col("o_custkey").asc()))
+        .alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("cents").desc(), F.col("o_custkey").asc()))
+        .alias("m"),
+    )
+    return (
+        seg.groupBy((F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.expr("SUM(cents) DIV COUNT(*)").cast("bigint").alias("avg_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+CUSTOMER_RFM_SEGMENTS_SQL = """
+WITH end_day AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS end_day FROM orders),
+per_cust AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(CAST(o_orderdate AS DATE)), e.end_day) AS rec_days,
+         COUNT(*) AS freq,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders CROSS JOIN end_day e
+  GROUP BY o_custkey, e.end_day
+),
+seg AS (
+  SELECT o_custkey, cents,
+         NTILE(4) OVER (ORDER BY rec_days ASC, o_custkey ASC) AS r,
+         NTILE(4) OVER (ORDER BY freq DESC, o_custkey ASC) AS f,
+         NTILE(4) OVER (ORDER BY cents DESC, o_custkey ASC) AS m
+  FROM per_cust
+)
+SELECT r * 100 + f * 10 + m AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) // COUNT(*) AS BIGINT) AS avg_cents
+FROM seg GROUP BY 1 ORDER BY segment
+"""
+
+QUERIES["customer_rfm_segments"] = Q(
+    customer_rfm_segments,
+    CUSTOMER_RFM_SEGMENTS_SQL,
+    "RFM quartile segmentation with deterministic ntile edges, segment census",
+)
