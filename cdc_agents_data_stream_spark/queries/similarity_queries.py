@@ -1126,3 +1126,57 @@ QUERIES["ann_nprobe_recall_sweep"] = Q(
     ANN_NPROBE_RECALL_SWEEP_SQL,
     "IVF tuning curve: recall@5 at nprobe 1/2/4 in one query",
 )
+
+
+def embedding_norm_qc(spark, sf_dir):
+    """Vector-lake quality control — the screen an embedding corpus runs
+    before indexing: per-vector squared L2 norm on the exact micro grid
+    (Σ of integer squares via one codegen AGGREGATE over the array — no
+    Python, no shuffle), log2-bucketed into a ≤~50-row histogram, plus
+    the census of degenerate vectors (zero norm) and norm outliers
+    (norm² beyond 4× the unit grid — ‖v‖ > 2). Map-side everything;
+    one bounded partial agg."""
+    emb = load(spark, sf_dir, "embeddings")
+    GRID2 = 1_000_000 * 1_000_000  # micro-grid squared == unit norm²
+    m = emb.select(
+        F.expr(
+            "aggregate(transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+        ).alias("n2")
+    )
+    return (
+        m.select(
+            F.when(F.col("n2") == 0, F.lit(-1))
+            .otherwise(F.length(F.bin(F.col("n2"))) - 1)
+            .alias("bucket"),
+            F.col("n2"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum(F.when(F.col("n2") > 4 * F.lit(GRID2), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("bucket")
+    )
+
+
+EMBEDDING_NORM_QC_SQL = """
+WITH m AS (
+  SELECT list_sum(list_transform(embedding,
+           v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
+                * CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT))) AS n2
+  FROM embeddings
+)
+SELECT CASE WHEN n2 = 0 THEN -1 ELSE length(to_base(CAST(n2 AS BIGINT), 2)) - 1 END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN n2 > 4 * 1000000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM m GROUP BY 1 ORDER BY bucket
+"""
+
+QUERIES["embedding_norm_qc"] = Q(
+    embedding_norm_qc,
+    EMBEDDING_NORM_QC_SQL,
+    "embedding QC: exact micro-grid norm histogram + degenerate/outlier census",
+)
