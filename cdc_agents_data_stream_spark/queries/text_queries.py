@@ -1643,3 +1643,64 @@ QUERIES["bpe_vocab_compression"] = Q(
     _bpe_compression_oracle_sql(),
     "corpus token count after each BPE merge round (compression curve)",
 )
+
+
+def lang_confusion_matrix(spark, sf_dir):
+    """Classifier evaluation joined to ground truth: the stopword-voting
+    language-ID's confusion matrix against the labeled language, with
+    per-cell recall share ppm (cell count / actual-class total). The
+    per-doc prediction is the existing map-side lang_id kernel; the
+    matrix is one ≤16-row aggregation + a broadcast of the per-class
+    totals — classifier eval never costs more than the scoring pass."""
+    preds = T.lang_id(load(spark, sf_dir, "documents")).select(
+        "labeled_lang", "pred_lang"
+    )
+    cells = preds.groupBy("labeled_lang", "pred_lang").agg(
+        F.count("*").alias("n")
+    )
+    totals = cells.groupBy("labeled_lang").agg(F.sum("n").alias("n_actual"))
+    return (
+        cells.join(F.broadcast(totals), "labeled_lang")
+        .select(
+            "labeled_lang",
+            "pred_lang",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("n * 1000000 DIV n_actual").cast("bigint").alias("recall_ppm"),
+        )
+        .orderBy("labeled_lang", "pred_lang")
+    )
+
+
+LANG_CONFUSION_MATRIX_SQL = f"""
+WITH t AS (
+  SELECT lang AS labeled_lang,
+         len(list_filter(string_split(text,' '), x -> list_contains({_sql_set('en')}, x))) AS hits_en,
+         len(list_filter(string_split(text,' '), x -> list_contains({_sql_set('es')}, x))) AS hits_es,
+         len(list_filter(string_split(text,' '), x -> list_contains({_sql_set('de')}, x))) AS hits_de,
+         len(list_filter(string_split(text,' '), x -> list_contains({_sql_set('fr')}, x))) AS hits_fr
+  FROM documents
+),
+preds AS (
+  SELECT labeled_lang,
+         CASE WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+              WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
+              WHEN hits_de >= hits_fr THEN 'de'
+              ELSE 'fr' END AS pred_lang
+  FROM t
+),
+cells AS (
+  SELECT labeled_lang, pred_lang, COUNT(*) AS n
+  FROM preds GROUP BY 1, 2
+),
+totals AS (SELECT labeled_lang, SUM(n) AS n_actual FROM cells GROUP BY 1)
+SELECT c.labeled_lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
+       CAST(c.n * 1000000 // t.n_actual AS BIGINT) AS recall_ppm
+FROM cells c JOIN totals t USING (labeled_lang)
+ORDER BY c.labeled_lang, c.pred_lang
+"""
+
+QUERIES["lang_confusion_matrix"] = Q(
+    lang_confusion_matrix,
+    LANG_CONFUSION_MATRIX_SQL,
+    "language-ID confusion matrix vs labels with per-class recall ppm",
+)
