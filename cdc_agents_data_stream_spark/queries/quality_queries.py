@@ -960,3 +960,54 @@ QUERIES["customer_rfm_segments"] = Q(
     CUSTOMER_RFM_SEGMENTS_SQL,
     "RFM quartile segmentation with deterministic ntile edges, segment census",
 )
+
+
+def order_value_benford(spark, sf_dir):
+    """Benford first-digit screen over order totals — the forensic
+    data-QA pass for financial columns: leading-digit counts and shares
+    on the ppm grid (digit extracted by pure string math on the exact
+    cent integers — no float log), one ≤9-row aggregation. Compare the
+    shape against Benford's log-curve offline; the gate pins the exact
+    counts."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+                1,
+                1,
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .crossJoin(
+            F.broadcast(o.agg(F.count("*").cast("bigint").alias("n_all")))
+        )
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000000 DIV n_all").cast("bigint").alias("share_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+ORDER_VALUE_BENFORD_SQL = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+),
+n_all AS (SELECT COUNT(*) AS n_all FROM orders)
+SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) * 1000000 // a.n_all AS BIGINT) AS share_ppm
+FROM d CROSS JOIN n_all a
+GROUP BY digit, a.n_all ORDER BY digit
+"""
+
+QUERIES["order_value_benford"] = Q(
+    order_value_benford,
+    ORDER_VALUE_BENFORD_SQL,
+    "Benford first-digit census of order totals (exact string math, ppm shares)",
+)
