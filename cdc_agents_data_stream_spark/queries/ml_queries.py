@@ -713,3 +713,90 @@ QUERIES["ab_test_analysis"] = Q(
     AB_TEST_ANALYSIS_SQL,
     "A/B readout on the md5 split: conversion ppm per arm + uplift contrast",
 )
+
+
+_CM_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def daily_type_comoments(spark, sf_dir):
+    """Cross-series co-moments — the correlation-matrix precursor for
+    the five daily revenue series (one per event type): the corpus
+    pivots map-side into a (day × 5) grid by conditional aggregation
+    (never a self-join on day), then ONE tiny aggregation carries every
+    pairwise Σxy plus the marginals — 15 (i≤j) rows whose shuffle is
+    series²-sized regardless of corpus size, the same partial-moments
+    shape as `embedding_covariance`. All sums exact on the cent grid."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("event_type") == t, F.col("cents")).otherwise(0)
+                ).alias(f"x_{t}")
+                for t in _CM_TYPES
+            ]
+        )
+    )
+    aggs = [F.count("*").cast("bigint").alias("n_days")]
+    pairs = []
+    for i, a in enumerate(_CM_TYPES):
+        for b in _CM_TYPES[i:]:
+            pairs.append((a, b))
+            aggs.append(
+                F.sum(F.expr(f"x_{a} * x_{b}")).cast("bigint").alias(f"sxy_{a}_{b}")
+            )
+    for t in _CM_TYPES:
+        aggs.append(F.sum(f"x_{t}").cast("bigint").alias(f"sx_{t}"))
+    wide = daily.agg(*aggs)
+    rows = [
+        wide.select(
+            F.lit(a).alias("series_a"),
+            F.lit(b).alias("series_b"),
+            F.col("n_days"),
+            F.col(f"sx_{a}").alias("sum_a"),
+            F.col(f"sx_{b}").alias("sum_b"),
+            F.col(f"sxy_{a}_{b}").alias("sum_ab"),
+        )
+        for a, b in pairs
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("series_a", "series_b")
+
+
+def _comoments_oracle_sql() -> str:
+    cols = ", ".join(
+        f"SUM(CASE WHEN event_type = '{t}' THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS x_{t}"
+        for t in _CM_TYPES
+    )
+    selects = []
+    for i, a in enumerate(_CM_TYPES):
+        for b in _CM_TYPES[i:]:
+            selects.append(
+                f"SELECT '{a}' AS series_a, '{b}' AS series_b, "
+                f"CAST(COUNT(*) AS BIGINT) AS n_days, "
+                f"CAST(SUM(x_{a}) AS BIGINT) AS sum_a, "
+                f"CAST(SUM(x_{b}) AS BIGINT) AS sum_b, "
+                f"CAST(SUM(x_{a} * x_{b}) AS BIGINT) AS sum_ab FROM daily"
+            )
+    return (
+        "WITH daily AS (\n  SELECT CAST(ts AS DATE) AS day, "
+        + cols
+        + "\n  FROM events GROUP BY 1\n)\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY series_a, series_b"
+    )
+
+
+QUERIES["daily_type_comoments"] = Q(
+    daily_type_comoments,
+    _comoments_oracle_sql(),
+    "pairwise co-moments of the five daily revenue series (correlation precursor)",
+)
