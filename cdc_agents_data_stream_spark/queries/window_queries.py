@@ -1689,3 +1689,74 @@ QUERIES["ts_sax_motifs"] = Q(
     TS_SAX_MOTIFS_SQL,
     "SAX time-series motif discovery: symbolized sliding windows, global top-10",
 )
+
+
+def cohort_ltv_curve(spark, sf_dir):
+    """Cohort lifetime-value curve — the revenue counterpart of the
+    retention triangle: users cohort by first-seen week, revenue buckets
+    by whole weeks since that first touch (epoch-day arithmetic DIV 7 —
+    convention-free, like `seasonality_dow`), and each (cohort, age)
+    cell reports exact cents plus the cohort's cumulative LTV. Two
+    aggregations + one bounded window over the ≤|weeks|² triangle."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        (F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(86_400_000))
+        .cast("bigint")
+        .alias("eday"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    first = base.groupBy("user_id").agg(F.min("eday").alias("d0"))
+    cells = (
+        base.join(first, "user_id")
+        .select(
+            F.expr("d0 DIV 7").alias("cohort_week"),
+            F.expr("(eday - d0) DIV 7").alias("age_weeks"),
+            "cents",
+        )
+        .groupBy("cohort_week", "age_weeks")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_weeks").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cells.withColumn("cum_cents", F.sum("cents").over(w))
+        .select(
+            "cohort_week",
+            "age_weeks",
+            F.col("cents").cast("bigint").alias("cents"),
+            F.col("cum_cents").cast("bigint").alias("cum_cents"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
+
+
+COHORT_LTV_CURVE_SQL = """
+WITH base AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS eday,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+first AS (SELECT user_id, MIN(eday) AS d0 FROM base GROUP BY user_id),
+cells AS (
+  SELECT f.d0 // 7 AS cohort_week, (b.eday - f.d0) // 7 AS age_weeks,
+         SUM(b.cents) AS cents
+  FROM base b JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+       CAST(age_weeks AS BIGINT) AS age_weeks,
+       CAST(cents AS BIGINT) AS cents,
+       CAST(SUM(cents) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM cells ORDER BY cohort_week, age_weeks
+"""
+
+QUERIES["cohort_ltv_curve"] = Q(
+    cohort_ltv_curve,
+    COHORT_LTV_CURVE_SQL,
+    "weekly-cohort LTV curve: exact cents per age cell + cumulative per cohort",
+)
