@@ -1011,3 +1011,65 @@ QUERIES["order_value_benford"] = Q(
     ORDER_VALUE_BENFORD_SQL,
     "Benford first-digit census of order totals (exact string math, ppm shares)",
 )
+
+
+def supplier_hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation — the market-concentration screen: per-supplier revenue
+    cents (one partial agg over lineitem ⋈ broadcast supplier), then
+    HHI = Σ cᵢ²·10⁶ DIV (Σ cᵢ)² per nation on DECIMAL(38,0) (supplier
+    revenue squares pass int64 at sf≥0.1). Output joins the broadcast
+    nation dim for names — ≤25 rows at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    per_sup = (
+        li.select(
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("cents").alias("rev"))
+        .join(F.broadcast(sup), "l_suppkey")
+    )
+    return (
+        per_sup.groupBy("s_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.sum("rev").cast("bigint").alias("rev_cents"),
+            F.expr(
+                "CAST(SUM(CAST(rev AS DECIMAL(38,0)) * rev) * 1000000 "
+                "DIV (CAST(SUM(CAST(rev AS DECIMAL(38,0))) AS DECIMAL(38,0)) "
+                "* SUM(CAST(rev AS DECIMAL(38,0)))) AS BIGINT)"
+            ).alias("hhi_ppm"),
+        )
+        .join(F.broadcast(nation), "s_nationkey")
+        .select("n_name", "n_suppliers", "rev_cents", "hhi_ppm")
+        .orderBy("n_name")
+    )
+
+
+SUPPLIER_HHI_CONCENTRATION_SQL = """
+WITH per_sup AS (
+  SELECT l.l_suppkey, s.s_nationkey,
+         SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS rev
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+)
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(rev) AS BIGINT) AS rev_cents,
+       CAST(SUM(rev * rev) * 1000000 // (SUM(rev) * SUM(rev)) AS BIGINT) AS hhi_ppm
+FROM per_sup p JOIN nation n ON n.n_nationkey = p.s_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+QUERIES["supplier_hhi_concentration"] = Q(
+    supplier_hhi_concentration,
+    SUPPLIER_HHI_CONCENTRATION_SQL,
+    "Herfindahl concentration of supplier revenue per nation (exact ppm)",
+)
