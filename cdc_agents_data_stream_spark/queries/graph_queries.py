@@ -526,3 +526,100 @@ QUERIES["graph_degree_histogram"] = Q(
     GRAPH_DEGREE_HISTOGRAM_SQL,
     "log2-bucketed degree distribution of the purchase graph (skew profile)",
 )
+
+
+_KCORE_ROUNDS = 3
+_KCORE_K = 3
+
+
+def graph_kcore_prune(spark, sf_dir):
+    """k-core decomposition by iterative degree pruning — the subgraph-
+    shrinking loop (peel nodes of degree < k, which lowers neighbors'
+    degrees, repeat): 3 unrolled rounds at k=3 over the purchase graph,
+    each round one degree aggregation + one semi-join that SHRINKS the
+    edge list — the working set only ever gets smaller, the property
+    that makes peeling cheap at 100 TB (full convergence would loop
+    to fixpoint with a driver-side empty-delta check; 3 rounds are
+    unrolled here so the oracle replays the identical prefix). Output:
+    surviving-core per-side node and edge counts plus the minimum
+    surviving degree per round-3 side."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey").cast("long") * 2).alias("u"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    for _ in range(_KCORE_ROUNDS):
+        und = edges.select("u", "v").unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        deg = und.groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= _KCORE_K).select(F.col("u").alias("node"))
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+    und = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    return (
+        deg.select(
+            F.when(F.col("u") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("side"),
+            "d",
+        )
+        .groupBy("side")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("n_half_edges"),
+            F.min("d").cast("bigint").alias("min_degree"),
+        )
+        .orderBy("side")
+    )
+
+
+def _kcore_oracle_sql() -> str:
+    sql = """WITH e0 AS (
+  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) * 2 AS u,
+                  CAST(l.l_suppkey AS BIGINT) * 2 + 1 AS v
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)"""
+    for r in range(_KCORE_ROUNDS):
+        sql += f""",
+d{r} AS (
+  SELECT u, COUNT(*) AS d FROM (
+    SELECT u, v FROM e{r} UNION ALL SELECT v AS u, u AS v FROM e{r}
+  ) GROUP BY u
+),
+k{r} AS (SELECT u AS node FROM d{r} WHERE d >= {_KCORE_K}),
+e{r + 1} AS (
+  SELECT e.u, e.v FROM e{r} e
+  WHERE e.u IN (SELECT node FROM k{r}) AND e.v IN (SELECT node FROM k{r})
+)"""
+    r = _KCORE_ROUNDS
+    sql += f""",
+dfin AS (
+  SELECT u, COUNT(*) AS d FROM (
+    SELECT u, v FROM e{r} UNION ALL SELECT v AS u, u AS v FROM e{r}
+  ) GROUP BY u
+)
+SELECT CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(d) AS BIGINT) AS n_half_edges,
+       CAST(MIN(d) AS BIGINT) AS min_degree
+FROM dfin GROUP BY 1 ORDER BY side"""
+    return sql
+
+
+QUERIES["graph_kcore_prune"] = Q(
+    graph_kcore_prune,
+    _kcore_oracle_sql(),
+    "k-core peeling: 3 rounds of degree pruning over the purchase graph",
+)
