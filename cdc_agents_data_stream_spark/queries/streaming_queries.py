@@ -1717,3 +1717,125 @@ QUERIES["ivm_agg_retraction"] = Q(
     IVM_AGG_RETRACTION_SQL,
     "weighted-IVM aggregate maintenance under updates/deletes == recomputed state",
 )
+
+
+def stream_ivm_retraction(spark, sf_dir):
+    """LIVE weighted-IVM maintenance — the batched `ivm_agg_retraction`
+    algebra running under Structured Streaming: the orders change log
+    (inserts, then re-prices as (−old,+new) pairs, then cancels as
+    retractions) is staged as three tick files, and each foreachBatch
+    pass folds ONLY its delta into the persisted view (read-modify-
+    write of the |keys|-sized aggregate — prior deltas are never
+    touched). Trigger.AvailableNow drains the ticks in order; the final
+    maintained view must equal the directly-computed final state. The
+    shape is the production continuous-aggregate loop: delta-sized
+    input, key-sized state, associative merge."""
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    cur = F.when(F.col("k") % 3 == 0, F.col("c") + 1000).otherwise(F.col("c"))
+    ticks = [
+        o.select("o_orderpriority", F.lit(1).alias("w"), F.col("c").alias("wc")),
+        o.filter(F.col("k") % 3 == 0)
+        .select("o_orderpriority", F.lit(-1).alias("w"), F.col("c").alias("wc"))
+        .unionAll(
+            o.filter(F.col("k") % 3 == 0).select(
+                "o_orderpriority", F.lit(1).alias("w"), (F.col("c") + 1000).alias("wc")
+            )
+        ),
+        o.filter(F.col("k") % 7 == 0).select(
+            "o_orderpriority", F.lit(-1).alias("w"), cur.alias("wc")
+        ),
+    ]
+    base = tempfile.mkdtemp(prefix="stream-ivm-")
+    view_dir = f"{base}/view"
+    try:
+        os.makedirs(f"{base}/in")
+        for i, t in enumerate(ticks):
+            t.coalesce(1).write.parquet(f"{base}/in/tick-{i}", mode="overwrite")
+            for f in os.listdir(f"{base}/in/tick-{i}"):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        f"{base}/in/tick-{i}/{f}", f"{base}/in/tick-{i}.parquet"
+                    )
+            shutil.rmtree(f"{base}/in/tick-{i}")
+
+        def handle(batch_df, batch_id):
+            delta = batch_df.groupBy("o_orderpriority").agg(
+                F.sum("w").alias("n_live"),
+                F.sum(F.expr("CAST(w AS BIGINT) * wc")).alias("revenue_cents"),
+            )
+            if os.path.isdir(view_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(view_dir)
+            ):
+                prior = spark.read.parquet(view_dir)
+                delta = (
+                    prior.unionByName(delta)
+                    .groupBy("o_orderpriority")
+                    .agg(
+                        F.sum("n_live").alias("n_live"),
+                        F.sum("revenue_cents").alias("revenue_cents"),
+                    )
+                )
+            tmp = f"{base}/view-next"
+            delta.coalesce(1).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(view_dir, ignore_errors=True)
+            os.rename(tmp, view_dir)
+
+        stream = (
+            spark.readStream.schema("o_orderpriority string, w int, wc long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/in")
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout=300)
+        finally:
+            q.stop()
+        out = spark.read.parquet(view_dir).select(
+            "o_orderpriority",
+            F.col("n_live").cast("bigint").alias("n_live"),
+            F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+        )
+        collected = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        collected, "o_orderpriority string, n_live long, revenue_cents long"
+    ).orderBy("o_orderpriority")
+
+
+STREAM_IVM_RETRACTION_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+final AS (
+  SELECT o_orderpriority,
+         CASE WHEN k % 3 = 0 THEN c + 1000 ELSE c END AS c
+  FROM base WHERE k % 7 <> 0
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(c) AS BIGINT) AS revenue_cents
+FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+QUERIES["stream_ivm_retraction"] = Q(
+    stream_ivm_retraction,
+    STREAM_IVM_RETRACTION_SQL,
+    "LIVE weighted-IVM view maintenance under retractions == recomputed state",
+)
