@@ -412,3 +412,76 @@ QUERIES["quality_weighted_sample"] = Q(
     QUALITY_WEIGHTED_SAMPLE_SQL,
     "deterministic soft filter: survival probability ∝ quality, md5 coin, zero-shuffle",
 )
+
+
+_PACK_GRID = (256, 512, 1024)
+
+
+def packing_efficiency_grid(spark, sf_dir):
+    """Sequence-length budget tuning: the packing kernel evaluated at
+    three max-token budgets in one result — per budget, bins opened,
+    docs per bin (×1000 grid), and fill ratio ppm (packed tokens ÷ bin
+    capacity). Each budget reuses the identical shard/prefix-sum plan
+    (the config is a literal, so Catalyst compiles three parallel
+    branches over one scan lineage); the comparison is what picks
+    max_len for a training run."""
+    docs = load(spark, sf_dir, "documents")
+    outs = []
+    for budget in _PACK_GRID:
+        packed = S.pack_sequences(docs, max_tokens=budget, n_shards=8)
+        bins = packed.groupBy("shard", "pack_id").agg(
+            F.count("*").alias("n_docs"), F.sum("n_tokens").alias("toks")
+        )
+        outs.append(
+            bins.agg(
+                F.lit(budget).cast("bigint").alias("max_tokens"),
+                F.count("*").cast("bigint").alias("n_bins"),
+                F.expr("SUM(n_docs) * 1000 DIV COUNT(*)")
+                .cast("bigint")
+                .alias("docs_per_bin_milli"),
+                F.expr(f"SUM(toks) * 1000000 DIV (COUNT(*) * {budget})")
+                .cast("bigint")
+                .alias("fill_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("max_tokens")
+
+
+def _packing_grid_oracle_sql() -> str:
+    selects = []
+    for budget in _PACK_GRID:
+        selects.append(
+            f"""(
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {budget}
+           AS BIGINT) AS pack_id
+  FROM toks
+), bins AS (
+  SELECT shard, pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS toks
+  FROM packed GROUP BY shard, pack_id
+)
+SELECT CAST({budget} AS BIGINT) AS max_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(n_docs) * 1000 // COUNT(*) AS BIGINT) AS docs_per_bin_milli,
+       CAST(SUM(toks) * 1000000 // (COUNT(*) * {budget}) AS BIGINT) AS fill_ppm
+FROM bins
+)"""
+        )
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY max_tokens"
+
+
+QUERIES["packing_efficiency_grid"] = Q(
+    packing_efficiency_grid,
+    _packing_grid_oracle_sql(),
+    "packing fill/bin stats across three max-token budgets in one result",
+)
