@@ -51,3 +51,45 @@ def test_ewma_closed_form_matches_recursion(spark, seed):
         x = Fraction(daily[d])
         s = x if s is None else (s + x) / 2
         assert got[d] == s.numerator // s.denominator, f"day {d}"
+
+
+@pytest.mark.parametrize("seed", [3, 41])
+def test_auc_matches_bruteforce_pairs(spark, seed):
+    """`auc_roc_exact`'s tie-corrected rank statistic vs the O(n²)
+    definition: AUC = (wins + ties/2) / (n_pos * n_neg), doubled to stay
+    integral. One synthetic day with heavy score ties."""
+    import cdc_agents_data_stream_spark.queries.base as B
+    import cdc_agents_data_stream_spark.queries.ml_queries as M
+
+    rng = random.Random(seed)
+    ts = datetime.datetime(2024, 3, 1, 9, 0, 0)
+    rows = []
+    for i in range(300):
+        pos = rng.random() < 0.3
+        cents = rng.randint(0, 40)  # small domain -> many ties
+        rows.append(
+            (i, ts, "purchase" if pos else "click", cents / 100.0)
+        )
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    orig = B.load
+    try:
+        B.load = lambda _s, _d, _n: ev
+        M.load = B.load
+        got = M.auc_roc_exact(spark, "ignored").collect()
+    finally:
+        B.load = orig
+        M.load = orig
+    assert len(got) == 1
+    r = got[0]
+    pos_scores = [round(v * 100) for (_, _, t, v) in rows if t == "purchase"]
+    neg_scores = [round(v * 100) for (_, _, t, v) in rows if t != "purchase"]
+    u2 = sum(
+        2 if p > n else (1 if p == n else 0)
+        for p in pos_scores
+        for n in neg_scores
+    )
+    assert (r["n_pos"], r["n_neg"]) == (len(pos_scores), len(neg_scores))
+    assert r["u2"] == u2
+    assert r["auc_ppm"] == u2 * 1_000_000 // (2 * len(pos_scores) * len(neg_scores))
