@@ -93,3 +93,53 @@ def test_auc_matches_bruteforce_pairs(spark, seed):
     assert (r["n_pos"], r["n_neg"]) == (len(pos_scores), len(neg_scores))
     assert r["u2"] == u2
     assert r["auc_ppm"] == u2 * 1_000_000 // (2 * len(pos_scores) * len(neg_scores))
+
+
+def test_survival_table_matches_bruteforce(spark):
+    """`survival_hazard_table` risk sets vs direct enumeration: for each
+    duration t, n_risk must equal the count of users with duration >= t."""
+    import cdc_agents_data_stream_spark.queries.base as B
+    import cdc_agents_data_stream_spark.queries.ml_queries as M
+
+    rng = random.Random(11)
+    rows = []
+    user_days = {}
+    for u in range(40):
+        birth = rng.randint(0, 5)
+        n_ev = rng.randint(1, 6)
+        days = sorted(rng.sample(range(birth, 20), min(n_ev, 20 - birth)))
+        purchase_day = None
+        for i, d in enumerate(days):
+            typ = "purchase" if (purchase_day is None and rng.random() < 0.3) else "view"
+            if typ == "purchase":
+                purchase_day = d
+            rows.append(
+                (len(rows), datetime.datetime(2024, 1, 1 + d, 8), typ, 1.0, u)
+            )
+        user_days[u] = (days[0], purchase_day)
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double, user_id long"
+    )
+    orig = B.load
+    try:
+        B.load = lambda _s, _d, _n: ev
+        M.load = B.load
+        got = {r["t"]: r for r in M.survival_hazard_table(spark, "ignored").collect()}
+    finally:
+        B.load = orig
+        M.load = orig
+
+    # durations per the gate's contract: censor at the global max day
+    max_day = max(ts.day - 1 for (_, ts, _, _, _) in rows)
+    durs = []
+    for u, (b, p) in user_days.items():
+        if p is not None:
+            durs.append((p - b, 1))
+        else:
+            durs.append((max_day - b, 0))
+    for t, row in got.items():
+        n_risk = sum(1 for d, _ in durs if d >= t)
+        d_t = sum(1 for d, e in durs if d == t and e == 1)
+        c_t = sum(1 for d, e in durs if d == t and e == 0)
+        assert row["n_risk"] == n_risk, f"t={t}"
+        assert row["d"] == d_t and row["c"] == c_t, f"t={t}"
