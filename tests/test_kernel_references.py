@@ -143,3 +143,48 @@ def test_survival_table_matches_bruteforce(spark):
         c_t = sum(1 for d, e in durs if d == t and e == 0)
         assert row["n_risk"] == n_risk, f"t={t}"
         assert row["d"] == d_t and row["c"] == c_t, f"t={t}"
+
+
+def test_tree_split_matches_bruteforce(spark):
+    """`tree_split_histogram`'s cumulative-histogram gains vs direct
+    evaluation of every threshold on the raw rows (exact rationals)."""
+    import cdc_agents_data_stream_spark.queries.base as B
+    import cdc_agents_data_stream_spark.queries.ml_queries as M
+
+    rng = random.Random(5)
+    ts = datetime.datetime(2024, 2, 2, 10)
+    rows = []
+    for i in range(500):
+        dollars = rng.randint(0, 30)
+        # make purchases likelier at high values so gains are non-trivial
+        pos = rng.random() < (0.1 + 0.02 * dollars)
+        rows.append((i, ts, "purchase" if pos else "view", dollars + 0.25))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    orig = B.load
+    try:
+        B.load = lambda _s, _d, _n: ev
+        M.load = B.load
+        got = [
+            (r["threshold_dollar"], r["n_left"], r["pos_left"], r["gain_ppm"])
+            for r in M.tree_split_histogram(spark, "ignored").collect()
+        ]
+    finally:
+        B.load = orig
+        M.load = orig
+
+    data = [(int(round((v) * 100)) // 100, t == "purchase") for (_, _, t, v) in rows]
+    n = len(data)
+    pos = sum(1 for _, p in data if p)
+    scored = []
+    for thr in sorted({d for d, _ in data}):
+        n_l = sum(1 for d, _ in data if d <= thr)
+        if n_l == n:
+            continue
+        pos_l = sum(1 for d, p in data if d <= thr and p)
+        num = (pos_l * n - pos * n_l) ** 2 * 1_000_000
+        den = n_l * (n - n_l) * pos * (n - pos)
+        scored.append((thr, n_l, pos_l, num // den))
+    scored.sort(key=lambda x: (-x[3], x[0]))
+    assert got == scored[:5]
