@@ -472,3 +472,72 @@ QUERIES["log2_histogram_quantiles"] = Q(
     LOG2_HISTOGRAM_QUANTILES_SQL,
     "mergeable base-2 log histogram sketch with bounded-error P50/P99",
 )
+
+
+def log2_hist_merge_parity(spark, sf_dir):
+    """Mergeability proof for the base-2 quantile sketch (the property
+    `hll_merge_parity` pins for HLL registers): per-day partial
+    histograms summed across days must equal the histogram built in one
+    global pass — bucket for bucket. The query builds BOTH and emits one
+    row per (event_type, bucket) with the two counts and their
+    (structurally zero) difference; any nonzero diff fails the oracle
+    because the oracle computes the single-pass truth for both
+    columns."""
+    ev = load(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        (
+            F.length(
+                F.bin(
+                    F.greatest(
+                        F.lit(1), F.round(F.col("value") * 100).cast("bigint")
+                    )
+                )
+            )
+            - 1
+        ).alias("bucket"),
+    )
+    daily = binned.groupBy("event_type", "day", "bucket").agg(
+        F.count("*").alias("part")
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.sum("part").cast("bigint").alias("n_merged")
+    )
+    direct = binned.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_direct")
+    )
+    return (
+        merged.join(direct, ["event_type", "bucket"])
+        .select(
+            "event_type",
+            "bucket",
+            "n_merged",
+            "n_direct",
+            (F.col("n_merged") - F.col("n_direct")).cast("bigint").alias("diff"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+LOG2_HIST_MERGE_PARITY_SQL = """
+WITH binned AS (
+  SELECT event_type,
+         length(to_base(GREATEST(1, CAST(ROUND(value * 100) AS BIGINT)), 2)) - 1 AS bucket
+  FROM events
+),
+direct AS (
+  SELECT event_type, bucket, COUNT(*) AS n FROM binned GROUP BY 1, 2
+)
+SELECT event_type, bucket,
+       CAST(n AS BIGINT) AS n_merged,
+       CAST(n AS BIGINT) AS n_direct,
+       CAST(0 AS BIGINT) AS diff
+FROM direct ORDER BY event_type, bucket
+"""
+
+QUERIES["log2_hist_merge_parity"] = Q(
+    log2_hist_merge_parity,
+    LOG2_HIST_MERGE_PARITY_SQL,
+    "day-sharded sketch partials merge exactly to the global histogram",
+)
