@@ -1839,3 +1839,96 @@ QUERIES["stream_ivm_retraction"] = Q(
     STREAM_IVM_RETRACTION_SQL,
     "LIVE weighted-IVM view maintenance under retractions == recomputed state",
 )
+
+
+def stream_topk_leaderboard(spark, sf_dir):
+    """LIVE maintained top-k — the leaderboard loop: per-user spend
+    totals accumulate across three micro-batches in a keyed view
+    (delta-sized input folded into |keys|-sized state per batch, the
+    `stream_ivm_retraction` merge), and the top 10 is extracted from
+    the maintained view at read time — never maintained as ranked
+    state, because rank is a pure function of the view (the standard
+    production trick: maintain the additive aggregate, derive the
+    order). Final leaderboard must equal the batch-computed one."""
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % 3).alias("tick"),
+    )
+    base = tempfile.mkdtemp(prefix="stream-topk-")
+    view_dir = f"{base}/view"
+    try:
+        os.makedirs(f"{base}/in")
+        for i in range(3):
+            part = ev.filter(F.col("tick") == i).drop("tick")
+            part.coalesce(1).write.parquet(f"{base}/in/t{i}", mode="overwrite")
+            for f in os.listdir(f"{base}/in/t{i}"):
+                if f.endswith(".parquet"):
+                    os.rename(f"{base}/in/t{i}/{f}", f"{base}/in/tick-{i}.parquet")
+            shutil.rmtree(f"{base}/in/t{i}")
+
+        def handle(batch_df, batch_id):
+            delta = batch_df.groupBy("user_id").agg(F.sum("cents").alias("cents"))
+            if os.path.isdir(view_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(view_dir)
+            ):
+                delta = (
+                    spark.read.parquet(view_dir)
+                    .unionByName(delta)
+                    .groupBy("user_id")
+                    .agg(F.sum("cents").alias("cents"))
+                )
+            tmp = f"{base}/view-next"
+            delta.coalesce(1).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(view_dir, ignore_errors=True)
+            os.rename(tmp, view_dir)
+
+        stream = (
+            spark.readStream.schema("user_id long, cents long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/in")
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout=300)
+        finally:
+            q.stop()
+        out = (
+            spark.read.parquet(view_dir)
+            .orderBy(F.col("cents").desc(), F.col("user_id").asc())
+            .limit(10)
+            .select(
+                F.col("user_id").cast("bigint").alias("user_id"),
+                F.col("cents").cast("bigint").alias("cents"),
+            )
+        )
+        collected = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    df = spark.createDataFrame(collected, "user_id long, cents long")
+    return df.orderBy(F.col("cents").desc(), F.col("user_id").asc())
+
+
+STREAM_TOPK_LEADERBOARD_SQL = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY user_id
+ORDER BY cents DESC, user_id ASC
+LIMIT 10
+"""
+
+QUERIES["stream_topk_leaderboard"] = Q(
+    stream_topk_leaderboard,
+    STREAM_TOPK_LEADERBOARD_SQL,
+    "LIVE leaderboard: additive keyed view maintained per batch, rank derived at read",
+)
