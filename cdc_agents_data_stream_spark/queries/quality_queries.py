@@ -1073,3 +1073,109 @@ QUERIES["supplier_hhi_concentration"] = Q(
     SUPPLIER_HHI_CONCENTRATION_SQL,
     "Herfindahl concentration of supplier revenue per nation (exact ppm)",
 )
+
+
+def uniform_hash_chi2(spark, sf_dir):
+    """Hash-uniformity audit — the assumption every md5-coin gate
+    (splits, sampling, k-fold, A/B arms) rests on, made measurable: user
+    ids hash into 64 buckets and the χ² statistic against the uniform
+    expectation comes out in exact milli-units via cross-multiplication
+    (Σ(o·k−n)² DIV (n·k), no floats). One 64-row aggregation; the
+    statistic should hover near its k−1 = 63 expectation (×1000)."""
+    ev = load(spark, sf_dir, "events")
+    k = 64
+    buckets = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % k
+            ).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count("*").alias("o"))
+    )
+    tot = buckets.agg(F.sum("o").alias("n"))
+    return buckets.crossJoin(F.broadcast(tot)).agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum("o").cast("bigint").alias("n_keys"),
+        F.min("o").cast("bigint").alias("min_bucket"),
+        F.max("o").cast("bigint").alias("max_bucket"),
+        # empty buckets never reach the groupBy; add their (0·k−n)² = n²
+        # terms explicitly so the statistic is the true χ² over all k bins
+        F.expr(
+            f"CAST((SUM((o * {k} - n) * (o * {k} - n)) "
+            f"+ ({k} - COUNT(*)) * MAX(n) * MAX(n)) * 1000 "
+            f"DIV (MAX(n) * {k}) AS BIGINT)"
+        ).alias("chi2_milli"),
+    )
+
+
+UNIFORM_HASH_CHI2_SQL = """
+WITH buckets AS (
+  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS b,
+         COUNT(*) AS o
+  FROM (SELECT DISTINCT user_id FROM events) GROUP BY 1
+),
+tot AS (SELECT SUM(o) AS n FROM buckets)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(o) AS BIGINT) AS n_keys,
+       CAST(MIN(o) AS BIGINT) AS min_bucket,
+       CAST(MAX(o) AS BIGINT) AS max_bucket,
+       CAST((SUM((o * 64 - t.n) * (o * 64 - t.n)) + (64 - COUNT(*)) * t.n * t.n)
+            * 1000 // (t.n * 64) AS BIGINT) AS chi2_milli
+FROM buckets CROSS JOIN tot t
+GROUP BY t.n
+"""
+
+QUERIES["uniform_hash_chi2"] = Q(
+    uniform_hash_chi2,
+    UNIFORM_HASH_CHI2_SQL,
+    "chi-squared uniformity audit of the md5 bucket coin (exact milli grid)",
+)
+
+
+def id_continuity_audit(spark, sf_dir):
+    """Ingestion-hole audit: event ids bucket by DIV 10000 and each
+    bucket reports observed count, the id span it actually covers, and
+    the missing-id count — the completeness check a CDC consumer runs
+    against a monotone source sequence (SURVEY §2 X6). One distinct +
+    one bounded aggregation; a hole shows as missing > 0 in exactly the
+    bucket that lost data."""
+    ev = load(spark, sf_dir, "events")
+    ids = ev.select(F.col("event_id").alias("id")).distinct()
+    return (
+        ids.select((F.col("id") / 10000).cast("bigint").alias("bucket"), "id")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_present"),
+            F.min("id").cast("bigint").alias("lo"),
+            F.max("id").cast("bigint").alias("hi"),
+            (F.max("id") - F.min("id") + 1 - F.count("*"))
+            .cast("bigint")
+            .alias("n_missing"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ID_CONTINUITY_AUDIT_SQL = """
+WITH ids AS (SELECT DISTINCT event_id AS id FROM events)
+SELECT id // 10000 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_present,
+       CAST(MIN(id) AS BIGINT) AS lo,
+       CAST(MAX(id) AS BIGINT) AS hi,
+       CAST(MAX(id) - MIN(id) + 1 - COUNT(*) AS BIGINT) AS n_missing
+FROM ids GROUP BY 1 ORDER BY bucket
+"""
+
+QUERIES["id_continuity_audit"] = Q(
+    id_continuity_audit,
+    ID_CONTINUITY_AUDIT_SQL,
+    "monotone-id completeness audit: per-bucket span vs present count",
+)
