@@ -1179,3 +1179,44 @@ QUERIES["id_continuity_audit"] = Q(
     ID_CONTINUITY_AUDIT_SQL,
     "monotone-id completeness audit: per-bucket span vs present count",
 )
+
+
+def demand_curve_buckets(spark, sf_dir):
+    """Demand-curve table — quantity response to price: lineitem prices
+    band into fixed $100 buckets (data-independent edges, like the
+    calibration bins), each reporting order-line count, mean quantity
+    (milli grid), and mean discount ppm. One map-side bucket assignment
+    + one bounded aggregation; the econometrics happens on the ≤~1000-row
+    artifact, not the lake."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT) DIV 10000").alias(
+                "price_100"
+            ),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.round(F.col("l_discount") * 1e6).cast("bigint").alias("disc_ppm"),
+        )
+        .groupBy("price_100")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.expr("SUM(qty) * 1000 DIV COUNT(*)").cast("bigint").alias("mean_qty_milli"),
+            F.expr("SUM(disc_ppm) DIV COUNT(*)").cast("bigint").alias("mean_disc_ppm"),
+        )
+        .orderBy("price_100")
+    )
+
+
+DEMAND_CURVE_BUCKETS_SQL = """
+SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 10000 AS price_100,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) * 1000 // COUNT(*) AS BIGINT) AS mean_qty_milli,
+       CAST(SUM(CAST(ROUND(l_discount * 1e6) AS BIGINT)) // COUNT(*) AS BIGINT) AS mean_disc_ppm
+FROM lineitem GROUP BY 1 ORDER BY price_100
+"""
+
+QUERIES["demand_curve_buckets"] = Q(
+    demand_curve_buckets,
+    DEMAND_CURVE_BUCKETS_SQL,
+    "price-bucket demand curve: mean quantity and discount per $100 band",
+)
