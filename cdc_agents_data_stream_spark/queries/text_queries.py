@@ -1704,3 +1704,59 @@ QUERIES["lang_confusion_matrix"] = Q(
     LANG_CONFUSION_MATRIX_SQL,
     "language-ID confusion matrix vs labels with per-class recall ppm",
 )
+
+
+def text_readability_grid(spark, sf_dir):
+    """Readability profiling per language — Flesch-shaped but exact:
+    'syllables' are vowel groups (regexp count, deterministic in both
+    engines), sentences are period-ish splits, and the two Flesch
+    ratios (words/sentence, syllables/word) come out per-language in
+    milli units. Everything is regexp + counting in one codegen pass,
+    then a ≤|langs| rollup — the readability screen a corpus pipeline
+    runs next to the Gopher signals."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("words"),
+        (F.size(F.split("text", "[aeiouy]+")) - 1).cast("bigint").alias("syl"),
+        F.greatest(
+            F.lit(1), (F.size(F.split("text", "[.!?]")) - 1).cast("bigint")
+        ).alias("sents"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("words").cast("bigint").alias("words"),
+            F.expr("SUM(words) * 1000 DIV SUM(sents)")
+            .cast("bigint")
+            .alias("words_per_sent_milli"),
+            F.expr("SUM(syl) * 1000 DIV SUM(words)")
+            .cast("bigint")
+            .alias("syl_per_word_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_READABILITY_GRID_SQL = """
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+         CAST(len(string_split_regex(text, '[aeiouy]+')) - 1 AS BIGINT) AS syl,
+         GREATEST(1, CAST(len(string_split_regex(text, '[.!?]')) - 1 AS BIGINT)) AS sents
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(words) AS BIGINT) AS words,
+       CAST(SUM(words) * 1000 // SUM(sents) AS BIGINT) AS words_per_sent_milli,
+       CAST(SUM(syl) * 1000 // SUM(words) AS BIGINT) AS syl_per_word_milli
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["text_readability_grid"] = Q(
+    text_readability_grid,
+    TEXT_READABILITY_GRID_SQL,
+    "per-language readability ratios (vowel-group syllables, exact milli grid)",
+)
