@@ -1932,3 +1932,102 @@ QUERIES["stream_topk_leaderboard"] = Q(
     STREAM_TOPK_LEADERBOARD_SQL,
     "LIVE leaderboard: additive keyed view maintained per batch, rank derived at read",
 )
+
+
+def stream_restart_resume(spark, sf_dir):
+    """Crash-recovery as a hard-signal gate (the pytest restart contract
+    `test_pipeline_restart_from_checkpoint`, driver-visible): a keyed
+    count view absorbs two ticks under one streaming query, the query
+    object is discarded ("crash"), two MORE ticks are staged, and a NEW
+    query on the SAME checkpoint must resume from the recorded offsets —
+    absorbing exactly the new ticks, never replaying the absorbed ones
+    (the foreachBatch sink is a read-modify-write fold, so one replayed
+    tick would double-count and fail the oracle). Final view == the
+    batch rollup of all four ticks."""
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % 4).alias("tick"),
+    )
+    base = tempfile.mkdtemp(prefix="stream-resume-")
+    view_dir = f"{base}/view"
+    try:
+        os.makedirs(f"{base}/in")
+
+        def stage(i):
+            part = ev.filter(F.col("tick") == i).drop("tick")
+            part.coalesce(1).write.parquet(f"{base}/in/t{i}", mode="overwrite")
+            for f in os.listdir(f"{base}/in/t{i}"):
+                if f.endswith(".parquet"):
+                    os.rename(f"{base}/in/t{i}/{f}", f"{base}/in/tick-{i}.parquet")
+            shutil.rmtree(f"{base}/in/t{i}")
+
+        def handle(batch_df, batch_id):
+            delta = batch_df.groupBy("event_type").agg(
+                F.count("*").alias("n"), F.sum("cents").alias("cents")
+            )
+            if os.path.isdir(view_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(view_dir)
+            ):
+                delta = (
+                    spark.read.parquet(view_dir)
+                    .unionByName(delta)
+                    .groupBy("event_type")
+                    .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+                )
+            tmp = f"{base}/view-next"
+            delta.coalesce(1).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(view_dir, ignore_errors=True)
+            os.rename(tmp, view_dir)
+
+        def run_query():
+            stream = (
+                spark.readStream.schema("event_type string, cents long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{base}/in")
+            )
+            q = (
+                stream.writeStream.foreachBatch(handle)
+                .option("checkpointLocation", f"{base}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(timeout=300)
+            finally:
+                q.stop()
+
+        stage(0); stage(1)
+        run_query()          # absorbs ticks 0-1, then "crashes"
+        stage(2); stage(3)
+        run_query()          # NEW query, same checkpoint: must resume
+        out = spark.read.parquet(view_dir).select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("cents").cast("bigint").alias("cents"),
+        )
+        collected = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        collected, "event_type string, n long, cents long"
+    ).orderBy("event_type")
+
+
+STREAM_RESTART_RESUME_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["stream_restart_resume"] = Q(
+    stream_restart_resume,
+    STREAM_RESTART_RESUME_SQL,
+    "LIVE restart-from-checkpoint: resumed query absorbs only new ticks, view == batch truth",
+)
