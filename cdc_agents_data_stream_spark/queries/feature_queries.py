@@ -597,3 +597,67 @@ QUERIES["doc_embedding_mean_pool"] = Q(
     DOC_EMBEDDING_MEAN_POOL_SQL,
     "embed-and-pool: hashed token->embedding broadcast join, integer-grid mean pooling",
 )
+
+
+def weighted_median_cents(spark, sf_dir):
+    """WEIGHTED median — the quantile family's missing member (the
+    engine's percentile gates are row-weighted): per event type, the
+    smallest value whose cumulative cents reach half the type's total
+    cents, i.e. the value splitting the MONEY in half rather than the
+    rows. Same scale shape as the discrete percentiles: a (type, value)
+    histogram bounded by the cent grid, one cumulative window over it,
+    one argmin — the corpus shuffles once."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    hist = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.sum("cents").alias("w"), F.count("*").alias("n"))
+    )
+    cum = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("event_type")
+    ranked = hist.withColumn("cw", F.sum("w").over(cum)).withColumn(
+        "tw", F.sum("w").over(tot)
+    )
+    return (
+        ranked.filter(F.expr("cw * 2 >= tw"))
+        .groupBy("event_type")
+        .agg(
+            F.min("cents").cast("bigint").alias("weighted_median_cents"),
+            F.max("tw").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+WEIGHTED_MEDIAN_CENTS_SQL = """
+WITH hist AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS w
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, cents,
+         SUM(w) OVER (PARTITION BY event_type ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY event_type) AS tw
+  FROM hist
+)
+SELECT event_type,
+       CAST(MIN(cents) AS BIGINT) AS weighted_median_cents,
+       CAST(MAX(tw) AS BIGINT) AS total_cents
+FROM ranked WHERE cw * 2 >= tw
+GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["weighted_median_cents"] = Q(
+    weighted_median_cents,
+    WEIGHTED_MEDIAN_CENTS_SQL,
+    "weighted median: the value splitting each type's total cents in half",
+)
