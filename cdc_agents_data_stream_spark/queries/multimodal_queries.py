@@ -196,3 +196,63 @@ QUERIES["image_tile_grid"] = Q(
     IMAGE_TILE_GRID_SQL,
     "ViT-style tile/padding accounting from stub-decoded dims",
 )
+
+
+def multimodal_shard_manifest(spark, sf_dir):
+    """WebDataset-style shard planning — the step that turns a payload
+    lake into fixed-size training shards: payload byte sizes
+    (octet_length of the binary column) pack contiguously into ~256 KB
+    shards within deterministic hash lanes (the `pack_sequences`
+    prefix-sum kernel applied to BYTES instead of tokens), and the
+    manifest reports per-shard member count and byte fill. The manifest
+    is what the tar-writer then consumes; planning cost is one shuffle
+    of (id, size) pairs — payloads themselves never move until the
+    write."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("lane"),
+        F.octet_length(F.encode("text", "UTF-8")).cast("bigint").alias("nbytes"),
+    )
+    w = Window.partitionBy("lane").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    packed = sized.withColumn(
+        "cum_bytes", F.sum("nbytes").over(w)
+    ).withColumn("shard", F.expr("COALESCE(cum_bytes, 0) DIV 262144"))
+    return (
+        packed.groupBy("lane", "shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum("nbytes").cast("bigint").alias("shard_bytes"),
+        )
+        .orderBy("lane", "shard")
+    )
+
+
+MULTIMODAL_SHARD_MANIFEST_SQL = """
+WITH sized AS (
+  SELECT doc_id, doc_id % 8 AS lane,
+         CAST(octet_length(encode(text)) AS BIGINT) AS nbytes
+  FROM documents
+),
+packed AS (
+  SELECT lane, nbytes,
+         CAST(COALESCE(SUM(nbytes) OVER (
+             PARTITION BY lane ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 262144
+           AS BIGINT) AS shard
+  FROM sized
+)
+SELECT lane, shard, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(nbytes) AS BIGINT) AS shard_bytes
+FROM packed GROUP BY lane, shard ORDER BY lane, shard
+"""
+
+QUERIES["multimodal_shard_manifest"] = Q(
+    multimodal_shard_manifest,
+    MULTIMODAL_SHARD_MANIFEST_SQL,
+    "WebDataset shard planning: byte-budget prefix-sum packing manifest",
+)
