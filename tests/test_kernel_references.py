@@ -188,3 +188,60 @@ def test_tree_split_matches_bruteforce(spark):
         scored.append((thr, n_l, pos_l, num // den))
     scored.sort(key=lambda x: (-x[3], x[0]))
     assert got == scored[:5]
+
+
+def test_market_basket_matches_bruteforce(spark):
+    """`market_basket_pairs`'s in-array pair comprehension vs brute-force
+    enumeration over synthetic baskets (incl. single-item and duplicate-
+    brand orders, which must produce no pairs / no self-pairs)."""
+    from itertools import combinations
+
+    import cdc_agents_data_stream_spark.queries.base as B
+    import cdc_agents_data_stream_spark.queries.kernel_queries as K
+
+    rng = random.Random(17)
+    brands = [f"B{i:02d}" for i in range(8)]
+    orders = {}
+    li_rows, part_rows = [], []
+    part_of_brand = {b: i for i, b in enumerate(brands)}
+    for b, i in part_of_brand.items():
+        part_rows.append((i, b))
+    for ok in range(120):
+        k = rng.randint(1, 4)
+        basket = [rng.choice(brands) for _ in range(k)]  # duplicates allowed
+        orders[ok] = sorted(set(basket))
+        for b in basket:
+            li_rows.append((ok, part_of_brand[b]))
+    li = spark.createDataFrame(li_rows, "l_orderkey long, l_partkey long")
+    part = spark.createDataFrame(part_rows, "p_partkey long, p_brand string")
+
+    orig = B.load
+    try:
+        B.load = lambda _s, _d, name: {"lineitem": li, "part": part}[name]
+        K.load = B.load
+        got = [
+            (r["a"], r["b"], r["n_ab"], r["conf_ppm"], r["lift_ppm"])
+            for r in K.market_basket_pairs(spark, "ignored").collect()
+        ]
+    finally:
+        B.load = orig
+        K.load = orig
+
+    from collections import Counter
+
+    n_ab = Counter()
+    item = Counter()
+    for basket in orders.values():
+        for b in basket:
+            item[b] += 1
+        for x, y in combinations(basket, 2):
+            n_ab[(x, y)] += 1
+    n_orders = len(orders)
+    want = sorted(
+        (
+            (a, b, n, n * 1_000_000 // item[a], n * n_orders * 1_000_000 // (item[a] * item[b]))
+            for (a, b), n in n_ab.items()
+        ),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )[:20]
+    assert got == want
