@@ -1220,3 +1220,59 @@ QUERIES["demand_curve_buckets"] = Q(
     DEMAND_CURVE_BUCKETS_SQL,
     "price-bucket demand curve: mean quantity and discount per $100 band",
 )
+
+
+_MANIFEST_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey * 8 + l_linenumber",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def lake_integrity_manifest(spark, sf_dir):
+    """Cross-engine lake manifest — the checksum table a migration or
+    replication pipeline publishes per snapshot: for EVERY driver table,
+    the row count and an order-free key checksum (sum of 32-bit md5
+    prefixes of the canonical key — addition commutes, so partition
+    order can't leak in). One bounded aggregate per table, unioned;
+    validating a 100 TB copy costs one scan per side and a 10-row
+    diff."""
+    outs = []
+    for t, key in _MANIFEST_KEYS.items():
+        df = load(spark, sf_dir, t)
+        outs.append(
+            df.select(
+                F.expr(f"CAST({key} AS STRING)").alias("k")
+            ).agg(
+                F.lit(t).alias("table_name"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.conv(F.substring(F.md5("k"), 1, 8), 16, 10).cast("long")
+                ).cast("bigint").alias("key_checksum"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("table_name")
+
+
+LAKE_INTEGRITY_MANIFEST_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{t}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 8) AS BIGINT)) AS BIGINT) AS key_checksum
+FROM {t}"""
+    for t, k in _MANIFEST_KEYS.items()
+) + "\nORDER BY table_name"
+
+QUERIES["lake_integrity_manifest"] = Q(
+    lake_integrity_manifest,
+    LAKE_INTEGRITY_MANIFEST_SQL,
+    "order-free per-table row-count + key-checksum manifest over all 10 tables",
+)
