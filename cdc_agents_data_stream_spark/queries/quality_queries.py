@@ -1276,3 +1276,77 @@ QUERIES["lake_integrity_manifest"] = Q(
     LAKE_INTEGRITY_MANIFEST_SQL,
     "order-free per-table row-count + key-checksum manifest over all 10 tables",
 )
+
+
+def ship_lag_profile(spark, sf_dir):
+    """Fulfillment-lag SLA profile — the cross-table duration rollup:
+    days from order date to each line's ship date, aggregated per order
+    priority with exact discrete P50/P90 read off the bounded lag
+    histogram (the engine's percentile convention) plus the share
+    beyond a 60-day SLA in ppm. The orders side joins broadcast-shaped
+    (key + date only); durations histogram before any window touches
+    them."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("odate"),
+    )
+    lags = li.join(o, "l_orderkey").select(
+        "o_orderpriority", F.datediff("ship", "odate").cast("bigint").alias("lag")
+    )
+    hist = lags.groupBy("o_orderpriority", "lag").agg(F.count("*").alias("n"))
+    cum = Window.partitionBy("o_orderpriority").orderBy("lag").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("o_orderpriority")
+    ranked = hist.withColumn("c", F.sum("n").over(cum)).withColumn(
+        "t", F.sum("n").over(tot)
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max("t").cast("bigint").alias("n_lines"),
+            F.min(F.when(F.expr("c * 2 >= t"), F.col("lag"))).cast("bigint").alias("p50_days"),
+            F.min(F.when(F.expr("c * 10 >= t * 9"), F.col("lag"))).cast("bigint").alias("p90_days"),
+            F.expr("SUM(CASE WHEN lag > 60 THEN n ELSE 0 END) * 1000000 DIV MAX(t)")
+            .cast("bigint")
+            .alias("over_sla_ppm"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SHIP_LAG_PROFILE_SQL = """
+WITH lags AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS lag
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+hist AS (
+  SELECT o_orderpriority, lag, COUNT(*) AS n FROM lags GROUP BY 1, 2
+),
+ranked AS (
+  SELECT o_orderpriority, lag, n,
+         SUM(n) OVER (PARTITION BY o_orderpriority ORDER BY lag
+                      ROWS UNBOUNDED PRECEDING) AS c,
+         SUM(n) OVER (PARTITION BY o_orderpriority) AS t
+  FROM hist
+)
+SELECT o_orderpriority,
+       CAST(MAX(t) AS BIGINT) AS n_lines,
+       CAST(MIN(CASE WHEN c * 2 >= t THEN lag END) AS BIGINT) AS p50_days,
+       CAST(MIN(CASE WHEN c * 10 >= t * 9 THEN lag END) AS BIGINT) AS p90_days,
+       CAST(SUM(CASE WHEN lag > 60 THEN n ELSE 0 END) * 1000000 // MAX(t) AS BIGINT) AS over_sla_ppm
+FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+QUERIES["ship_lag_profile"] = Q(
+    ship_lag_profile,
+    SHIP_LAG_PROFILE_SQL,
+    "order-to-ship lag SLA profile: discrete P50/P90 + over-SLA ppm per priority",
+)
