@@ -245,3 +245,72 @@ def test_market_basket_matches_bruteforce(spark):
         key=lambda r: (-r[2], r[0], r[1]),
     )[:20]
     assert got == want
+
+
+def test_rolling_7d_distinct_matches_bruteforce(spark):
+    """`rolling_7d_distinct_exact`'s interval fan-out vs the direct
+    definition: for each observed day, |{users active in [d-6, d]}|."""
+    import cdc_agents_data_stream_spark.queries.base as B
+    import cdc_agents_data_stream_spark.queries.window_queries as W
+
+    rng = random.Random(29)
+    rows = []
+    for i in range(400):
+        u = rng.randint(0, 30)
+        d = rng.randint(0, 20)
+        rows.append((i, datetime.datetime(2024, 1, 1 + d, 6), "view", 1.0, u))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double, user_id long"
+    )
+    orig = B.load
+    try:
+        B.load = lambda _s, _d, _n: ev
+        W.load = B.load
+        got = {
+            r["rday"].day - 1: r["n_active_7d"]
+            for r in W.rolling_7d_distinct_exact(spark, "ignored").collect()
+        }
+    finally:
+        B.load = orig
+        W.load = orig
+    active = {(u, ts.day - 1) for (_, ts, _, _, u) in rows}
+    days = sorted({d for _, d in active})
+    for d in days:
+        want = len({u for (u, ad) in active if d - 6 <= ad <= d})
+        assert got[d] == want, f"day {d}"
+    assert set(got) == set(days)
+
+
+def test_weighted_median_matches_bruteforce(spark):
+    """`weighted_median_cents` vs direct accumulation over the sorted
+    value list weighted by cents."""
+    import cdc_agents_data_stream_spark.queries.base as B
+    import cdc_agents_data_stream_spark.queries.feature_queries as FQ
+
+    rng = random.Random(31)
+    ts = datetime.datetime(2024, 5, 5, 5)
+    rows = [
+        (i, ts, "click", rng.randint(1, 500) / 100.0) for i in range(300)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    orig = B.load
+    try:
+        B.load = lambda _s, _d, _n: ev
+        FQ.load = B.load
+        got = FQ.weighted_median_cents(spark, "ignored").collect()
+    finally:
+        B.load = orig
+        FQ.load = orig
+    assert len(got) == 1
+    cents = sorted(round(v * 100) for (_, _, _, v) in rows)
+    total = sum(cents)
+    run = 0
+    for c in cents:
+        run += c
+        if run * 2 >= total:
+            want = c
+            break
+    assert got[0]["weighted_median_cents"] == want
+    assert got[0]["total_cents"] == total
