@@ -1760,3 +1760,60 @@ QUERIES["cohort_ltv_curve"] = Q(
     COHORT_LTV_CURVE_SQL,
     "weekly-cohort LTV curve: exact cents per age cell + cumulative per cohort",
 )
+
+
+def events_dow_hour_heatmap(spark, sf_dir):
+    """Seasonality heatmap — the (ISO day-of-week × hour) activity grid
+    behind capacity planning: counts plus within-dow share ppm, dow
+    derived convention-free from epoch days ((eday+3) mod 7 + 1 — the
+    `seasonality_dow` rule) so both engines agree without WEEKDAY
+    dialect differences. One bounded 168-cell aggregation."""
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            (
+                (
+                    F.unix_millis(F.col("ts").cast("timestamp"))
+                    / F.lit(86_400_000)
+                ).cast("bigint")
+                .alias("eday")
+            ),
+            F.hour(F.col("ts").cast("timestamp")).cast("bigint").alias("hour"),
+        )
+        .select((F.expr("(eday + 3) % 7 + 1")).alias("iso_dow"), "hour")
+        .groupBy("iso_dow", "hour")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy("iso_dow")
+    return (
+        cells.withColumn("t", F.sum("n").over(tot))
+        .select(
+            "iso_dow",
+            "hour",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("n * 1000000 DIV t").cast("bigint").alias("dow_share_ppm"),
+        )
+        .orderBy("iso_dow", "hour")
+    )
+
+
+EVENTS_DOW_HOUR_HEATMAP_SQL = """
+WITH cells AS (
+  SELECT (epoch_ms(ts) // 86400000 + 3) % 7 + 1 AS iso_dow,
+         EXTRACT(hour FROM ts) AS hour,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(iso_dow AS BIGINT) AS iso_dow, CAST(hour AS BIGINT) AS hour,
+       CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY iso_dow) AS BIGINT) AS dow_share_ppm
+FROM cells ORDER BY iso_dow, hour
+"""
+
+QUERIES["events_dow_hour_heatmap"] = Q(
+    events_dow_hour_heatmap,
+    EVENTS_DOW_HOUR_HEATMAP_SQL,
+    "dow-by-hour activity heatmap with within-dow shares (convention-free dow)",
+)
