@@ -83,17 +83,17 @@ def target_encode_loo(spark, sf_dir):
         F.sum(F.col("v_micro").cast("decimal(38,0)")).alias("s"),
         F.count("*").cast("long").alias("n"),
     )
-    enc = (
-        (F.col("s").cast("double") - F.col("v_micro"))
-        / (F.col("n") - F.lit(1))
-    )
+    # integer floor-division on the DECIMAL grid: a float ROUND(x, 6)
+    # here diverged by 1 ulp between engines at sf0.1 (half-boundary
+    # representation), so the encoding stays exact end-to-end
+    enc = F.expr("(s - v_micro) DIV (n - 1)").cast("long")
     return (
         ev.join(F.broadcast(g), "event_type")
         .select(
             "event_id",
             "event_type",
             "v_micro",
-            F.when(F.col("n") > 1, F.round(enc, 6)).alias("loo_enc_micro"),
+            F.when(F.col("n") > 1, enc).alias("loo_enc_micro"),
         )
         .orderBy("event_id")
     )
@@ -112,7 +112,7 @@ g AS (
 )
 SELECT e.event_id, e.event_type, e.v_micro,
        CASE WHEN g.n > 1
-            THEN ROUND((CAST(g.s AS DOUBLE) - e.v_micro) / (g.n - 1), 6)
+            THEN CAST((CAST(g.s AS HUGEINT) - e.v_micro) // (g.n - 1) AS BIGINT)
             END AS loo_enc_micro
 FROM e JOIN g USING (event_type)
 ORDER BY e.event_id

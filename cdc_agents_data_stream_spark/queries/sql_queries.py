@@ -365,10 +365,11 @@ def try_cast_tolerance(spark, sf_dir):
     idiom): casting a hex fragment to INT yields a value for digit-only
     fragments and NULL for the rest — deterministic per row, no job
     failure. Found divergence, documented and excluded: DuckDB's
-    TRY_CAST accepts scientific notation ('2e5' → 200000) where Spark's
-    try_cast-to-int returns NULL, so hex fragments containing 'e' are
-    filtered out; on the rest the engines agree exactly (digit-only
-    parses, letter-bearing → NULL)."""
+    TRY_CAST accepts scientific notation ('2e5' → 200000) AND binary
+    literals ('0b1' → 1) where Spark's try_cast-to-int returns NULL, so
+    hex fragments containing 'e' or starting '0b' are filtered out; on
+    the rest the engines agree exactly (digit-only parses,
+    letter-bearing → NULL)."""
     from pyspark.sql import functions as F
 
     from .base import load
@@ -380,7 +381,9 @@ def try_cast_tolerance(spark, sf_dir):
     )
     return docs.select(
         "doc_id", frag.alias("frag"), parsed.alias("parsed")
-    ).filter(~F.col("frag").contains("e")).groupBy().agg(
+    ).filter(
+        ~F.col("frag").contains("e") & ~F.col("frag").startswith("0b")
+    ).groupBy().agg(
         F.count("*").cast("long").alias("n"),
         F.count("parsed").cast("long").alias("n_parsed"),
         F.sum("parsed").cast("long").alias("parsed_sum"),
@@ -393,6 +396,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(TRY_CAST(substring(md5(CAST(doc_id AS VARCHAR)), 1, 3) AS INT)) AS BIGINT) AS parsed_sum
 FROM documents
 WHERE NOT contains(substring(md5(CAST(doc_id AS VARCHAR)), 1, 3), 'e')
+  AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <> '0b'
 """
 
 QUERIES["try_cast_tolerance"] = Q(
