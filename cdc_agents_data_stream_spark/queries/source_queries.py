@@ -689,3 +689,110 @@ QUERIES["applog_write_roundtrip"] = Q(
     APPLOG_WRITE_ROUNDTRIP_SQL,
     "Python DataSource write->read round-trip must be invisible to the aggregate",
 )
+
+
+def difflog_replay_equivalence(spark, sf_dir):
+    """Event-sourcing invariant, machine-checked per session: replaying
+    the state document's accumulated diff docs (X5) from an empty map
+    must reconstruct EXACTLY the final absorbed content — i.e. the diff
+    log alone is sufficient to rebuild state (the property the
+    reference's DiffServiceTest replay helper pins per kernel call,
+    here end-to-end through TWO absorbing batches of the real
+    distributed transition). Batch 1 = even events, batch 2 = odd, so
+    every session absorbs twice and every second diff is a real
+    before→after Myers diff, not a first-insert. Output per session:
+    sequence number, diff-doc count, and the replay verdict the oracle
+    pins to TRUE for every session."""
+    from ..functions.diffkernel import _concat_sorted, apply_ops
+    from ..functions.jsoncanon import canonicalize_lines
+    from ..plans.backfill import _run_transition
+    from ..schemas import DATA_STREAM_STATE_SCHEMA
+
+    ev = load(spark, sf_dir, "events")
+    w1, c1 = _synthetic_write_tables(ev.filter(F.col("event_id") % 2 == 0))
+    w2, c2 = _synthetic_write_tables(ev.filter(F.col("event_id") % 2 == 1))
+    empty_state = spark.createDataFrame([], DATA_STREAM_STATE_SCHEMA)
+    s1 = _run_transition(latest_blobs_per_task(w1, c1), empty_state, "cdc").drop(
+        "batch_diff"
+    )
+    s2 = _run_transition(
+        latest_blobs_per_task(w2, c2), s1, "cdc", broadcast_state=True
+    )
+
+    import json as _json
+
+    import pandas as pd
+
+    def check(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                diffs = _json.loads(r.cdc_checkpoint_diffs or "[]")
+                task_lines: dict = {}
+                for doc in sorted(diffs, key=lambda d: d["sequenceNumber"]):
+                    for task, td in (doc.get("diffData") or {}).items():
+                        ops = [c["change"] for c in td["changes"]]
+                        task_lines[task] = apply_ops(task_lines.get(task, []), ops)
+                final = _json.loads(r.cdc_content or "{}")
+                ok = all(
+                    task_lines.get(task, [])
+                    == canonicalize_lines(_concat_sorted(items))
+                    for task, items in final.items()
+                ) and all(
+                    lines == [] for t, lines in task_lines.items() if t not in final
+                )
+                out.append(
+                    {
+                        "session_id": r.session_id,
+                        "seq": int(r.sequence_number),
+                        "n_diffs": len(diffs),
+                        "replay_ok": bool(ok),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return (
+        s2.mapInPandas(
+            check, schema="session_id string, seq long, n_diffs long, replay_ok boolean"
+        )
+        .orderBy("session_id")
+    )
+
+
+# seq = 1 (every session absorbs batch 1) + 1 IF batch 2 changes anything:
+# a task changes unless X3 drops it as stale — i.e. unless batch 1's
+# absorbed latest for that task is STRICTLY newer (merge.py
+# skip_parsing_checkpoint). A task absent from batch 1 is an insert.
+DIFFLOG_REPLAY_EQUIVALENCE_SQL = """
+WITH kept AS (
+  SELECT user_id % 50 AS s, event_id % 5 AS t, event_id % 2 AS half,
+         (epoch_ms(ts) // 1000) * 1000 AS tsm,
+         lpad(CAST(event_id AS VARCHAR), 8, '0') AS cp
+  FROM events WHERE event_id % 11 <> 0 AND event_id % 13 <> 0
+),
+arg AS (
+  SELECT s, t, half, tsm FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY s, t, half
+                                 ORDER BY tsm DESC, cp DESC) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+change2 AS (
+  SELECT DISTINCT b2.s
+  FROM arg b2
+  LEFT JOIN arg b1 ON b1.s = b2.s AND b1.t = b2.t AND b1.half = 0
+  WHERE b2.half = 1 AND (b1.s IS NULL OR NOT (b1.tsm > b2.tsm))
+)
+SELECT 'th-' || CAST(s AS VARCHAR) AS session_id,
+       CAST(1 + CASE WHEN s IN (SELECT s FROM change2) THEN 1 ELSE 0 END AS BIGINT) AS seq,
+       CAST(1 + CASE WHEN s IN (SELECT s FROM change2) THEN 1 ELSE 0 END AS BIGINT) AS n_diffs,
+       TRUE AS replay_ok
+FROM (SELECT DISTINCT s FROM kept WHERE half = 0)
+ORDER BY session_id
+"""
+
+QUERIES["difflog_replay_equivalence"] = Q(
+    difflog_replay_equivalence,
+    DIFFLOG_REPLAY_EQUIVALENCE_SQL,
+    "event-sourcing invariant: diff-doc replay reconstructs absorbed state per session",
+)
