@@ -661,6 +661,110 @@ GROUP BY n_name
 """
 
 
+# --- Q11 (adapted): important stock identification ---------------------------
+
+def tpch_q11_important_stock(spark, sf_dir):
+    """Spec Q11's shape — per-part value aggregation restricted to one
+    nation's suppliers, kept only where the part's value exceeds a
+    fraction of the nation-wide total (a scalar-subquery HAVING).
+
+    No ``partsupp``, so the lineitem association stands in and
+    ``l_extendedprice * l_quantity`` replaces ``ps_supplycost *
+    ps_availqty`` (each docstring substitution per the module header).
+    Both sides of the threshold comparison are exact decimals cast to
+    DOUBLE once, and the 0.001 multiplier is a power-free exact double
+    constant, so the > predicate is bit-identical across engines.
+
+    Scale note: one partial-agg shuffle on l_partkey; the nation-filtered
+    supplier set and the 1-row total are broadcast.
+    """
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "GERMANY")
+    li = load(spark, sf_dir, "lineitem")
+    nat_supp = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).select("s_suppkey")
+    value = _dec("l_extendedprice") * F.col("l_quantity").cast("decimal(18,2)")
+    per_part = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("value_dec"))
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.join(
+            F.broadcast(total),
+            F.col("value_dec").cast("double") > F.col("total_dec").cast("double") * F.lit(0.001),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_dec").cast("double").alias("part_value"),
+        )
+    )
+
+
+TPCH_Q11_SQL = """
+WITH assoc AS (
+  SELECT l_partkey,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS value_dec
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'GERMANY'
+  )
+), per_part AS (
+  SELECT l_partkey AS p_partkey, SUM(value_dec) AS value_dec
+  FROM assoc GROUP BY l_partkey
+)
+SELECT p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM per_part
+WHERE CAST(value_dec AS DOUBLE) > (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM per_part) * 0.001
+"""
+
+
+# --- Q16 (adapted): parts/supplier relationship ------------------------------
+
+def tpch_q16_supplier_cnt(spark, sf_dir):
+    """Spec Q16: DISTINCT supplier count per (brand, type, size) over the
+    part-supplier association, excluding one brand, one type family, a
+    size IN-list, and 'complaint' suppliers via NOT IN (an anti-join).
+
+    No ``partsupp``, so lineitem provides the association and
+    ``s_acctbal < 0`` stands in for the complaints LIKE-subquery. The
+    result is a pure BIGINT count grouped on low-cardinality keys —
+    engine-portable with no numeric caveats.
+
+    Scale note: semi/anti sides are broadcast; the distinct-count runs as
+    two partial aggregations (dedup on (brand,type,size,suppkey), then
+    count) — no all-pairs anything.
+    """
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    complaints = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(complaints), li.l_suppkey == complaints.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct(li.l_suppkey).cast("bigint").alias("supplier_cnt"))
+    )
+
+
+TPCH_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
 QUERIES: dict[str, Q] = {
     "tpch_q2_min_price_supplier": Q(tpch_q2_min_price_supplier, TPCH_Q2_SQL, "argmin-over-join (Q2 shape)"),
     "tpch_q4_order_priority": Q(tpch_q4_order_priority, TPCH_Q4_SQL, "EXISTS semi-join (Q4)"),
@@ -668,10 +772,12 @@ QUERIES: dict[str, Q] = {
     "tpch_q8_market_share": Q(tpch_q8_market_share, TPCH_Q8_SQL, "market share ppm (Q8 shape)"),
     "tpch_q9_product_profit": Q(tpch_q9_product_profit, TPCH_Q9_SQL, "profit by nation/year (Q9 shape)"),
     "tpch_q10_returned_items": Q(tpch_q10_returned_items, TPCH_Q10_SQL, "returned-item top-20 (Q10)"),
+    "tpch_q11_important_stock": Q(tpch_q11_important_stock, TPCH_Q11_SQL, "value threshold HAVING (Q11 shape)"),
     "tpch_q12_priority_lines": Q(tpch_q12_priority_lines, TPCH_Q12_SQL, "conditional agg (Q12 shape)"),
     "tpch_q13_customer_distribution": Q(tpch_q13_customer_distribution, TPCH_Q13_SQL, "double aggregation (Q13)"),
     "tpch_q14_promo_revenue": Q(tpch_q14_promo_revenue, TPCH_Q14_SQL, "promo share ppm (Q14)"),
     "tpch_q15_top_supplier": Q(tpch_q15_top_supplier, TPCH_Q15_SQL, "scalar-subquery max join (Q15)"),
+    "tpch_q16_supplier_cnt": Q(tpch_q16_supplier_cnt, TPCH_Q16_SQL, "NOT-IN distinct count (Q16 shape)"),
     "tpch_q17_small_qty_revenue": Q(tpch_q17_small_qty_revenue, TPCH_Q17_SQL, "correlated AVG (Q17)"),
     "tpch_q19_disjunctive_rev": Q(tpch_q19_disjunctive_rev, TPCH_Q19_SQL, "disjunctive predicates (Q19)"),
     "tpch_q20_part_movers": Q(tpch_q20_part_movers, TPCH_Q20_SQL, "nested semi-join chain (Q20 shape)"),
