@@ -4,6 +4,7 @@ oracle (both engines align buckets to the epoch origin)."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.windows import tumbling_agg
 from .base import Q, load, ms
@@ -200,6 +201,83 @@ ORDER BY stage
 
 QUERIES["funnel_conversion"] = Q(
     funnel_conversion, FUNNEL_CONVERSION_SQL, "ordered signup→click→purchase funnel"
+)
+
+
+def user_active_streaks(spark, sf_dir):
+    """Gaps-and-islands: longest run of consecutive active days per user.
+
+    The classic idiom — ``day_idx - row_number()`` is constant within a
+    consecutive run, so one user-keyed window plus one group-by collapses
+    runs without any self-join or iteration. Integer day buckets
+    (epoch_ms DIV 1d) keep both engines on the same grid.
+
+    Scale note: everything is keyed on user_id — the distinct, the
+    window, and both aggregations reuse a single hash partitioning; no
+    run can span partitions.
+    """
+    day = F.expr("t_ms DIV 86400000")
+    days = (
+        load(spark, sf_dir, "events")
+        .select("user_id", ms("ts").alias("t_ms"))
+        .select("user_id", day.cast("long").alias("day_idx"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_idx")
+    runs = (
+        days.withColumn("grp", F.col("day_idx") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.count("*").cast("bigint").alias("streak_len"),
+            F.min("day_idx").alias("start_day"),
+        )
+    )
+    best = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), F.col("start_day").asc()
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(best))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("streak_len"))).alias("best_streak"),
+            F.max(F.when(F.col("rn") == 1, F.col("start_day"))).alias("best_start_day"),
+            F.count("*").cast("bigint").alias("n_streaks"),
+            F.sum("streak_len").cast("bigint").alias("active_days"),
+        )
+    )
+
+
+USER_ACTIVE_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day_idx
+  FROM events
+), runs AS (
+  SELECT user_id,
+         day_idx - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_idx) AS grp,
+         day_idx
+  FROM days
+), agg AS (
+  SELECT user_id, grp,
+         CAST(COUNT(*) AS BIGINT) AS streak_len,
+         MIN(day_idx) AS start_day
+  FROM runs GROUP BY user_id, grp
+), ranked AS (
+  SELECT user_id, streak_len, start_day,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY streak_len DESC, start_day ASC) AS rn
+  FROM agg
+)
+SELECT user_id,
+       MAX(CASE WHEN rn = 1 THEN streak_len END) AS best_streak,
+       CAST(MAX(CASE WHEN rn = 1 THEN start_day END) AS BIGINT) AS best_start_day,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(SUM(streak_len) AS BIGINT) AS active_days
+FROM ranked GROUP BY user_id
+"""
+
+
+QUERIES["user_active_streaks"] = Q(
+    user_active_streaks, USER_ACTIVE_STREAKS_SQL, "gaps-and-islands longest streak"
 )
 
 
