@@ -281,6 +281,89 @@ QUERIES["user_active_streaks"] = Q(
 )
 
 
+def interval_union_coverage(spark, sf_dir):
+    """Interval coalescing: merge each user's overlapping activity
+    intervals and measure the union.
+
+    Each event occupies ``[t_ms, t_ms + cents·1000)`` (value-scaled
+    duration on the exact cents grid). The classic running-max idiom: an
+    interval starts a new island iff its start exceeds the max end of
+    all earlier intervals; a cumulative sum of those flags numbers the
+    islands — no self-join, no recursion. Covered time is then a plain
+    per-island ``max(end) − min(start)``.
+
+    Scale note: one user-keyed sort-window pass plus two aggregations on
+    the same user_id partitioning; intervals never leave their
+    partition.
+    """
+    iv = load(spark, sf_dir, "events").select(
+        "user_id",
+        ms("ts").alias("start_ms"),
+        (ms("ts") + F.round(F.col("value") * 100).cast("long") * 1000).alias("end_ms"),
+    )
+    w = Window.partitionBy("user_id").orderBy("start_ms", "end_ms")
+    prev_max = F.max("end_ms").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        iv.withColumn(
+            "new_island",
+            F.when(prev_max.isNull() | (F.col("start_ms") > prev_max), 1).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "island")
+        .agg(
+            (F.max("end_ms") - F.min("start_ms")).alias("span_ms"),
+            F.count("*").cast("bigint").alias("n_merged"),
+        )
+    )
+    return islands.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.sum("span_ms").cast("bigint").alias("covered_ms"),
+        F.max("span_ms").cast("bigint").alias("longest_island_ms"),
+        F.max("n_merged").alias("max_merged"),
+    )
+
+
+INTERVAL_UNION_COVERAGE_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_ms(ts) AS start_ms,
+         epoch_ms(ts) + CAST(ROUND(value * 100) AS BIGINT) * 1000 AS end_ms
+  FROM events
+), flagged AS (
+  SELECT user_id, start_ms, end_ms,
+         CASE WHEN MAX(end_ms) OVER (PARTITION BY user_id ORDER BY start_ms, end_ms
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                OR start_ms > MAX(end_ms) OVER (PARTITION BY user_id ORDER BY start_ms, end_ms
+                                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), numbered AS (
+  SELECT user_id, start_ms, end_ms,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY start_ms, end_ms
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), islands AS (
+  SELECT user_id, island,
+         MAX(end_ms) - MIN(start_ms) AS span_ms,
+         CAST(COUNT(*) AS BIGINT) AS n_merged
+  FROM numbered GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(span_ms) AS BIGINT) AS covered_ms,
+       CAST(MAX(span_ms) AS BIGINT) AS longest_island_ms,
+       MAX(n_merged) AS max_merged
+FROM islands GROUP BY user_id
+"""
+
+
+QUERIES["interval_union_coverage"] = Q(
+    interval_union_coverage, INTERVAL_UNION_COVERAGE_SQL, "interval coalescing / union length"
+)
+
+
 def cohort_retention(spark, sf_dir):
     """Weekly retention cohorts: users grouped by epoch-aligned signup
     week, counted per later activity-week offset — the classic retention
