@@ -909,3 +909,80 @@ QUERIES["audience_overlap_matrix"] = Q(
     AUDIENCE_OVERLAP_MATRIX_SQL,
     "exact pairwise audience Jaccard matrix between event-type user sets",
 )
+
+
+def revenue_share_hierarchy(spark, sf_dir):
+    """Ratio-to-parent at two hierarchy levels in one pass: each nation's
+    revenue as a ppm share of its region, and each region's as a ppm
+    share of the global total.
+
+    The nation-level aggregate is the only fact-table shuffle; both
+    parent totals are computed by windows OVER the ~25-row nation
+    aggregate, so the hierarchy costs nothing extra. Exact decimal sums;
+    each ratio is one double multiply-divide-floor (bit-identical across
+    engines on exact inputs).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    per_nation = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev).alias("nation_dec"))
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.col("nation_dec").cast("double").alias("nation_rev"),
+        F.floor(
+            F.col("nation_dec").cast("double")
+            * 1000000.0
+            / F.sum("nation_dec").over(w_region).cast("double")
+        ).cast("bigint").alias("nation_share_ppm"),
+        F.floor(
+            F.sum("nation_dec").over(w_region).cast("double")
+            * 1000000.0
+            / F.sum("nation_dec").over(w_all).cast("double")
+        ).cast("bigint").alias("region_share_ppm"),
+    )
+
+
+REVENUE_SHARE_HIERARCHY_SQL = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS nation_dec
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       CAST(nation_dec AS DOUBLE) AS nation_rev,
+       CAST(FLOOR(CAST(nation_dec AS DOUBLE) * 1000000.0
+                  / CAST(SUM(nation_dec) OVER (PARTITION BY r_name) AS DOUBLE)) AS BIGINT)
+         AS nation_share_ppm,
+       CAST(FLOOR(CAST(SUM(nation_dec) OVER (PARTITION BY r_name) AS DOUBLE) * 1000000.0
+                  / CAST(SUM(nation_dec) OVER () AS DOUBLE)) AS BIGINT)
+         AS region_share_ppm
+FROM per_nation
+"""
+
+QUERIES["revenue_share_hierarchy"] = Q(
+    revenue_share_hierarchy,
+    REVENUE_SHARE_HIERARCHY_SQL,
+    "two-level ratio-to-parent revenue shares (nation→region→global)",
+)

@@ -1978,3 +1978,65 @@ QUERIES["events_dow_hour_heatmap"] = Q(
     EVENTS_DOW_HOUR_HEATMAP_SQL,
     "dow-by-hour activity heatmap with within-dow shares (convention-free dow)",
 )
+
+
+def daily_local_peaks(spark, sf_dir):
+    """Local-maximum detection on each user's daily spend series via
+    lag/lead: a day is a peak iff its total strictly exceeds both
+    neighbors' (series boundaries excluded, so every comparison has two
+    real neighbors). Exact cents grid; one user-keyed aggregation and
+    one window pass on the day-level series.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("unix_millis(CAST(ts AS TIMESTAMP)) DIV 86400000").alias("day_idx"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "day_idx")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day_idx")
+    peaks = (
+        daily.withColumn("prev_c", F.lag("day_cents").over(w))
+        .withColumn("next_c", F.lead("day_cents").over(w))
+        .filter(
+            F.col("prev_c").isNotNull()
+            & F.col("next_c").isNotNull()
+            & (F.col("day_cents") > F.col("prev_c"))
+            & (F.col("day_cents") > F.col("next_c"))
+        )
+    )
+    return peaks.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_peaks"),
+        F.max("day_cents").cast("bigint").alias("max_peak_cents"),
+        F.min("day_idx").cast("bigint").alias("first_peak_day"),
+    )
+
+
+DAILY_LOCAL_PEAKS_SQL = """
+WITH daily AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS day_idx,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS day_cents
+  FROM events GROUP BY 1, 2
+), nbr AS (
+  SELECT user_id, day_idx, day_cents,
+         LAG(day_cents)  OVER (PARTITION BY user_id ORDER BY day_idx) AS prev_c,
+         LEAD(day_cents) OVER (PARTITION BY user_id ORDER BY day_idx) AS next_c
+  FROM daily
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_peaks,
+       CAST(MAX(day_cents) AS BIGINT) AS max_peak_cents,
+       CAST(MIN(day_idx) AS BIGINT) AS first_peak_day
+FROM nbr
+WHERE prev_c IS NOT NULL AND next_c IS NOT NULL
+  AND day_cents > prev_c AND day_cents > next_c
+GROUP BY user_id
+"""
+
+
+QUERIES["daily_local_peaks"] = Q(
+    daily_local_peaks, DAILY_LOCAL_PEAKS_SQL, "lag/lead local-peak detection"
+)
