@@ -2040,3 +2040,77 @@ GROUP BY user_id
 QUERIES["daily_local_peaks"] = Q(
     daily_local_peaks, DAILY_LOCAL_PEAKS_SQL, "lag/lead local-peak detection"
 )
+
+
+def user_value_drawdown(spark, sf_dir):
+    """Maximum drawdown per user on the cumulative daily spend curve:
+    running peak (cumulative max) minus current cumulative value,
+    maximized over the series. The three stacked windows (cumsum,
+    cummax-of-cumsum, max-of-gap) share one user_id×day sort, so Spark
+    executes a single window pass. Exact cents arithmetic end-to-end.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("unix_millis(CAST(ts AS TIMESTAMP)) DIV 86400000").alias("day_idx"),
+            # signed contribution: errors spend down, everything else up —
+            # gives the curve real drawdowns instead of monotone growth
+            F.when(F.col("event_type") == "error", -F.round(F.col("value") * 100))
+            .otherwise(F.round(F.col("value") * 100))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("user_id", "day_idx")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    curve = daily.select(
+        "user_id",
+        "day_idx",
+        F.sum("day_cents").over(w).alias("cum_cents"),
+    ).select(
+        "user_id",
+        "day_idx",
+        "cum_cents",
+        (F.max("cum_cents").over(w) - F.col("cum_cents")).alias("drawdown"),
+    )
+    return curve.groupBy("user_id").agg(
+        F.max("drawdown").cast("bigint").alias("max_drawdown_cents"),
+        F.max("cum_cents").cast("bigint").alias("peak_cents"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+
+
+USER_VALUE_DRAWDOWN_SQL = """
+WITH daily AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS day_idx,
+         SUM(CASE WHEN event_type = 'error'
+                  THEN -CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE  CAST(ROUND(value * 100) AS BIGINT) END) AS day_cents
+  FROM events GROUP BY 1, 2
+), curve AS (
+  SELECT user_id, day_idx,
+         SUM(day_cents) OVER (PARTITION BY user_id ORDER BY day_idx
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+  FROM daily
+), dd AS (
+  SELECT user_id, day_idx, cum_cents,
+         MAX(cum_cents) OVER (PARTITION BY user_id ORDER BY day_idx
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cum_cents
+           AS drawdown
+  FROM curve
+)
+SELECT user_id,
+       CAST(MAX(drawdown) AS BIGINT) AS max_drawdown_cents,
+       CAST(MAX(cum_cents) AS BIGINT) AS peak_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM dd GROUP BY user_id
+"""
+
+
+QUERIES["user_value_drawdown"] = Q(
+    user_value_drawdown, USER_VALUE_DRAWDOWN_SQL, "running-peak max drawdown (cummax)"
+)
