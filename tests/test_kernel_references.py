@@ -393,3 +393,161 @@ def test_mean_pool_matches_numpy(spark):
             # divisors with signed numerators? both use floor? assert equal
             # to the engines' shared convention by comparing to got directly
             assert got[(doc_id, j)] == num[j] // cnt or got[(doc_id, j)] == int(num[j] / cnt) or got[(doc_id, j)] == want
+
+
+def test_interval_union_matches_bruteforce(spark):
+    """`interval_union_coverage` vs a direct sort-and-merge in Python."""
+    import cdc_agents_data_stream_spark.queries.base as B
+    import cdc_agents_data_stream_spark.queries.window_queries as W
+
+    rng = random.Random(11)
+    rows = []
+    per_user = {}
+    for u in range(30):
+        for _ in range(rng.randint(1, 40)):
+            t = datetime.datetime(2024, 1, 1) + datetime.timedelta(
+                minutes=rng.randint(0, 5000)
+            )
+            cents = rng.randint(0, 60000)
+            rows.append((len(rows), t, "view", cents / 100.0, u))
+            t_ms = int(t.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+            per_user.setdefault(u, []).append((t_ms, t_ms + cents * 1000))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double, user_id long"
+    )
+    orig = B.load
+    try:
+        B.load = lambda _s, _d, _n: ev
+        W.load = B.load
+        got = {
+            r["user_id"]: (
+                r["n_islands"],
+                r["covered_ms"],
+                r["longest_island_ms"],
+                r["max_merged"],
+            )
+            for r in W.interval_union_coverage(spark, "ignored").collect()
+        }
+    finally:
+        B.load = orig
+        W.load = orig
+
+    for u, iv in per_user.items():
+        iv.sort()
+        islands = []
+        for s, e in iv:  # touching intervals (s == cur_end) merge
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+                islands[-1][2] += 1
+            else:
+                islands.append([s, e, 1])
+        want = (
+            len(islands),
+            sum(e - s for s, e, _ in islands),
+            max(e - s for s, e, _ in islands),
+            max(n for _, _, n in islands),
+        )
+        assert got[u] == want, f"user {u}: {got[u]} != {want}"
+
+
+def test_streaks_matches_bruteforce(spark):
+    """`user_active_streaks` vs direct run-length scanning over day sets."""
+    import cdc_agents_data_stream_spark.queries.base as B
+    import cdc_agents_data_stream_spark.queries.window_queries as W
+
+    rng = random.Random(5)
+    rows = []
+    per_user_days = {}
+    for u in range(40):
+        days = sorted(rng.sample(range(60), rng.randint(1, 30)))
+        per_user_days[u] = days
+        for d in days:
+            for _ in range(rng.randint(1, 3)):  # duplicates collapse via DISTINCT
+                rows.append(
+                    (len(rows), datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d, hours=9), "view", 1.0, u)
+                )
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double, user_id long"
+    )
+    base_day = int(
+        datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1000
+    ) // 86400000
+    orig = B.load
+    try:
+        B.load = lambda _s, _d, _n: ev
+        W.load = B.load
+        got = {
+            r["user_id"]: (
+                r["best_streak"],
+                r["best_start_day"],
+                r["n_streaks"],
+                r["active_days"],
+            )
+            for r in W.user_active_streaks(spark, "ignored").collect()
+        }
+    finally:
+        B.load = orig
+        W.load = orig
+
+    for u, days in per_user_days.items():
+        runs = []
+        start = prev = days[0]
+        for d in days[1:]:
+            if d == prev + 1:
+                prev = d
+            else:
+                runs.append((prev - start + 1, start))
+                start = prev = d
+        runs.append((prev - start + 1, start))
+        best = sorted(runs, key=lambda r: (-r[0], r[1]))[0]
+        want = (best[0], base_day + best[1], len(runs), len(days))
+        assert got[u] == want, f"user {u}: {got[u]} != {want}"
+
+
+def test_drawdown_matches_bruteforce(spark):
+    """`user_value_drawdown` vs a direct running-peak scan."""
+    import cdc_agents_data_stream_spark.queries.base as B
+    import cdc_agents_data_stream_spark.queries.window_queries as W
+
+    rng = random.Random(17)
+    rows = []
+    per_user_daily = {}
+    for u in range(25):
+        for d in sorted(rng.sample(range(40), rng.randint(2, 25))):
+            total = 0
+            for _ in range(rng.randint(1, 3)):
+                cents = rng.randint(0, 9999)
+                etype = rng.choice(["click", "error", "view"])
+                total += -cents if etype == "error" else cents
+                rows.append(
+                    (len(rows), datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d, hours=8), etype, cents / 100.0, u)
+                )
+            per_user_daily.setdefault(u, []).append(total)
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double, user_id long"
+    )
+    orig = B.load
+    try:
+        B.load = lambda _s, _d, _n: ev
+        W.load = B.load
+        got = {
+            r["user_id"]: (r["max_drawdown_cents"], r["peak_cents"], r["n_days"])
+            for r in W.user_value_drawdown(spark, "ignored").collect()
+        }
+    finally:
+        B.load = orig
+        W.load = orig
+
+    for u, daily in per_user_daily.items():
+        cum = peak = 0
+        max_dd = None
+        peak_cum = None
+        first = True
+        for x in daily:
+            cum = cum + x if not first else x
+            first = False
+            peak = cum if peak_cum is None else max(peak, cum)
+            peak_cum = peak
+            dd = peak - cum
+            max_dd = dd if max_dd is None else max(max_dd, dd)
+        assert got[u] == (max_dd, peak, len(daily)), u
