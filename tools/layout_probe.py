@@ -28,6 +28,11 @@ SUBSET = [
     "vocab_idf_topk", "doc_embedding_mean_pool", "zorder_events_key",
     "value_gini_ppm", "user_rolling_median", "orders_skyline",
     "dedup_quality_keeper",
+    # session-8 window idioms — ordering-sensitive by construction, so the
+    # adversarial layout is exactly where they could break
+    "user_active_streaks", "interval_union_coverage", "user_value_drawdown",
+    "daily_local_peaks", "revenue_share_hierarchy",
+    "tpch_q11_important_stock", "tpch_q16_supplier_cnt",
 ]
 
 
