@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from .base import Q, load
 
-_FORMATS = ("parquet", "jsonl", "csv", "orc")
+_FORMATS = ("parquet", "jsonl", "csv", "orc", "xml")
 
 
 def format_roundtrip_parity(spark, sf_dir):
@@ -37,6 +37,8 @@ def format_roundtrip_parity(spark, sf_dir):
         ev.write.mode("overwrite").json(f"{base}/jsonl")
         ev.write.mode("overwrite").option("header", "true").csv(f"{base}/csv")
         ev.write.mode("overwrite").orc(f"{base}/orc")
+        # Spark 4 built-in XML (SPARK-44265): distributed write, rowTag framing
+        ev.write.mode("overwrite").option("rowTag", "event").format("xml").save(f"{base}/xml")
         readers = {
             "parquet": ev,
             "jsonl": spark.read.schema(schema).json(f"{base}/jsonl"),
@@ -44,6 +46,10 @@ def format_roundtrip_parity(spark, sf_dir):
             .option("header", "true")
             .csv(f"{base}/csv"),
             "orc": spark.read.schema(schema).orc(f"{base}/orc"),
+            "xml": spark.read.schema(schema)
+            .option("rowTag", "event")
+            .format("xml")
+            .load(f"{base}/xml"),
         }
         aggs = [
             df.agg(
@@ -93,7 +99,7 @@ QUERIES = {
     "format_roundtrip_parity": Q(
         format_roundtrip_parity,
         FORMAT_ROUNDTRIP_PARITY_SQL,
-        "lossless JSONL/CSV/ORC lake ingestion parity vs parquet",
+        "lossless JSONL/CSV/ORC/XML lake ingestion parity vs parquet",
     ),
 }
 
