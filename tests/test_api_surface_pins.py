@@ -167,3 +167,81 @@ def test_sql_scripting_control_flow(spark):
     want = spark.sql("SELECT COUNT(*) FROM orders_script").collect()[0][0]
     spark.catalog.dropTempView("orders_script")  # listTables() sees temp views
     assert got == want
+
+
+def test_transpose_small_aggregate(spark):
+    """Spark 4 ``df.transpose()``: rows become columns keyed by the first
+    column — pinned on a tiny aggregate (transpose collects the frame to
+    derive the output schema, so it is a driver-sized-results-only API)."""
+    df = spark.createDataFrame(
+        [("clicks", 10, 20), ("views", 30, 40)], "metric string, jan long, feb long"
+    )
+    t = df.transpose()
+    assert t.columns == ["key", "clicks", "views"]
+    rows = {r["key"]: (r["clicks"], r["views"]) for r in t.collect()}
+    assert rows == {"jan": (10, 30), "feb": (20, 40)}
+
+
+def test_lateral_join_top2_per_key(spark):
+    """Spark 4 ``df.lateralJoin``: a correlated LIMIT-per-row subquery
+    (the SQL LATERAL idiom as a DataFrame API). Must match the
+    window-function top-2.
+
+    Pin within the pin: the outer reference's NAME must not also resolve
+    against the inner frame's lineage — ``col("user_id").outer()`` with
+    user_id on both sides silently binds inner (the predicate degenerates
+    to true and the subquery decorrelates to a global top-2; measured
+    here before aliasing). Hence the left side is aliased ``uid`` first.
+    """
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "event_id", "value")
+        .where(F.col("user_id") < 5)
+    )
+    users = ev.select(F.col("user_id").alias("uid")).distinct()
+    top2_lateral = (
+        users.lateralJoin(
+            ev.where(F.col("user_id") == F.col("uid").outer())
+            .orderBy(F.col("value").desc(), F.col("event_id"))
+            .limit(2)
+            .select("event_id", "value")
+        )
+        .select(F.col("uid").alias("user_id"), F.col("event_id"))
+    )
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    top2_window = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("user_id", "event_id")
+    )
+    assert sorted(map(tuple, top2_lateral.collect())) == sorted(
+        map(tuple, top2_window.collect())
+    )
+
+
+def test_tvf_namespace_matches_select_explode(spark):
+    """Spark 4 ``spark.tvf``: the table-valued-function namespace returns
+    the same rows as the expression form of explode."""
+    got = sorted(
+        r["col"] for r in spark.tvf.explode(F.array(F.lit(3), F.lit(1), F.lit(2))).collect()
+    )
+    assert got == [1, 2, 3]
+
+
+def test_to_arrow_roundtrip(spark):
+    """``df.toArrow()`` hands back a pyarrow.Table whose values and types
+    survive a createDataFrame round-trip bit-for-bit."""
+    import pyarrow as pa
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25)], "id long, s string, x double"
+    )
+    tbl = df.toArrow()
+    assert isinstance(tbl, pa.Table)
+    assert tbl.schema.names == ["id", "s", "x"]
+    back = spark.createDataFrame(tbl)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
