@@ -310,3 +310,45 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_streaks_single_exchange_family(spark, registry):
+    """user_active_streaks: the distinct, both windows, and both
+    aggregations are all keyed on user_id — the plan may exchange on
+    user_id-rooted keys only (never a wider reshuffle), and the window
+    sorts stay inside those partitions."""
+    plan = _plan(registry["user_active_streaks"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "user_id" in ln, ln
+
+
+def test_interval_union_single_window_pass(spark, registry):
+    """interval_union_coverage: one user-keyed sort serves the running-max
+    window and the island numbering — exactly one sort below the window
+    operators, all exchanges on user_id."""
+    plan = _plan(registry["interval_union_coverage"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "user_id" in ln, ln
+    # both window computations collapse into Window operators over the
+    # same child sort — no second Exchange+Sort pair between them
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_hierarchy_windows_ride_the_nation_aggregate(spark, registry):
+    """revenue_share_hierarchy: nation and region are explicitly
+    broadcast (bounded dims at any SF — orders/customer may legitimately
+    go sort-merge at scale, so no assertion on them), and the hierarchy
+    windows sit above the nation-level aggregate, never above a
+    fact-table exchange."""
+    plan = _plan(registry["revenue_share_hierarchy"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the window stage partitions on r_name (25-row aggregate), which
+    # must appear as an exchange strictly smaller than the fact columns
+    assert any(
+        "Exchange hashpartitioning(r_name" in ln for ln in plan.splitlines()
+    ) or "Exchange SinglePartition" in plan
