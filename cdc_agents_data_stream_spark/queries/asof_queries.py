@@ -13,10 +13,15 @@ from .base import Q, load, ms
 
 
 def orders_asof_event(spark, sf_dir):
+    """Orders and events live in different eras in the driver schema
+    (1995-2001 vs 2024-01), which would make a backward as-of vacuously
+    empty — so the order timestamp is first PROJECTED onto the event
+    month (epoch-ms modulo 30 days from 2024-01-01, pure BIGINT
+    arithmetic, identical in both engines)."""
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.col("o_custkey").alias("user_id"),
-        ms("o_orderdate").alias("order_ts_ms"),
+        (F.lit(1704067200000) + ms("o_orderdate") % F.lit(2592000000)).alias("order_ts_ms"),
     )
     events = load(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", ms("ts").alias("event_ts_ms")
@@ -35,7 +40,8 @@ def orders_asof_event(spark, sf_dir):
 
 ORDERS_ASOF_EVENT_SQL = """
 WITH o AS (
-  SELECT o_orderkey, o_custkey AS user_id, epoch_ms(o_orderdate) AS order_ts_ms FROM orders
+  SELECT o_orderkey, o_custkey AS user_id,
+         1704067200000 + epoch_ms(o_orderdate) % 2592000000 AS order_ts_ms FROM orders
 ),
 e AS (
   SELECT user_id, event_id, event_type, epoch_ms(ts) AS event_ts_ms FROM events
@@ -137,7 +143,8 @@ def orders_asof_next_event(spark, sf_dir):
 
 ORDERS_ASOF_NEXT_EVENT_SQL = """
 WITH o AS (
-  SELECT o_orderkey, o_custkey AS user_id, epoch_ms(o_orderdate) AS order_ts_ms FROM orders
+  SELECT o_orderkey, o_custkey AS user_id,
+         1704067200000 + epoch_ms(o_orderdate) % 2592000000 AS order_ts_ms FROM orders
 ),
 e AS (
   SELECT user_id, event_id, event_type, epoch_ms(ts) AS event_ts_ms FROM events
@@ -203,7 +210,8 @@ def orders_asof_tolerance(spark, sf_dir):
 
 ORDERS_ASOF_TOLERANCE_SQL = """
 WITH o AS (
-  SELECT o_orderkey, o_custkey AS user_id, epoch_ms(o_orderdate) AS order_ts_ms FROM orders
+  SELECT o_orderkey, o_custkey AS user_id,
+         1704067200000 + epoch_ms(o_orderdate) % 2592000000 AS order_ts_ms FROM orders
 ),
 e AS (
   SELECT user_id, event_id, event_type, epoch_ms(ts) AS event_ts_ms FROM events
@@ -336,10 +344,13 @@ def linear_attribution_credit(spark, sf_dir):
     agg. Integer end-to-end."""
     from pyspark.sql import Window
 
+    # same era projection as orders_asof_event: order dates (1995-2001)
+    # mapped onto the 2024-01 event month so the 7-day lookback is
+    # non-degenerate; pure BIGINT arithmetic, identical in both engines.
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0).select(
         "o_orderkey",
         F.col("o_custkey").alias("user_id"),
-        ms("o_orderdate").alias("order_ts_ms"),
+        (F.lit(1704067200000) + ms("o_orderdate") % F.lit(2592000000)).alias("order_ts_ms"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     ev = load(spark, sf_dir, "events").select(
@@ -370,7 +381,8 @@ def linear_attribution_credit(spark, sf_dir):
 
 LINEAR_ATTRIBUTION_CREDIT_SQL = """
 WITH o AS (
-  SELECT o_orderkey, o_custkey AS user_id, epoch_ms(o_orderdate) AS order_ts_ms,
+  SELECT o_orderkey, o_custkey AS user_id,
+         1704067200000 + epoch_ms(o_orderdate) % 2592000000 AS order_ts_ms,
          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
   FROM orders WHERE o_orderkey % 13 = 0
 ),

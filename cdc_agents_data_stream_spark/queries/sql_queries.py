@@ -47,12 +47,15 @@ WHERE NOT EXISTS (
 )
 """
 
+# The EXCEPT side subtracts HIGH-VALUE error users only: every user has
+# some error event, so subtracting all of them would make the result
+# vacuously empty at every SF.
 SQL_SET_OPS = """
 (SELECT user_id FROM events WHERE event_type = 'purchase'
  INTERSECT
  SELECT user_id FROM events WHERE event_type = 'view')
 EXCEPT
-SELECT user_id FROM events WHERE event_type = 'error'
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 95
 """
 
 SQL_RUNNING_WINDOW = """
