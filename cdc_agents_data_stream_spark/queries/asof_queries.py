@@ -123,7 +123,7 @@ def orders_asof_next_event(spark, sf_dir):
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.col("o_custkey").alias("user_id"),
-        ms("o_orderdate").alias("order_ts_ms"),
+        (F.lit(1704067200000) + ms("o_orderdate") % F.lit(2592000000)).alias("order_ts_ms"),
     )
     events = load(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", ms("ts").alias("event_ts_ms")
@@ -179,7 +179,7 @@ def orders_asof_tolerance(spark, sf_dir):
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.col("o_custkey").alias("user_id"),
-        ms("o_orderdate").alias("order_ts_ms"),
+        (F.lit(1704067200000) + ms("o_orderdate") % F.lit(2592000000)).alias("order_ts_ms"),
     )
     events = load(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", ms("ts").alias("event_ts_ms")
@@ -247,10 +247,12 @@ def pit_feature_join(spark, sf_dir):
     first at scale via the shared key); left semantics throughout so the
     spine never loses rows. The oracle states each feature group as a
     ranked window over the leak-free prefix."""
+    # same era projection as orders_asof_event (see its docstring):
+    # without it the leak-free prefix is empty and every feature nulls.
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.col("o_custkey").alias("user_id"),
-        ms("o_orderdate").alias("order_ts_ms"),
+        (F.lit(1704067200000) + ms("o_orderdate") % F.lit(2592000000)).alias("order_ts_ms"),
     )
     ev = load(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
@@ -295,7 +297,8 @@ def pit_feature_join(spark, sf_dir):
 
 PIT_FEATURE_JOIN_SQL = """
 WITH o AS (
-  SELECT o_orderkey, o_custkey AS user_id, epoch_ms(o_orderdate) AS order_ts_ms FROM orders
+  SELECT o_orderkey, o_custkey AS user_id,
+         1704067200000 + epoch_ms(o_orderdate) % 2592000000 AS order_ts_ms FROM orders
 ),
 p AS (
   SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS purchase_cents,
