@@ -551,3 +551,105 @@ def test_drawdown_matches_bruteforce(spark):
             dd = peak - cum
             max_dd = dd if max_dd is None else max(max_dd, dd)
         assert got[u] == (max_dd, peak, len(daily)), u
+
+
+def test_local_peaks_matches_bruteforce(spark):
+    """`daily_local_peaks` vs a direct neighbor scan."""
+    import cdc_agents_data_stream_spark.queries.base as B
+    import cdc_agents_data_stream_spark.queries.window_queries as W
+
+    rng = random.Random(29)
+    rows = []
+    per_user = {}
+    for u in range(30):
+        days = sorted(rng.sample(range(50), rng.randint(3, 30)))
+        for d in days:
+            total = 0
+            for _ in range(rng.randint(1, 3)):
+                cents = rng.randint(0, 9999)
+                total += cents
+                rows.append(
+                    (len(rows), datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d, hours=6), "view", cents / 100.0, u)
+                )
+            per_user.setdefault(u, []).append((d, total))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double, user_id long"
+    )
+    base_day = int(
+        datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1000
+    ) // 86400000
+    orig = B.load
+    try:
+        B.load = lambda _s, _d, _n: ev
+        W.load = B.load
+        got = {
+            r["user_id"]: (r["n_peaks"], r["max_peak_cents"], r["first_peak_day"])
+            for r in W.daily_local_peaks(spark, "ignored").collect()
+        }
+    finally:
+        B.load = orig
+        W.load = orig
+
+    for u, series in per_user.items():
+        peaks = [
+            (d, v)
+            for (pd_, pv), (d, v), (nd, nv) in zip(series, series[1:], series[2:])
+            if v > pv and v > nv
+        ]
+        if not peaks:
+            assert u not in got
+            continue
+        want = (len(peaks), max(v for _, v in peaks), base_day + min(d for d, _ in peaks))
+        assert got[u] == want, f"user {u}: {got[u]} != {want}"
+
+
+def test_hierarchy_shares_match_bruteforce(spark):
+    """`revenue_share_hierarchy` vs an exact-integer re-derivation on the
+    real sf0.001 tables (Fraction-free: cents arithmetic + float ppm
+    floor mirrors the engines' double path on exact inputs)."""
+    import math
+
+    import duckdb
+
+    from cdc_agents_data_stream_spark.queries.relational import revenue_share_hierarchy
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["r_name"], r["n_name"]): (
+            r["nation_rev"],
+            r["nation_share_ppm"],
+            r["region_share_ppm"],
+        )
+        for r in revenue_share_hierarchy(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""
+        SELECT r_name, n_name,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+               CAST(ROUND(l_discount * 100) AS BIGINT)
+        FROM read_parquet('{sf}/lineitem.parquet') li
+        JOIN read_parquet('{sf}/orders.parquet')   o ON l_orderkey = o_orderkey
+        JOIN read_parquet('{sf}/customer.parquet') c ON o_custkey = c_custkey
+        JOIN read_parquet('{sf}/nation.parquet')   n ON c_nationkey = n_nationkey
+        JOIN read_parquet('{sf}/region.parquet')   rg ON n_regionkey = r_regionkey
+        """
+    ).fetchall()
+    # revenue in exact 10^-4 cents units: price_cents * (100 - disc_cents)
+    nation = {}
+    for rn, nn, pc, dc in rows:
+        nation[(rn, nn)] = nation.get((rn, nn), 0) + pc * (100 - dc)
+    region = {}
+    for (rn, _), v in nation.items():
+        region[rn] = region.get(rn, 0) + v
+    total = sum(region.values())
+    assert set(got) == set(nation)
+    for key, ndec in nation.items():
+        rn = key[0]
+        want = (
+            ndec / 1e4,  # exact decimal -> double (units: dollars)
+            math.floor(ndec / 1e4 * 1e6 / (region[rn] / 1e4)),
+            math.floor(region[rn] / 1e4 * 1e6 / (total / 1e4)),
+        )
+        assert got[key][1] == want[1] and got[key][2] == want[2], (key, got[key], want)
+        assert abs(got[key][0] - want[0]) < 1e-6 * max(1.0, abs(want[0]))
