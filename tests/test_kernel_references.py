@@ -653,3 +653,111 @@ def test_hierarchy_shares_match_bruteforce(spark):
         )
         assert got[key][1] == want[1] and got[key][2] == want[2], (key, got[key], want)
         assert abs(got[key][0] - want[0]) < 1e-6 * max(1.0, abs(want[0]))
+
+
+def test_skyline_matches_bruteforce(spark):
+    """`orders_skyline` (aggregate-first frontier) vs the O(n²) dominance
+    definition evaluated directly in Python on the real sf0.001 orders."""
+    import duckdb
+
+    from cdc_agents_data_stream_spark.queries.window_queries import orders_skyline
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["o_orderkey"], r["date_ms"], r["price_cents"])
+        for r in orders_skyline(spark, sf).collect()
+    ]
+    q = duckdb.sql(
+        f"""
+        SELECT o_orderkey, epoch_ms(o_orderdate) AS date_ms,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM read_parquet('{sf}/orders.parquet')
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        """
+    ).fetchall()
+    want = sorted(
+        (k, d, p)
+        for k, d, p in q
+        if not any(
+            (bd <= d and bp >= p and (bd < d or bp > p)) for _, bd, bp in q
+        )
+    )
+    assert sorted(got) == want and got == sorted(got, key=lambda r: (r[1], r[0]))
+
+
+def test_ks_statistic_matches_bruteforce(spark):
+    """`value_ks_statistic` vs a direct integer CDF scan."""
+    import duckdb
+
+    from cdc_agents_data_stream_spark.queries.feature_queries import value_ks_statistic
+
+    sf = "/root/testdata/sf0.001"
+    row = value_ks_statistic(spark, sf).collect()[0]
+    ev = duckdb.sql(
+        f"SELECT CAST(ROUND(value * 100) AS BIGINT), event_id % 2 = 0 "
+        f"FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(lambda: [0, 0])
+    for c, is1 in ev:
+        per[c][0 if is1 else 1] += 1
+    n1 = sum(v[0] for v in per.values())
+    n2 = sum(v[1] for v in per.values())
+    c1 = c2 = 0
+    best = (-1, None)
+    for c in sorted(per):
+        c1 += per[c][0]
+        c2 += per[c][1]
+        d = abs(c1 * n2 - c2 * n1)
+        if d > best[0]:  # ties keep the SMALLEST cent (max_by struct(d, -c))
+            best = (d, c)
+    assert (row["ks_num"], row["ks_den"], row["ks_at_cent"]) == (
+        best[0],
+        n1 * n2,
+        best[1],
+    )
+
+
+def test_kcore_matches_bruteforce(spark):
+    """`graph_kcore_prune` (3 unrolled peel rounds, k=3) vs a direct
+    set-based peeling replay on the real sf0.001 purchase graph."""
+    import duckdb
+    from collections import Counter
+
+    from cdc_agents_data_stream_spark.queries.graph_queries import graph_kcore_prune
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["side"]: (r["n_nodes"], r["n_half_edges"], r["min_degree"])
+        for r in graph_kcore_prune(spark, sf).collect()
+    }
+    edges = set(
+        duckdb.sql(
+            f"""
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2,
+                            CAST(l_suppkey AS BIGINT) * 2 + 1
+            FROM read_parquet('{sf}/orders.parquet') o
+            JOIN read_parquet('{sf}/lineitem.parquet') l
+              ON o.o_orderkey = l.l_orderkey
+            """
+        ).fetchall()
+    )
+    for _ in range(3):
+        deg = Counter()
+        for u, v in edges:
+            deg[u] += 1
+            deg[v] += 1
+        keep = {n for n, d in deg.items() if d >= 3}
+        edges = {(u, v) for u, v in edges if u in keep and v in keep}
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    want = {}
+    for side, parity in (("customer", 0), ("supplier", 1)):
+        ds = [d for n, d in deg.items() if n % 2 == parity]
+        if ds:
+            want[side] = (len(ds), sum(ds), min(ds))
+    assert got == want
