@@ -761,3 +761,114 @@ def test_kcore_matches_bruteforce(spark):
         if ds:
             want[side] = (len(ds), sum(ds), min(ds))
     assert got == want
+
+
+def test_cusum_matches_bruteforce(spark):
+    """`value_cusum_shift` vs a direct integer CUSUM replay."""
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.window_queries import value_cusum_shift
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: (r["n_days"], r["shift_day"], r["max_abs_cusum"])
+        for r in value_cusum_shift(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT event_type, epoch_ms(ts) // 86400000, "
+        f"CAST(ROUND(value * 100) AS BIGINT) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    daily = defaultdict(int)
+    for t, d, c in rows:
+        daily[(t, d)] += c
+    by_type = defaultdict(dict)
+    for (t, d), c in daily.items():
+        by_type[t][d] = c
+    for t, series in by_type.items():
+        total = sum(series.values())
+        n_days = len(series)
+        mean = total // n_days if total >= 0 else -((-total) // n_days)  # floor div
+        cusum = 0
+        best = (-1, None)
+        for d in sorted(series):
+            cusum += series[d] - mean
+            a = abs(cusum)
+            if a > best[0]:  # ties keep the SMALLEST day (max_by struct(|c|, -day))
+                best = (a, d)
+        assert got[t] == (n_days, best[1], best[0]), t
+
+
+def test_twap_matches_bruteforce(spark):
+    """`user_value_twap` vs a direct duration-weighted integer replay."""
+    import duckdb
+
+    from cdc_agents_data_stream_spark.queries.window_queries import user_value_twap
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["n_intervals"], r["total_ms"], r["twap_micro"])
+        for r in user_value_twap(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT user_id, event_id, epoch_ms(ts), CAST(ROUND(value * 1e6) AS BIGINT) "
+        f"FROM read_parquet('{sf}/events.parquet') ORDER BY user_id, epoch_ms(ts), event_id"
+    ).fetchall()
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for u, eid, t, v in rows:
+        series[u].append((t, v))
+    for u, evs in series.items():
+        n = tot_ms = num = den = 0
+        for (t0, v), (t1, _) in zip(evs, evs[1:]):
+            dur_ms = t1 - t0
+            n += 1
+            tot_ms += dur_ms
+            num += v * (dur_ms // 1000)
+            den += dur_ms // 1000
+        if n == 0:
+            assert u not in got
+            continue
+        assert got[u] == (n, tot_ms, num // den), u
+
+
+def test_cheapest_route_matches_bellman_ford(spark):
+    """`graph_cheapest_route` vs a dict-based Bellman-Ford replay with the
+    same round budget on the real sf0.001 purchase graph."""
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.operators.graph import BFS_ROUNDS
+    from cdc_agents_data_stream_spark.queries.graph_queries import graph_cheapest_route
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["node"]: r["cost"] for r in graph_cheapest_route(spark, sf).collect()}
+    pairs = duckdb.sql(
+        f"""
+        SELECT CAST(o_custkey AS BIGINT), CAST(l_suppkey AS BIGINT),
+               MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+        FROM read_parquet('{sf}/orders.parquet') o
+        JOIN read_parquet('{sf}/lineitem.parquet') l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    adj = defaultdict(list)
+    for ck, sk, w in pairs:
+        adj[ck * 2].append((sk * 2 + 1, w))
+        adj[sk * 2 + 1].append((ck * 2, w))
+    seeds = [
+        r[0] * 2
+        for r in duckdb.sql(
+            f"SELECT CAST(c_custkey AS BIGINT) FROM read_parquet('{sf}/customer.parquet') WHERE c_nationkey = 0"
+        ).fetchall()
+    ]
+    dist = {s: 0 for s in seeds}
+    for _ in range(BFS_ROUNDS):
+        nxt = dict(dist)
+        for node, cost in dist.items():
+            for dst, w in adj[node]:
+                if dst not in nxt or cost + w < nxt[dst]:
+                    nxt[dst] = cost + w
+        dist = nxt
+    assert got == dist
