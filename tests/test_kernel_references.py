@@ -872,3 +872,96 @@ def test_cheapest_route_matches_bellman_ford(spark):
                     nxt[dst] = cost + w
         dist = nxt
     assert got == dist
+
+
+def test_loo_encoding_matches_bruteforce(spark):
+    """`target_encode_loo` vs direct (S - v) // (n - 1) on exact micros."""
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.feature_queries import target_encode_loo
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_id"]: (r["event_type"], r["v_micro"], r["loo_enc_micro"])
+        for r in target_encode_loo(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT event_id, event_type, CAST(ROUND(value * 1e6) AS BIGINT) "
+        f"FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    s = defaultdict(int)
+    n = defaultdict(int)
+    for _, t, v in rows:
+        s[t] += v
+        n[t] += 1
+    for eid, t, v in rows:
+        want = (s[t] - v) // (n[t] - 1) if n[t] > 1 else None
+        assert got[eid] == (t, v, want), eid
+
+
+def test_rolling_7d_distinct_matches_bruteforce(spark):
+    """`rolling_7d_distinct_exact` vs direct per-day set unions."""
+    import duckdb
+
+    from cdc_agents_data_stream_spark.queries.window_queries import (
+        rolling_7d_distinct_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        str(r["rday"]): r["n_active_7d"]
+        for r in rolling_7d_distinct_exact(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT DISTINCT CAST(ts AS DATE), user_id FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    from collections import defaultdict
+    import datetime as dt
+
+    active = defaultdict(set)
+    for day, u in rows:
+        active[day].add(u)
+    for day in sorted(active):
+        users = set()
+        for back in range(7):
+            users |= active.get(day - dt.timedelta(days=back), set())
+        assert got[str(day)] == len(users), day
+    assert len(got) == len(active)
+
+
+def test_ols_trend_matches_exact_integers(spark):
+    """`event_value_trend`'s slope_num/slope_den vs exact big-int
+    sufficient statistics computed in Python."""
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.ml_queries import (
+        _X_BASE_S,
+        event_value_trend,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: (r["n_pts"], r["slope_num"], r["slope_den"], r["slope"])
+        for r in event_value_trend(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT event_type, epoch_ms(ts) // 1000 - {_X_BASE_S}, "
+        f"CAST(ROUND(value * 1e6) AS BIGINT) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    acc = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, sx, sy, sxx, sxy
+    for t, x, y in rows:
+        a = acc[t]
+        a[0] += 1
+        a[1] += x
+        a[2] += y
+        a[3] += x * x
+        a[4] += x * y
+    for t, (n, sx, sy, sxx, sxy) in acc.items():
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        gn, gnum, gden, gslope = got[t]
+        assert gn == n and gnum == float(num) and gden == float(den), t
+        if den:
+            assert abs(gslope - num / den) <= 1e-9 * max(1.0, abs(num / den)), t
