@@ -965,3 +965,129 @@ def test_ols_trend_matches_exact_integers(spark):
         assert gn == n and gnum == float(num) and gden == float(den), t
         if den:
             assert abs(gslope - num / den) <= 1e-9 * max(1.0, abs(num / den)), t
+
+
+def test_sessionization_matches_bruteforce(spark):
+    """`user_sessionization` (30-min gap) vs a direct linear scan."""
+    import duckdb
+
+    from cdc_agents_data_stream_spark.queries.window_queries import user_sessionization
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["user_id"], r["session_start_ms"], r["session_last_ms"], r["n_events"])
+        for r in user_sessionization(spark, sf).collect()
+    )
+    rows = duckdb.sql(
+        f"SELECT user_id, epoch_ms(ts) FROM read_parquet('{sf}/events.parquet') ORDER BY user_id, epoch_ms(ts)"
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for u, t in rows:
+        per[u].append(t)
+    want = []
+    for u, ts in per.items():
+        start = prev = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - prev > 1_800_000:
+                want.append((u, start, prev, n))
+                start, n = t, 0
+            prev = t
+            n += 1
+        want.append((u, start, prev, n))
+    assert got == sorted(want)
+
+
+def test_funnel_matches_bruteforce(spark):
+    """`funnel_conversion` vs a direct min-timestamp chase per user."""
+    import duckdb
+
+    from cdc_agents_data_stream_spark.queries.window_queries import funnel_conversion
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["stage"]: r["n_users"] for r in funnel_conversion(spark, sf).collect()}
+    rows = duckdb.sql(
+        f"SELECT user_id, event_type, epoch_ms(ts) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(lambda: defaultdict(list))
+    for u, t, ts in rows:
+        per[u][t].append(ts)
+    s = c = p = 0
+    for u, by in per.items():
+        if "signup" not in by:
+            continue
+        s += 1
+        s_ms = min(by["signup"])
+        clicks = [t for t in by.get("click", []) if t >= s_ms]
+        if not clicks:
+            continue
+        c += 1
+        c_ms = min(clicks)
+        if any(t >= c_ms for t in by.get("purchase", [])):
+            p += 1
+    assert got == {
+        "1_signup": s,
+        "2_click_after_signup": c,
+        "3_purchase_after_click": p,
+    }
+
+
+def test_cohort_retention_matches_bruteforce(spark):
+    """`cohort_retention` vs direct week-offset set counting."""
+    import duckdb
+
+    from cdc_agents_data_stream_spark.queries.window_queries import cohort_retention
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT user_id, event_type, epoch_ms(ts) // 604800000 "
+        f"FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    from collections import defaultdict
+
+    cohort = {}
+    act = defaultdict(set)
+    for u, t, wk in rows:
+        act[u].add(wk)
+        if t == "signup":
+            cohort[u] = min(cohort.get(u, wk), wk)
+    want = defaultdict(set)
+    for u, cw in cohort.items():
+        for wk in act[u]:
+            if wk >= cw:
+                want[(cw, wk - cw)].add(u)
+    assert got == {k: len(v) for k, v in want.items()}
+
+
+def test_pareto_cutoff_matches_bruteforce(spark):
+    """`value_pareto_cutoff` vs a direct ranked cumulative scan."""
+    import duckdb
+
+    from cdc_agents_data_stream_spark.queries.window_queries import value_pareto_cutoff
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["rnk"], r["user_id"], r["v_micro"], r["prev_cum"])
+        for r in value_pareto_cutoff(spark, sf).collect()
+    ]
+    rows = duckdb.sql(
+        f"SELECT user_id, CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT) "
+        f"FROM read_parquet('{sf}/events.parquet') GROUP BY user_id"
+    ).fetchall()
+    ranked = sorted(rows, key=lambda r: (-r[1], r[0]))
+    total = sum(v for _, v in ranked)
+    want = []
+    cum = 0
+    for i, (u, v) in enumerate(ranked, start=1):
+        if cum * 100 < total * 80:
+            want.append((i, u, v, cum))
+        cum += v
+    assert got == want
