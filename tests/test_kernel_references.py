@@ -1091,3 +1091,100 @@ def test_pareto_cutoff_matches_bruteforce(spark):
             want.append((i, u, v, cum))
         cum += v
     assert got == want
+
+
+def test_hhi_matches_bruteforce(spark):
+    """`supplier_hhi_concentration` vs exact big-int Σc²·10⁶ // (Σc)²."""
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.quality_queries import (
+        supplier_hhi_concentration,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["n_name"]: (r["n_suppliers"], r["rev_cents"], r["hhi_ppm"])
+        for r in supplier_hhi_concentration(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"""
+        SELECT s_nationkey, l_suppkey,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+        FROM read_parquet('{sf}/lineitem.parquet') l
+        JOIN read_parquet('{sf}/supplier.parquet') s ON s_suppkey = l_suppkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    names = dict(
+        duckdb.sql(
+            f"SELECT n_nationkey, n_name FROM read_parquet('{sf}/nation.parquet')"
+        ).fetchall()
+    )
+    per_nation = defaultdict(list)
+    for nk, _, rev in rows:
+        per_nation[nk].append(rev)
+    want = {}
+    for nk, revs in per_nation.items():
+        tot = sum(revs)
+        want[names[nk]] = (
+            len(revs),
+            tot,
+            sum(r * r for r in revs) * 1_000_000 // (tot * tot),
+        )
+    assert got == want
+
+
+def test_rolling_median_matches_bruteforce(spark):
+    """`user_rolling_median` (7-row frame, 2×median integers) vs a direct
+    sorted-frame scan."""
+    import duckdb
+
+    from cdc_agents_data_stream_spark.queries.window_queries import user_rolling_median
+
+    sf = "/root/testdata/sf0.001"
+    df = user_rolling_median(spark, sf)
+    key_cols = [c for c in df.columns]
+    got = {r["event_id"]: r[key_cols[-1]] for r in df.collect()}
+    rows = duckdb.sql(
+        f"SELECT user_id, event_id, epoch_ms(ts), CAST(ROUND(value * 1e6) AS BIGINT) "
+        f"FROM read_parquet('{sf}/events.parquet') ORDER BY user_id, epoch_ms(ts), event_id"
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for u, eid, t, v in rows:
+        per[u].append((eid, v))
+    for u, seq in per.items():
+        for i, (eid, _) in enumerate(seq):
+            frame = sorted(v for _, v in seq[max(0, i - 6) : i + 1])
+            n = len(frame)
+            want = frame[(n + 1) // 2 - 1] + frame[n // 2]
+            assert got[eid] == want, (u, eid)
+
+
+def test_quantity_mode_matches_bruteforce(spark):
+    """`quantity_mode_exact` vs a direct histogram argmax with the
+    pinned smallest-value tie-break."""
+    import duckdb
+    from collections import Counter, defaultdict
+
+    from cdc_agents_data_stream_spark.queries.quality_queries import quantity_mode_exact
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["l_returnflag"]: (r["mode_qty"], r["n_mode"], r["share_ppm"])
+        for r in quantity_mode_exact(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT l_returnflag, CAST(l_quantity AS BIGINT) FROM read_parquet('{sf}/lineitem.parquet')"
+    ).fetchall()
+    hist = defaultdict(Counter)
+    for f, q in rows:
+        hist[f][q] += 1
+    want = {}
+    for f, c in hist.items():
+        n_all = sum(c.values())
+        qty, n = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want[f] = (qty, n, n * 1_000_000 // n_all)
+    assert got == want
