@@ -1188,3 +1188,65 @@ def test_quantity_mode_matches_bruteforce(spark):
         qty, n = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         want[f] = (qty, n, n * 1_000_000 // n_all)
     assert got == want
+
+
+def test_pattern_match_matches_bruteforce(spark):
+    """`event_pattern_match` vs Python re: same symbolization, same
+    non-overlapping v+c*p count."""
+    import re as _re
+
+    import duckdb
+
+    from cdc_agents_data_stream_spark.queries.window_queries import event_pattern_match
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["seq"], r["n_events"], r["n_funnel_runs"])
+        for r in event_pattern_match(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT user_id, event_type, epoch_ms(ts), event_id "
+        f"FROM read_parquet('{sf}/events.parquet') ORDER BY user_id, epoch_ms(ts), event_id"
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for u, t, _, _ in rows:
+        per[u].append(t[0])
+    for u, codes in per.items():
+        seq = "".join(codes)
+        want = (seq, len(codes), len(_re.findall("v+c*p", seq)))
+        assert got[u] == want, u
+
+
+def test_capped_rollup_matches_bruteforce(spark):
+    """`capped_contribution_rollup` vs a direct two-level capped replay."""
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.quality_queries import (
+        capped_contribution_rollup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: (r["n_users"], r["n_events"], r["n_capped"], r["cents_capped"])
+        for r in capped_contribution_rollup(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT event_type, user_id, CAST(ROUND(value * 100) AS BIGINT) "
+        f"FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    per = defaultdict(lambda: [0, 0])  # (type,user) -> [n_u, c_u]
+    for t, u, c in rows:
+        a = per[(t, u)]
+        a[0] += 1
+        a[1] += min(c, 5000)
+    want = defaultdict(lambda: [0, 0, 0, 0])
+    for (t, _), (n_u, c_u) in per.items():
+        w = want[t]
+        w[0] += 1
+        w[1] += n_u
+        w[2] += min(n_u, 5)
+        w[3] += c_u if n_u <= 5 else c_u * 5 // n_u
+    assert got == {t: tuple(v) for t, v in want.items()}
