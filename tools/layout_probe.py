@@ -10,6 +10,12 @@ tests/test_api_surface_pins.py). Must run in its own process: the JVM
 pins one master per process.
 
 Run: python tools/layout_probe.py [sf_dir]
+
+A second axis via SPARK_GRAFT_PROBE_MODE=codegen-off: same subset with
+whole-stage codegen AND adaptive execution disabled (interpreted
+expression evaluation, static planning) — results must not depend on
+the execution engine variant any more than on layout. Run each mode in
+its own process.
 """
 
 from __future__ import annotations
@@ -42,13 +48,21 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     import __spark_entry__ as e
     from tests.oracle_harness import compare, duck_con
 
-    spark = (
+    import os
+
+    builder = (
         SparkSession.builder.master("local[3]")
         .appName("layout-probe")
         .config("spark.sql.shuffle.partitions", "5")
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "codegen-off":
+        builder = (
+            builder.config("spark.sql.codegen.wholeStage", "false")
+            .config("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+            .config("spark.sql.adaptive.enabled", "false")
+        )
+    spark = builder.getOrCreate()
     con = duck_con(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
     failed = []
