@@ -1250,3 +1250,94 @@ def test_capped_rollup_matches_bruteforce(spark):
         w[2] += min(n_u, 5)
         w[3] += c_u if n_u <= 5 else c_u * 5 // n_u
     assert got == {t: tuple(v) for t, v in want.items()}
+
+
+def test_gini_matches_bruteforce(spark):
+    """`value_gini_ppm` vs the exact rank-formula on Python big ints."""
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.feature_queries import value_gini_ppm
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: (r["n"], r["gini_ppm"])
+        for r in value_gini_ppm(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) "
+        f"FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    per = defaultdict(list)
+    for t, c in rows:
+        per[t].append(c)
+    for t, xs in per.items():
+        xs.sort()
+        n = len(xs)
+        tot = sum(xs)
+        num = sum((2 * i - n - 1) * x for i, x in enumerate(xs, start=1))
+        want = num * 1_000_000 // (n * tot) if tot else 0
+        assert got[t] == (n, want), t
+
+
+def test_benford_matches_bruteforce(spark):
+    """`order_value_benford` vs direct string-math digit counting."""
+    import duckdb
+    from collections import Counter
+
+    from cdc_agents_data_stream_spark.queries.quality_queries import order_value_benford
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["digit"]: (r["n"], r["share_ppm"])
+        for r in order_value_benford(spark, sf).collect()
+    }
+    cents = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) FROM read_parquet('{sf}/orders.parquet')"
+        ).fetchall()
+    ]
+    c = Counter(int(str(v)[0]) for v in cents)
+    n_all = len(cents)
+    assert got == {d: (n, n * 1_000_000 // n_all) for d, n in c.items()}
+
+
+def test_decile_lift_matches_bruteforce(spark):
+    """`decile_lift_table` vs a direct deterministic NTILE replay."""
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.ml_queries import decile_lift_table
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["decile"], r["n_users"], r["purchases"], r["cum_capture_ppm"])
+        for r in decile_lift_table(spark, sf).collect()
+    ]
+    rows = duckdb.sql(
+        f"SELECT user_id, CAST(ROUND(value * 100) AS BIGINT), event_type "
+        f"FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    per = defaultdict(lambda: [0, 0])
+    for u, cts, t in rows:
+        per[u][0] += cts
+        per[u][1] += 1 if t == "purchase" else 0
+    ranked = sorted(per.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    n = len(ranked)
+    # NTILE(k): first (n % k) tiles get ceil(n/k), rest floor(n/k)
+    base, extra = divmod(n, 10)
+    sizes = [base + (1 if i < extra else 0) for i in range(10)]
+    want = []
+    i = 0
+    cum = 0
+    all_p = sum(v[1] for _, v in ranked)
+    for d, size in enumerate(sizes, start=1):
+        if size == 0:
+            continue
+        chunk = ranked[i : i + size]
+        i += size
+        p = sum(v[1] for _, v in chunk)
+        cum += p
+        want.append((d, size, p, cum * 1_000_000 // all_p))
+    assert got == want
