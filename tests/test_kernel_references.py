@@ -1341,3 +1341,87 @@ def test_decile_lift_matches_bruteforce(spark):
         cum += p
         want.append((d, size, p, cum * 1_000_000 // all_p))
     assert got == want
+
+
+def test_pagerank_matches_bruteforce(spark):
+    """`graph_pagerank` vs a dict-based synchronous integer-grid power
+    iteration on the real sf0.001 purchase graph (same ppm constants,
+    same DIV floors, same dangling redistribution)."""
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.operators.graph import (
+        PR_DAMP_MILLI,
+        PR_INIT_PPM,
+        PR_ITERATIONS,
+        PR_TELEPORT_PPM,
+    )
+    from cdc_agents_data_stream_spark.queries.graph_queries import graph_pagerank
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["node"]: r["rank_ppm"] for r in graph_pagerank(spark, sf).collect()}
+    pairs = duckdb.sql(
+        f"""
+        SELECT DISTINCT CAST(o_custkey AS BIGINT), CAST(l_suppkey AS BIGINT)
+        FROM read_parquet('{sf}/orders.parquet') o
+        JOIN read_parquet('{sf}/lineitem.parquet') l ON o.o_orderkey = l.l_orderkey
+        """
+    ).fetchall()
+    nodes = set(
+        r[0] * 2
+        for r in duckdb.sql(
+            f"SELECT CAST(c_custkey AS BIGINT) FROM read_parquet('{sf}/customer.parquet')"
+        ).fetchall()
+    ) | set(
+        r[0] * 2 + 1
+        for r in duckdb.sql(
+            f"SELECT CAST(s_suppkey AS BIGINT) FROM read_parquet('{sf}/supplier.parquet')"
+        ).fetchall()
+    )
+    out = defaultdict(list)
+    for ck, sk in pairs:
+        out[ck * 2].append(sk * 2 + 1)
+        out[sk * 2 + 1].append(ck * 2)
+    n_nodes = len(nodes)
+    rank = {n: PR_INIT_PPM for n in nodes}
+    for _ in range(PR_ITERATIONS):
+        contrib = defaultdict(int)
+        for src, dsts in out.items():
+            share = rank[src] // len(dsts)
+            for d in dsts:
+                contrib[d] += share
+        dsum = sum(rank[n] for n in nodes if n not in out)
+        rank = {
+            n: PR_TELEPORT_PPM
+            + (PR_DAMP_MILLI * (contrib.get(n, 0) + dsum // n_nodes)) // 1000
+            for n in nodes
+        }
+    assert got == rank
+
+
+def test_calibration_bins_match_bruteforce(spark):
+    """`calibration_bins` vs direct fixed-width binning."""
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.ml_queries import calibration_bins
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["bin"]: (r["n"], r["n_pos"], r["pos_rate_ppm"], r["mean_score_cents"])
+        for r in calibration_bins(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT CAST(ROUND(value * 100) AS BIGINT), event_type = 'purchase' "
+        f"FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    acc = defaultdict(lambda: [0, 0, 0])
+    for cents, pos in rows:
+        b = min(9, cents // 1000)
+        a = acc[b]
+        a[0] += 1
+        a[1] += 1 if pos else 0
+        a[2] += cents
+    assert got == {
+        b: (n, p, p * 1_000_000 // n, s // n) for b, (n, p, s) in acc.items()
+    }
