@@ -1425,3 +1425,81 @@ def test_calibration_bins_match_bruteforce(spark):
     assert got == {
         b: (n, p, p * 1_000_000 // n, s // n) for b, (n, p, s) in acc.items()
     }
+
+
+def test_diversity_index_matches_bruteforce(spark):
+    """`type_diversity_index` vs the exact rational (n²−Σc²)·10⁶//n²."""
+    import duckdb
+    from collections import Counter, defaultdict
+
+    from cdc_agents_data_stream_spark.queries.quality_queries import (
+        type_diversity_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        str(r["day"]): (r["n"], r["n_types"], r["gini_simpson_ppm"])
+        for r in type_diversity_index(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT CAST(ts AS DATE), event_type FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    per = defaultdict(Counter)
+    for day, t in rows:
+        per[day][t] += 1
+    want = {}
+    for day, c in per.items():
+        n = sum(c.values())
+        sum_c2 = sum(v * v for v in c.values())
+        want[str(day)] = (n, len(c), (n * n - sum_c2) * 1_000_000 // (n * n))
+    assert got == want
+
+
+def test_rfm_segments_match_bruteforce(spark):
+    """`customer_rfm_segments` vs three deterministic NTILE(4) replays."""
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.quality_queries import (
+        customer_rfm_segments,
+    )
+
+    def ntile4(ranked):
+        n = len(ranked)
+        base, extra = divmod(n, 4)
+        out = {}
+        i = 0
+        for tile in range(1, 5):
+            size = base + (1 if tile <= extra else 0)
+            for key in ranked[i : i + size]:
+                out[key] = tile
+            i += size
+        return out
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["segment"]: (r["n_customers"], r["avg_cents"])
+        for r in customer_rfm_segments(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT o_custkey, CAST(o_orderdate AS DATE), CAST(ROUND(o_totalprice*100) AS BIGINT) "
+        f"FROM read_parquet('{sf}/orders.parquet')"
+    ).fetchall()
+    per = {}
+    end_day = max(r[1] for r in rows)
+    for ck, day, cents in rows:
+        rec, freq, tot = per.get(ck, (None, 0, 0))
+        last = day if rec is None else max(rec, day)
+        per[ck] = (last, freq + 1, tot + cents)
+    cust = {
+        ck: ((end_day - last).days, freq, tot) for ck, (last, freq, tot) in per.items()
+    }
+    r_t = ntile4(sorted(cust, key=lambda k: (cust[k][0], k)))
+    f_t = ntile4(sorted(cust, key=lambda k: (-cust[k][1], k)))
+    m_t = ntile4(sorted(cust, key=lambda k: (-cust[k][2], k)))
+    seg = defaultdict(lambda: [0, 0])
+    for ck, (_, _, tot) in cust.items():
+        s = r_t[ck] * 100 + f_t[ck] * 10 + m_t[ck]
+        seg[s][0] += 1
+        seg[s][1] += tot
+    assert got == {s: (n, t // n) for s, (n, t) in seg.items()}
