@@ -1503,3 +1503,36 @@ def test_rfm_segments_match_bruteforce(spark):
         seg[s][0] += 1
         seg[s][1] += tot
     assert got == {s: (n, t // n) for s, (n, t) in seg.items()}
+
+
+def test_pmi_matches_bruteforce(spark):
+    """`token_cooccurrence_pmi` vs direct presence-pair counting."""
+    import duckdb
+    from collections import Counter
+    from itertools import combinations
+
+    from cdc_agents_data_stream_spark.queries.text_queries import (
+        token_cooccurrence_pmi,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["tok_a"], r["tok_b"], r["c_ab"], r["c_a"], r["c_b"], r["assoc_ppm"])
+        for r in token_cooccurrence_pmi(spark, sf).collect()
+    ]
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    n_docs = len(docs)
+    df = Counter()
+    c_ab = Counter()
+    for _, text in docs:
+        toks = sorted(set(text.split(" ")))
+        df.update(toks)
+        c_ab.update(combinations(toks, 2))
+    want = sorted(
+        (a, b, n, df[a], df[b], n * n_docs * 1_000_000 // (df[a] * df[b]))
+        for (a, b), n in c_ab.items()
+        if n >= 20
+    )
+    assert got == want
