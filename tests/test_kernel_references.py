@@ -1536,3 +1536,85 @@ def test_pmi_matches_bruteforce(spark):
         if n >= 20
     )
     assert got == want
+
+
+def test_log2_histogram_matches_bruteforce(spark):
+    """`log2_histogram_quantiles` vs a direct bit-length histogram."""
+    import duckdb
+    from collections import Counter, defaultdict
+
+    from cdc_agents_data_stream_spark.queries.sketch_queries import (
+        log2_histogram_quantiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: (
+            r["n"],
+            r["p50_bucket"],
+            r["p50_lo_cents"],
+            r["p99_bucket"],
+            r["p99_lo_cents"],
+        )
+        for r in log2_histogram_quantiles(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT event_type, GREATEST(1, CAST(ROUND(value * 100) AS BIGINT)) "
+        f"FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    hist = defaultdict(Counter)
+    for t, cents in rows:
+        hist[t][cents.bit_length() - 1] += 1
+    for t, c in hist.items():
+        n = sum(c.values())
+
+        def pick(qn, qd):
+            cum = 0
+            for b in sorted(c):
+                cum += c[b]
+                if cum * qd >= n * qn:
+                    return b
+            raise AssertionError("unreachable")
+
+        p50, p99 = pick(1, 2), pick(99, 100)
+        assert got[t] == (n, p50, 1 << p50, p99, 1 << p99), t
+
+
+def test_item_item_matches_bruteforce(spark):
+    """`item_item_similarity` vs direct basket-pair counting + squared
+    cosine on the ppm grid with the pinned top-3 tie-break."""
+    import duckdb
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    from cdc_agents_data_stream_spark.queries.relational import item_item_similarity
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["item_a"], r["rnk"], r["item_b"], r["c_ab"], r["sim2_ppm"])
+        for r in item_item_similarity(spark, sf).collect()
+    ]
+    rows = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey, CAST(l_partkey AS BIGINT) "
+        f"FROM read_parquet('{sf}/lineitem.parquet')"
+    ).fetchall()
+    baskets = defaultdict(set)
+    supp = Counter()
+    for ok, item in rows:
+        baskets[ok].add(item)
+        supp[item] += 1
+    c_ab = Counter()
+    for items in baskets.values():
+        c_ab.update(combinations(sorted(items), 2))
+    per_a = defaultdict(list)
+    for (a, b), n in c_ab.items():
+        if n < 3:
+            continue
+        for x, y in ((a, b), (b, a)):
+            per_a[x].append((y, n, n * n * 1_000_000 // (supp[x] * supp[y])))
+    want = []
+    for a in per_a:
+        ranked = sorted(per_a[a], key=lambda r: (-r[2], r[0]))[:3]
+        for rnk, (b, n, s) in enumerate(ranked, start=1):
+            want.append((a, rnk, b, n, s))
+    assert sorted(got) == sorted(want)
