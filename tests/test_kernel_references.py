@@ -1618,3 +1618,99 @@ def test_item_item_matches_bruteforce(spark):
         for rnk, (b, n, s) in enumerate(ranked, start=1):
             want.append((a, rnk, b, n, s))
     assert sorted(got) == sorted(want)
+
+
+def test_max_concurrent_matches_bruteforce(spark):
+    """`max_concurrent_users` vs a direct sweep-line replay (ends before
+    starts at the same millisecond, midnight clipping)."""
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.window_queries import max_concurrent_users
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["day"]: r["max_concurrent"] for r in max_concurrent_users(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT), epoch_ms(ts) "
+        f"FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    bounds = defaultdict(list)
+    for day, t in rows:
+        day_end = (day + 1) * 86400000
+        bounds[day].append((t, 1))
+        bounds[day].append((min(t + 1800000, day_end), -1))
+    for day, bs in bounds.items():
+        bs.sort()  # (at_ms, delta): -1 sorts before +1 at equal ms
+        occ = peak = 0
+        for _, d in bs:
+            occ += d
+            peak = max(peak, occ)
+        assert got[day] == peak, day
+
+
+def test_gapfill_locf_matches_bruteforce(spark):
+    """`user_daily_gapfill` vs a direct grid + carry-forward replay."""
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.window_queries import user_daily_gapfill
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["user_id"], r["bucket_idx"]): (r["filled_val"], r["is_gap"])
+        for r in user_daily_gapfill(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT user_id, epoch_ms(ts) // 86400000, "
+        f"CAST(ROUND(value * 100) AS BIGINT) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    obs = defaultdict(lambda: defaultdict(int))
+    for u, d, c in rows:
+        obs[u][d] += c
+    count = 0
+    for u, days in obs.items():
+        lo, hi = min(days), max(days)
+        last = None
+        for d in range(lo, hi + 1):
+            if d in days:
+                last = days[d]
+                want = (last, 0)
+            else:
+                want = (last, 1)
+            assert got[(u, d)] == want, (u, d)
+            count += 1
+    assert len(got) == count
+
+
+def test_status_transitions_match_bruteforce(spark):
+    """`order_status_transitions` vs a direct per-customer lag replay."""
+    import duckdb
+    from collections import Counter, defaultdict
+
+    from cdc_agents_data_stream_spark.queries.window_queries import (
+        order_status_transitions,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["from_status"], r["to_status"]): (r["n"], r["p_ppm"])
+        for r in order_status_transitions(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT o_custkey, epoch_ms(o_orderdate), o_orderkey, o_orderstatus "
+        f"FROM read_parquet('{sf}/orders.parquet') ORDER BY o_custkey, epoch_ms(o_orderdate), o_orderkey"
+    ).fetchall()
+    seq = defaultdict(list)
+    for ck, _, _, st in rows:
+        seq[ck].append(st)
+    pairs = Counter()
+    for sts in seq.values():
+        pairs.update(zip(sts, sts[1:]))
+    n_from = Counter()
+    for (a, _), n in pairs.items():
+        n_from[a] += n
+    assert got == {
+        k: (n, n * 1_000_000 // n_from[k[0]]) for k, n in pairs.items()
+    }
