@@ -1714,3 +1714,65 @@ def test_status_transitions_match_bruteforce(spark):
     assert got == {
         k: (n, n * 1_000_000 // n_from[k[0]]) for k, n in pairs.items()
     }
+
+
+def test_run_lengths_match_bruteforce(spark):
+    """`value_run_lengths` vs a direct consecutive-equal scan."""
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.window_queries import value_run_lengths
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["n_runs"], r["longest_run"])
+        for r in value_run_lengths(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT user_id, event_type FROM read_parquet('{sf}/events.parquet') "
+        f"WHERE user_id % 11 = 0 ORDER BY user_id, epoch_ms(ts), event_id"
+    ).fetchall()
+    per = defaultdict(list)
+    for u, t in rows:
+        per[u].append(t)
+    for u, sts in per.items():
+        runs = []
+        cur = 0
+        prev = None
+        for t in sts:
+            if t != prev:
+                if cur:
+                    runs.append(cur)
+                cur = 0
+            cur += 1
+            prev = t
+        runs.append(cur)
+        assert got[u] == (len(runs), max(runs)), u
+
+
+def test_dwell_time_matches_bruteforce(spark):
+    """`state_dwell_time` vs a direct interval accumulation."""
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.window_queries import state_dwell_time
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["user_id"], r["event_type"]): (r["n_intervals"], r["dwell_ms"])
+        for r in state_dwell_time(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT user_id, event_type, epoch_ms(ts) FROM read_parquet('{sf}/events.parquet') "
+        f"WHERE user_id % 7 = 0 ORDER BY user_id, epoch_ms(ts), event_id"
+    ).fetchall()
+    per = defaultdict(list)
+    for u, t, ms_ in rows:
+        per[u].append((t, ms_))
+    want = defaultdict(lambda: [0, 0])
+    for u, seq in per.items():
+        for (t, a), (_, b) in zip(seq, seq[1:]):
+            w = want[(u, t)]
+            w[0] += 1
+            w[1] += b - a
+    assert got == {k: tuple(v) for k, v in want.items()}
