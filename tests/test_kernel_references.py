@@ -1776,3 +1776,32 @@ def test_dwell_time_matches_bruteforce(spark):
             w[0] += 1
             w[1] += b - a
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_audience_overlap_matches_bruteforce(spark):
+    """`audience_overlap_matrix` vs direct set intersections."""
+    import duckdb
+    from collections import defaultdict
+    from itertools import combinations
+
+    from cdc_agents_data_stream_spark.queries.relational import audience_overlap_matrix
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["type_a"], r["type_b"]): (r["n_a"], r["n_b"], r["n_inter"], r["jaccard_ppm"])
+        for r in audience_overlap_matrix(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT DISTINCT event_type, user_id FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    sets = defaultdict(set)
+    for t, u in rows:
+        sets[t].add(u)
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            continue
+        union = len(sets[a] | sets[b])
+        want[(a, b)] = (len(sets[a]), len(sets[b]), inter, inter * 1_000_000 // union)
+    assert got == want
