@@ -1805,3 +1805,70 @@ def test_audience_overlap_matches_bruteforce(spark):
         union = len(sets[a] | sets[b])
         want[(a, b)] = (len(sets[a]), len(sets[b]), inter, inter * 1_000_000 // union)
     assert got == want
+
+
+def test_weekly_growth_matches_bruteforce(spark):
+    """`weekly_growth_ppm` vs a direct FLOOR-on-IEEE replay (negative
+    growth exercises the floor-vs-truncate divergence the query pins)."""
+    import math
+
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.window_queries import weekly_growth_ppm
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["event_type"], r["week"]): (r["wk_cents"], r["growth_ppm"])
+        for r in weekly_growth_ppm(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT event_type, epoch_ms(ts) // 604800000, "
+        f"CAST(ROUND(value * 100) AS BIGINT) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    weekly = defaultdict(int)
+    for t, wk, c in rows:
+        weekly[(t, wk)] += c
+    by_type = defaultdict(dict)
+    for (t, wk), c in weekly.items():
+        by_type[t][wk] = c
+    saw_negative = False
+    for t, series in by_type.items():
+        prev = None
+        for wk in sorted(series):
+            cur = series[wk]
+            g = (
+                math.floor((cur - prev) * 1_000_000 / prev)
+                if prev not in (None, 0)
+                else None
+            )
+            if g is not None and g < 0:
+                saw_negative = True
+            assert got[(t, wk)] == (cur, g), (t, wk)
+            prev = cur
+    assert saw_negative  # the divergence-prone branch is actually exercised
+
+
+def test_cumulative_new_users_matches_bruteforce(spark):
+    """`cumulative_new_users` vs a direct first-touch accumulation."""
+    import duckdb
+    from collections import Counter
+
+    from cdc_agents_data_stream_spark.queries.window_queries import cumulative_new_users
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["day"], r["new_users"], r["cum_users"])
+        for r in cumulative_new_users(spark, sf).collect()
+    ]
+    rows = duckdb.sql(
+        f"SELECT user_id, MIN(epoch_ms(ts) // 86400000) "
+        f"FROM read_parquet('{sf}/events.parquet') GROUP BY user_id"
+    ).fetchall()
+    daily = Counter(d for _, d in rows)
+    want = []
+    cum = 0
+    for d in sorted(daily):
+        cum += daily[d]
+        want.append((d, daily[d], cum))
+    assert sorted(got) == want
