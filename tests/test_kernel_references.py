@@ -1872,3 +1872,57 @@ def test_cumulative_new_users_matches_bruteforce(spark):
         cum += daily[d]
         want.append((d, daily[d], cum))
     assert sorted(got) == want
+
+
+def test_kfold_matches_bruteforce(spark):
+    """`kfold_assignment` vs Python hashlib md5 folding with the exact
+    id-sum membership signal."""
+    import hashlib
+
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.feature_queries import kfold_assignment
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["fold"], r["event_type"]): (r["n"], r["id_sum"])
+        for r in kfold_assignment(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT event_id, event_type FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    acc = defaultdict(lambda: [0, 0])
+    for eid, t in rows:
+        fold = int(hashlib.md5(str(eid).encode()).hexdigest()[:15], 16) % 5
+        a = acc[(fold, t)]
+        a[0] += 1
+        a[1] += eid
+    assert got == {k: (n, float(s)) for k, (n, s) in acc.items()}
+
+
+def test_class_weights_match_bruteforce(spark):
+    """`class_weights_inverse` vs the sklearn balanced rule on ints."""
+    import duckdb
+    from collections import Counter
+
+    from cdc_agents_data_stream_spark.queries.quality_queries import (
+        class_weights_inverse,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["lang"]: (r["n_class"], r["weight_ppm"])
+        for r in class_weights_inverse(spark, sf).collect()
+    }
+    langs = Counter(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT lang FROM read_parquet('{sf}/documents.parquet')"
+        ).fetchall()
+    )
+    n_total = sum(langs.values())
+    k = len(langs)
+    assert got == {
+        lang: (n, n_total * 1_000_000 // (k * n)) for lang, n in langs.items()
+    }
