@@ -1926,3 +1926,46 @@ def test_class_weights_match_bruteforce(spark):
     assert got == {
         lang: (n, n_total * 1_000_000 // (k * n)) for lang, n in langs.items()
     }
+
+
+def test_ship_lag_matches_bruteforce(spark):
+    """`ship_lag_profile` vs direct discrete-percentile selection."""
+    import duckdb
+    from collections import Counter, defaultdict
+
+    from cdc_agents_data_stream_spark.queries.quality_queries import ship_lag_profile
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["o_orderpriority"]: (
+            r["n_lines"],
+            r["p50_days"],
+            r["p90_days"],
+            r["over_sla_ppm"],
+        )
+        for r in ship_lag_profile(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"""
+        SELECT o_orderpriority,
+               date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+        FROM read_parquet('{sf}/lineitem.parquet') l
+        JOIN read_parquet('{sf}/orders.parquet') o ON o.o_orderkey = l.l_orderkey
+        """
+    ).fetchall()
+    hist = defaultdict(Counter)
+    for p, lag in rows:
+        hist[p][lag] += 1
+    for p, c in hist.items():
+        t = sum(c.values())
+
+        def pick(num, den):
+            cum = 0
+            for lag in sorted(c):
+                cum += c[lag]
+                if cum * den >= t * num:
+                    return lag
+            raise AssertionError
+
+        over = sum(n for lag, n in c.items() if lag > 60)
+        assert got[p] == (t, pick(1, 2), pick(9, 10), over * 1_000_000 // t), p
