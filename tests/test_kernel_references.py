@@ -1969,3 +1969,62 @@ def test_ship_lag_matches_bruteforce(spark):
 
         over = sum(n for lag, n in c.items() if lag > 60)
         assert got[p] == (t, pick(1, 2), pick(9, 10), over * 1_000_000 // t), p
+
+
+def test_seasonality_dow_matches_bruteforce(spark):
+    """`seasonality_dow` vs direct epoch-day % 7 accumulation."""
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.window_queries import seasonality_dow
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["event_type"], r["dow7"]): (r["n"], r["sum_cents"])
+        for r in seasonality_dow(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7, "
+        f"CAST(ROUND(value * 100) AS BIGINT) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    acc = defaultdict(lambda: [0, 0])
+    for t, d, c in rows:
+        a = acc[(t, d)]
+        a[0] += 1
+        a[1] += c
+    assert got == {k: tuple(v) for k, v in acc.items()}
+
+
+def test_hash_chi2_matches_bruteforce(spark):
+    """`uniform_hash_chi2` vs hashlib md5 bucketing and the exact
+    cross-multiplied statistic (including empty-bucket terms)."""
+    import hashlib
+
+    import duckdb
+    from collections import Counter
+
+    from cdc_agents_data_stream_spark.queries.quality_queries import uniform_hash_chi2
+
+    sf = "/root/testdata/sf0.001"
+    row = uniform_hash_chi2(spark, sf).collect()[0]
+    users = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT user_id FROM read_parquet('{sf}/events.parquet')"
+        ).fetchall()
+    ]
+    k = 64
+    c = Counter(
+        int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % k for u in users
+    )
+    n = len(users)
+    chi2 = (
+        sum((o * k - n) ** 2 for o in c.values()) + (k - len(c)) * n * n
+    ) * 1000 // (n * k)
+    assert (
+        row["n_buckets"],
+        row["n_keys"],
+        row["min_bucket"],
+        row["max_bucket"],
+        row["chi2_milli"],
+    ) == (len(c), n, min(c.values()), max(c.values()), chi2)
