@@ -2028,3 +2028,37 @@ def test_hash_chi2_matches_bruteforce(spark):
         row["max_bucket"],
         row["chi2_milli"],
     ) == (len(c), n, min(c.values()), max(c.values()), chi2)
+
+
+def test_phrase_search_matches_bruteforce(spark):
+    """`phrase_search` vs direct shingle enumeration: same probe
+    derivation (df DESC, shingle ASC), same hit set, every hit
+    substring-verified."""
+    import duckdb
+    from collections import Counter
+
+    from cdc_agents_data_stream_spark.queries.text_queries import phrase_search
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["doc_id"], r["phrase"], r["df"], r["verified"])
+        for r in phrase_search(spark, sf).collect()
+    ]
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    per_doc = {}
+    df_count = Counter()
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        grams = {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))}
+        per_doc[doc_id] = (grams, text)
+        df_count.update(grams)
+    phrase, df = sorted(df_count.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    want = sorted(
+        (doc_id, phrase, df, phrase in text)
+        for doc_id, (grams, text) in per_doc.items()
+        if phrase in grams
+    )
+    assert sorted(got) == want
+    assert all(v for _, _, _, v in want)  # index hit => substring contains
