@@ -2062,3 +2062,64 @@ def test_phrase_search_matches_bruteforce(spark):
     )
     assert sorted(got) == want
     assert all(v for _, _, _, v in want)  # index hit => substring contains
+
+
+def test_split_matches_hashlib(spark):
+    """`train_val_test_split` vs hashlib md5 — the engine's
+    conv/substring bucketing must agree with an independent md5, and
+    the id-sum membership signal must match per (type, split)."""
+    import hashlib
+
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.feature_queries import (
+        train_val_test_split,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["event_type"], r["split"]): (r["n"], r["sum_id"])
+        for r in train_val_test_split(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT event_id, event_type FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    acc = defaultdict(lambda: [0, 0])
+    for eid, t in rows:
+        b = int(hashlib.md5(str(eid).encode()).hexdigest()[:15], 16) % 100
+        split = "train" if b < 80 else ("val" if b < 90 else "test")
+        a = acc[(t, split)]
+        a[0] += 1
+        a[1] += eid
+    assert got == {k: (n, float(s)) for k, (n, s) in acc.items()}
+
+
+def test_stratified_sample_matches_hashlib(spark):
+    """`stratified_sample_counts` vs a hashlib md5 keep-coin replay."""
+    import hashlib
+
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.sampling_queries import (
+        stratified_sample_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["lang"]: (r["n_kept"], r["kept_chars"])
+        for r in stratified_sample_counts(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT doc_id, lang, n_chars FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    acc = defaultdict(lambda: [0, 0])
+    for doc_id, lang, n_chars in rows:
+        coin = int(hashlib.md5(f"{doc_id}:s1".encode()).hexdigest()[:15], 16) % 10000
+        thresh = {"en": 8000, "de": 3000}.get(lang, 1000)
+        if coin < thresh:
+            a = acc[lang]
+            a[0] += 1
+            a[1] += n_chars
+    assert got == {k: tuple(v) for k, v in acc.items()}
