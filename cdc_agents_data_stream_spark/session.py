@@ -26,6 +26,15 @@ def get_spark(app_name: str = "cdc-agents-data-stream-spark", master: str | None
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalesce floor is BYTE-based (1 MB default), which is the
+        # wrong proxy for CPU-heavy narrow rows: the MinHash/LSH band and
+        # verify aggregations shuffle ~2 MB of md5 work and were coalesced
+        # to 2 tasks on 32 cores (paired A/B: fuzzy_entity_match 7.3 s →
+        # 4.4 s at sf0.1 with the lower floor; other heavies unchanged).
+        # 64 KB keeps tiny-but-hot reduce stages parallel while leaving
+        # real data volumes (≥ 64 KB/partition) to coalesce exactly as
+        # before — at cluster scale this floor is a no-op.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
