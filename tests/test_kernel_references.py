@@ -2123,3 +2123,36 @@ def test_stratified_sample_matches_hashlib(spark):
             a[0] += 1
             a[1] += n_chars
     assert got == {k: tuple(v) for k, v in acc.items()}
+
+
+def test_tfidf_retrieval_matches_bruteforce(spark):
+    """`tfidf_retrieval_topk` vs direct posting-list scoring with the
+    log-free integer idf and the pinned (score DESC, doc_id) top-20."""
+    import duckdb
+    from collections import Counter, defaultdict
+
+    from cdc_agents_data_stream_spark.queries.text_queries import tfidf_retrieval_topk
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["doc_id"], r["score"]) for r in tfidf_retrieval_topk(spark, sf).collect()
+    ]
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    terms = {"vector", "merge", "stream", "window"}
+    tf = defaultdict(Counter)
+    for doc_id, text in docs:
+        for t in text.split(" "):
+            if t in terms:
+                tf[doc_id][t] += 1
+    dfreq = Counter()
+    for c in tf.values():
+        dfreq.update(c.keys())
+    n_docs = len(docs)
+    idf = {t: n_docs * 1_000_000 // df for t, df in dfreq.items()}
+    scores = {
+        d: sum(n * idf[t] for t, n in c.items()) for d, c in tf.items()
+    }
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want
