@@ -2156,3 +2156,73 @@ def test_tfidf_retrieval_matches_bruteforce(spark):
     }
     want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert got == want
+
+
+def test_fingerprint_matches_hashlib(spark):
+    """`doc_fingerprint` vs hashlib md5: both the set fingerprint and the
+    min token hash re-derived independently."""
+    import hashlib
+
+    import duckdb
+
+    from cdc_agents_data_stream_spark.queries.text_queries import doc_fingerprint
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (r["set_fingerprint"], r["min_token_hash"])
+        for r in doc_fingerprint(spark, sf).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        uniq = list(dict.fromkeys(toks))  # array_distinct keeps first-seen order
+        fp = hashlib.md5(" ".join(sorted(uniq)).encode()).hexdigest()
+        mth = min(
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in uniq
+        )
+        assert got[doc_id] == (fp, mth), doc_id
+
+
+def test_lang_id_matches_bruteforce(spark):
+    """`text_lang_id` vs a direct stopword-count replay with the pinned
+    en>es>de>fr argmax tie order."""
+    import duckdb
+
+    from cdc_agents_data_stream_spark.operators.textops import LANG_ORDER, STOPWORDS
+    from cdc_agents_data_stream_spark.queries.text_queries import text_lang_id
+
+    sf = "/root/testdata/sf0.001"
+    df = text_lang_id(spark, sf)
+    got = {r["doc_id"]: tuple(r[c] for c in df.columns[1:]) for r in df.collect()}
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    for doc_id, lang, text in docs:
+        toks = text.split(" ")
+        hits = {
+            lg: sum(1 for t in toks if t in set(STOPWORDS[lg])) for lg in LANG_ORDER
+        }
+        pred = max(LANG_ORDER, key=lambda lg: (hits[lg], -LANG_ORDER.index(lg)))
+        assert got[doc_id] == (lang, *[hits[lg] for lg in LANG_ORDER], pred), doc_id
+
+
+def test_token_count_matches_bruteforce(spark):
+    """`token_count_bpe` vs direct whitespace + ceil(len/4) counting."""
+    import duckdb
+
+    from cdc_agents_data_stream_spark.queries.text_queries import token_count_bpe
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (r["ws_token_cnt"], r["subword_cnt"])
+        for r in token_count_bpe(spark, sf).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        want = (len(toks), sum(-(-len(t) // 4) for t in toks))
+        assert got[doc_id] == want, doc_id
