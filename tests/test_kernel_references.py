@@ -2226,3 +2226,36 @@ def test_token_count_matches_bruteforce(spark):
         toks = text.split(" ")
         want = (len(toks), sum(-(-len(t) // 4) for t in toks))
         assert got[doc_id] == want, doc_id
+
+
+def test_sequence_packing_matches_bruteforce(spark):
+    """`pack_sequences_stats` vs a direct per-shard contiguous-fill
+    replay (pack = floor(cum_before / 512), ordered by doc_id)."""
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.sampling_queries import (
+        pack_sequences_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["shard"], r["pack_id"]): (r["n_docs"], r["pack_tokens"])
+        for r in pack_sequences_stats(spark, sf).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, len(string_split(text, ' ')) FROM read_parquet('{sf}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    shards = defaultdict(list)
+    for doc_id, n_tokens in docs:
+        shards[doc_id % 8].append(n_tokens)
+    want = defaultdict(lambda: [0, 0])
+    for shard, toks in shards.items():
+        cum = 0
+        for n in toks:
+            pack = cum // 512
+            w = want[(shard, pack)]
+            w[0] += 1
+            w[1] += n
+            cum += n
+    assert got == {k: tuple(v) for k, v in want.items()}
