@@ -2259,3 +2259,43 @@ def test_sequence_packing_matches_bruteforce(spark):
             w[1] += n
             cum += n
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_gopher_signals_match_bruteforce(spark):
+    """`gopher_repetition_signals` vs a direct Counter-based replay of
+    all four ppm/micro signals and the composite keep flag."""
+    import duckdb
+    from collections import Counter
+
+    from cdc_agents_data_stream_spark.queries.text_queries import (
+        gopher_repetition_signals,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (
+            r["token_cnt"],
+            r["top_token_ppm"],
+            r["top_bigram_ppm"],
+            r["ttr_ppm"],
+            r["mean_word_len_micro"],
+            r["gopher_ok"],
+        )
+        for r in gopher_repetition_signals(spark, sf).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        tc = Counter(toks)
+        n = len(toks)
+        bi = Counter(" ".join(p) for p in zip(toks, toks[1:]))
+        top_token = max(tc.values()) * 1_000_000 // n
+        top_bigram = (
+            max(bi.values()) * 1_000_000 // sum(bi.values()) if bi else 0
+        )
+        ttr = len(tc) * 1_000_000 // n
+        mwl = sum(len(t) for t in toks) * 1_000_000 // n
+        ok = int(top_token <= 200000 and top_bigram <= 180000 and ttr >= 100000)
+        assert got[doc_id] == (n, top_token, top_bigram, ttr, mwl, ok), doc_id
