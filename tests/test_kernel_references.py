@@ -2372,3 +2372,47 @@ def test_minhash_lsh_end_to_end_matches_hashlib(spark):
         if j >= 0.5:
             want[(a, b)] = j
     assert got == want
+
+
+def test_simhash_end_to_end_matches_hashlib(spark):
+    """Full SimHash pipeline replay in pure hashlib: token md5 h0 →
+    32 per-bit sign balances → sign fold → pigeonhole blocks →
+    candidate pairs → Hamming verify, vs `dedup_simhash`. Lossless
+    banding means the replay must produce EXACTLY the same pair set."""
+    import hashlib
+
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.dedup_queries import dedup_simhash
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup_simhash(spark, sf).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    sims = {}
+    for doc_id, text in docs:
+        balance = [0] * 32
+        for tok in text.split(" "):
+            h0 = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for j in range(32):
+                balance[j] += 1 if (h0 >> j) & 1 else -1
+        sims[doc_id] = sum(1 << j for j in range(32) if balance[j] > 0)
+    # pigeonhole candidates: 4 blocks of 8 bits (last absorbs remainder)
+    by_block = defaultdict(list)
+    for doc_id, s in sims.items():
+        for i in range(4):
+            width = 32 - i * 8 if i == 3 else 8
+            by_block[(i, (s >> (i * 8)) & ((1 << width) - 1))].append(doc_id)
+    want = {}
+    for docs_in in by_block.values():
+        for i, a in enumerate(sorted(docs_in)):
+            for b in sorted(docs_in)[i + 1 :]:
+                h = bin(sims[a] ^ sims[b]).count("1")
+                if h <= 3:
+                    want[(a, b)] = h
+    assert got == want
