@@ -2416,3 +2416,92 @@ def test_simhash_end_to_end_matches_hashlib(spark):
                 if h <= 3:
                     want[(a, b)] = h
     assert got == want
+
+
+def test_bloom_incremental_matches_hashlib(spark):
+    """Full Bloom pipeline replay in pure hashlib: build the packed
+    words from history, probe every doc, and reproduce both the hit
+    flags (including this filter's REAL false positives) and the exact
+    true-dup labels."""
+    import hashlib
+
+    import duckdb
+
+    from cdc_agents_data_stream_spark.queries.dedup_queries import (
+        dedup_bloom_incremental,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (r["bloom_hit"], r["true_dup"])
+        for r in dedup_bloom_incremental(spark, sf).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+
+    def positions(text):
+        hx = hashlib.md5(text.encode()).hexdigest()
+        return [int(hx[8 * j : 8 * j + 8], 16) % 1024 for j in range(3)]
+
+    bits = set()
+    hist_md5 = set()
+    for doc_id, text in docs:
+        if doc_id % 3 == 0:
+            bits.update(positions(text))
+            hist_md5.add(hashlib.md5(text.encode()).hexdigest())
+    n_fp = 0
+    for doc_id, text in docs:
+        hit = all(p in bits for p in positions(text))
+        dup = hashlib.md5(text.encode()).hexdigest() in hist_md5
+        assert got[doc_id] == (hit, dup), doc_id
+        assert not (dup and not hit)  # no false negatives, ever
+        n_fp += 1 if (hit and not dup) else 0
+    assert n_fp > 0  # the small gate filter forces real false positives
+
+
+def test_hll_registers_match_hashlib(spark):
+    """HLL register pipeline replay in pure hashlib: bucket, rho, the
+    exact integer register sum, and the rounded estimate."""
+    import hashlib
+
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        RHO_CAP,
+        _W_BITS,
+    )
+    from cdc_agents_data_stream_spark.queries.sketch_queries import hll_distinct_events
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: (
+            r["n_true"],
+            r["n_buckets_hit"],
+            r["register_sum"],
+            r["hll_estimate"],
+        )
+        for r in hll_distinct_events(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT event_type, event_id FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    regs = defaultdict(dict)
+    true_sets = defaultdict(set)
+    for t, eid in rows:
+        true_sets[t].add(eid)
+        h = int(hashlib.md5(str(eid).encode()).hexdigest()[:15], 16)
+        bucket = h % HLL_M
+        w = h // HLL_M
+        rho = (_W_BITS + 1) if w == 0 else (_W_BITS - w.bit_length() + 1)
+        rho = min(rho, RHO_CAP)
+        regs[t][bucket] = max(regs[t].get(bucket, 0), rho)
+    for t, r in regs.items():
+        reg_sum = sum(1 << (RHO_CAP - m) for m in r.values()) + (HLL_M - len(r)) * (
+            1 << RHO_CAP
+        )
+        est = round(HLL_ALPHA * float(HLL_M) * float(HLL_M) * float(1 << RHO_CAP) / reg_sum, 3)
+        assert got[t] == (len(true_sets[t]), len(r), reg_sum, est), t
