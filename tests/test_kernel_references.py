@@ -2505,3 +2505,41 @@ def test_hll_registers_match_hashlib(spark):
         )
         est = round(HLL_ALPHA * float(HLL_M) * float(HLL_M) * float(1 << RHO_CAP) / reg_sum, 3)
         assert got[t] == (len(true_sets[t]), len(r), reg_sum, est), t
+
+
+def test_cms_matches_hashlib(spark):
+    """Count-min sketch replay in pure hashlib: build the dxw counters,
+    probe every user, and reproduce estimates plus the cms >= truth
+    invariant."""
+    import hashlib
+
+    import duckdb
+    from collections import Counter, defaultdict
+
+    from cdc_agents_data_stream_spark.operators.sketches import CMS_D, CMS_W
+    from cdc_agents_data_stream_spark.queries.sketch_queries import cms_user_frequencies
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["true_cnt"], r["cms_est"])
+        for r in cms_user_frequencies(spark, sf).collect()
+    }
+    users = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT user_id FROM read_parquet('{sf}/events.parquet')"
+        ).fetchall()
+    ]
+
+    def bucket(u, j):
+        return int(hashlib.md5(f"{u}:{j}".encode()).hexdigest()[:15], 16) % CMS_W
+
+    counters = defaultdict(int)
+    for u in users:
+        for j in range(CMS_D):
+            counters[(j, bucket(u, j))] += 1
+    true_cnt = Counter(users)
+    for u in set(users):
+        est = min(counters[(j, bucket(u, j))] for j in range(CMS_D))
+        assert got[u] == (true_cnt[u], est), u
+        assert est >= true_cnt[u]
