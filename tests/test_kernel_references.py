@@ -2543,3 +2543,44 @@ def test_cms_matches_hashlib(spark):
         est = min(counters[(j, bucket(u, j))] for j in range(CMS_D))
         assert got[u] == (true_cnt[u], est), u
         assert est >= true_cnt[u]
+
+
+def test_cosine_topk_matches_sequential_fold(spark):
+    """`ann_cosine_topk` vs a pure-Python sequential-fold replay: the
+    engine's dot product is a LEFT FOLD over the array (F.aggregate), so
+    an element-order-preserving Python loop reproduces the IEEE doubles
+    bit-for-bit — ranking, tie-breaks, and 6-dp rounded sims included."""
+    import math
+
+    import duckdb
+
+    from cdc_agents_data_stream_spark.queries.similarity_queries import ann_cosine_topk
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["query_id"], r["neighbor_id"], r["rank"], r["sim_r"])
+        for r in ann_cosine_topk(spark, sf).collect()
+    ]
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet')"
+    ).fetchall()
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    vecs = {vid: [float(x) for x in v] for vid, v in rows}
+    norms = {vid: math.sqrt(fold_dot(v, v)) for vid, v in vecs.items()}
+    want = []
+    for qid in sorted(v for v in vecs if v < 5):
+        sims = [
+            (nid, fold_dot(vecs[nid], vecs[qid]) / (norms[nid] * norms[qid]))
+            for nid in vecs
+            if nid != qid
+        ]
+        sims.sort(key=lambda r: (-r[1], r[0]))
+        for rank, (nid, s) in enumerate(sims[:10], start=1):
+            want.append((qid, nid, rank, round(s, 6)))
+    assert sorted(got) == sorted(want)
