@@ -2584,3 +2584,55 @@ def test_cosine_topk_matches_sequential_fold(spark):
         for rank, (nid, s) in enumerate(sims[:10], start=1):
             want.append((qid, nid, rank, round(s, 6)))
     assert sorted(got) == sorted(want)
+
+
+def test_embedding_neardup_matches_fold_replay(spark):
+    """`embedding_neardup` end-to-end in pure Python: the fixed LCG
+    hyperplanes, per-band sign signatures, candidate equi-join, and the
+    cosine verify all replayed with order-preserving folds."""
+    import math
+
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.operators.similarity import N_BANDS, N_PLANES, PLANES
+    from cdc_agents_data_stream_spark.queries.similarity_queries import embedding_neardup
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["vec_a"], r["vec_b"]): r["sim_r"] for r in embedding_neardup(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet')"
+    ).fetchall()
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    vecs = {vid: [float(x) for x in v] for vid, v in rows}
+    norms = {vid: math.sqrt(fold_dot(v, v)) for vid, v in vecs.items()}
+    size = N_PLANES // N_BANDS
+    by_band = defaultdict(list)
+    for vid, v in vecs.items():
+        for band in range(N_BANDS):
+            sig = sum(
+                (1 << (j % size))
+                for j in range(band * size, (band + 1) * size)
+                if fold_dot(v, PLANES[j]) >= 0
+            )
+            by_band[(band, sig)].append(vid)
+    candidates = set()
+    for ids in by_band.values():
+        s = sorted(ids)
+        for i, a in enumerate(s):
+            for b in s[i + 1 :]:
+                candidates.add((a, b))
+    want = {}
+    for a, b in candidates:
+        sim = fold_dot(vecs[a], vecs[b]) / (norms[a] * norms[b])
+        if sim >= 0.45:
+            want[(a, b)] = round(sim, 6)
+    assert got == want
