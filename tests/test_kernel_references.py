@@ -2636,3 +2636,75 @@ def test_embedding_neardup_matches_fold_replay(spark):
         if sim >= 0.45:
             want[(a, b)] = round(sim, 6)
     assert got == want
+
+
+def test_lsh_bucketed_topk_matches_fold_replay(spark):
+    """`ann_lsh_bucketed` end-to-end: the 8-plane bucket assignment,
+    same-bucket candidate restriction, and reranking replayed with
+    order-preserving folds."""
+    import math
+
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.operators.similarity import PLANES
+    from cdc_agents_data_stream_spark.queries.similarity_queries import ann_lsh_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["query_id"], r["neighbor_id"], r["rank"], r["sim_r"])
+        for r in ann_lsh_bucketed(spark, sf).collect()
+    ]
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet')"
+    ).fetchall()
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    vecs = {vid: [float(x) for x in v] for vid, v in rows}
+    norms = {vid: math.sqrt(fold_dot(v, v)) for vid, v in vecs.items()}
+    bucket = {
+        vid: sum((1 << j) for j, p in enumerate(PLANES) if fold_dot(v, p) >= 0)
+        for vid, v in vecs.items()
+    }
+    want = []
+    for qid in sorted(v for v in vecs if v < 5):
+        cands = [
+            (nid, fold_dot(vecs[nid], vecs[qid]) / (norms[nid] * norms[qid]))
+            for nid in vecs
+            if nid != qid and bucket[nid] == bucket[qid]
+        ]
+        cands.sort(key=lambda r: (-r[1], r[0]))
+        for rank, (nid, s) in enumerate(cands[:5], start=1):
+            want.append((qid, nid, rank, round(s, 6)))
+    assert sorted(got) == sorted(want)
+
+
+def test_rp_projection_matches_bruteforce(spark):
+    """`embedding_rp_project` vs direct ±1-sign integer projection."""
+    import duckdb
+
+    from cdc_agents_data_stream_spark.operators.linalg import GRID, rp_signs
+    from cdc_agents_data_stream_spark.queries.ml_queries import (
+        EMB_DIM,
+        RP_DIM,
+        embedding_rp_project,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = embedding_rp_project(spark, sf)
+    got = {r["vec_id"]: tuple(r[f"p{k}"] for k in range(RP_DIM)) for r in df.collect()}
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet')"
+    ).fetchall()
+    signs = rp_signs(EMB_DIM, RP_DIM)
+    for vid, v in rows:
+        micro = [round(float(x) * GRID) for x in v]
+        want = tuple(
+            sum(micro[i] * signs[i][k] for i in range(EMB_DIM)) for k in range(RP_DIM)
+        )
+        assert got[vid] == want, vid
