@@ -2708,3 +2708,85 @@ def test_rp_projection_matches_bruteforce(spark):
             sum(micro[i] * signs[i][k] for i in range(EMB_DIM)) for k in range(RP_DIM)
         )
         assert got[vid] == want, vid
+
+
+def test_reconciliation_matches_fraction_replay(spark):
+    """`order_total_reconciliation` vs an exact Fraction replay of the
+    decimal triple product and the floored cent drift."""
+    import math
+    from fractions import Fraction
+
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.quality_queries import (
+        order_total_reconciliation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["o_orderstatus"]: (
+            r["n_orders"],
+            r["n_within_dollar"],
+            r["total_abs_drift_cents"],
+        )
+        for r in order_total_reconciliation(spark, sf).collect()
+    }
+    lines = duckdb.sql(
+        f"SELECT l_orderkey, l_extendedprice, l_discount, l_tax "
+        f"FROM read_parquet('{sf}/lineitem.parquet')"
+    ).fetchall()
+    line_total = defaultdict(Fraction)
+
+    def dec2(x):  # CAST(double AS DECIMAL(12,2)) — half-up on the cent grid
+        return Fraction(math.floor(Fraction(x).limit_denominator(10**15) * 100 + Fraction(1, 2)), 100)
+
+    for ok, price, disc, tax in lines:
+        line_total[ok] += dec2(price) * (1 - dec2(disc)) * (1 + dec2(tax))
+    orders = duckdb.sql(
+        f"SELECT o_orderkey, o_totalprice, o_orderstatus FROM read_parquet('{sf}/orders.parquet')"
+    ).fetchall()
+    acc = defaultdict(lambda: [0, 0, 0])
+    for ok, total, status in orders:
+        diff = abs(dec2(total) - line_total.get(ok, Fraction(0)))
+        cents = math.floor(diff * 100)
+        a = acc[status]
+        a[0] += 1
+        a[1] += 1 if cents <= 100 else 0
+        a[2] += cents
+    assert got == {k: tuple(v) for k, v in acc.items()}
+
+
+def test_equidepth_bins_match_bruteforce(spark):
+    """`value_equidepth_bins` vs a deterministic NTILE(10) replay."""
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.window_queries import value_equidepth_bins
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["event_type"], r["bin"]): (r["n"], r["lo_cents"], r["hi_cents"])
+        for r in value_equidepth_bins(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT event_type, event_id, CAST(ROUND(value * 100) AS BIGINT) "
+        f"FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    per = defaultdict(list)
+    for t, eid, c in rows:
+        per[t].append((c, eid))
+    want = {}
+    for t, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        base, extra = divmod(n, 10)
+        i = 0
+        for b in range(1, 11):
+            size = base + (1 if b <= extra else 0)
+            if size == 0:
+                continue
+            chunk = vals[i : i + size]
+            i += size
+            want[(t, b)] = (size, min(c for c, _ in chunk), max(c for c, _ in chunk))
+    assert got == want
