@@ -2790,3 +2790,38 @@ def test_equidepth_bins_match_bruteforce(spark):
             i += size
             want[(t, b)] = (size, min(c for c, _ in chunk), max(c for c, _ in chunk))
     assert got == want
+
+
+def test_chunking_matches_bruteforce(spark):
+    """`chunk_documents` vs a direct sliding-window replay (128-token
+    chunks, stride 96, final-chunk rule included)."""
+    import duckdb
+
+    from cdc_agents_data_stream_spark.queries.text_queries import chunk_documents_q
+
+    sf = "/root/testdata/sf0.001"
+    df = chunk_documents_q(spark, sf)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (
+            r["n_tokens"],
+            r["start_tok"],
+            r["chunk_text"],
+            r["chunk_tokens"],
+        )
+        for r in df.collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    count = 0
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        n = len(toks)
+        n_chunks = 1 + (max(n - 128, 0) + 95) // 96
+        for k in range(n_chunks):
+            start = k * 96
+            chunk = toks[start : start + 128]
+            want = (n, start, " ".join(chunk), min(128, max(n - start, 0)))
+            assert got[(doc_id, k)] == want, (doc_id, k)
+            count += 1
+    assert len(got) == count
