@@ -2825,3 +2825,69 @@ def test_chunking_matches_bruteforce(spark):
             assert got[(doc_id, k)] == want, (doc_id, k)
             count += 1
     assert len(got) == count
+
+
+def test_shuffle_order_matches_hashlib(spark):
+    """`shuffle_order_sample` vs a hashlib replay of the epoch-0
+    permutation head (md5(id:seed) rank, doc_id tie-break)."""
+    import hashlib
+
+    import duckdb
+
+    from cdc_agents_data_stream_spark.queries.sampling_queries import (
+        shuffle_order_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["rank"], r["doc_id"], r["lang"], r["shuffle_key"])
+        for r in shuffle_order_sample(spark, sf).collect()
+    ]
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    keyed = sorted(
+        (
+            int(hashlib.md5(f"{doc_id}:epoch0".encode()).hexdigest()[:15], 16),
+            doc_id,
+            lang,
+        )
+        for doc_id, lang in docs
+    )
+    want = [
+        (rank, doc_id, lang, key)
+        for rank, (key, doc_id, lang) in enumerate(keyed[:50], start=1)
+    ]
+    assert sorted(got) == want
+
+
+def test_hourly_rollup_matches_bruteforce(spark):
+    """`events_hourly_rollup` (tumbling window) vs direct hour-bucket
+    accumulation on the exact micro grid."""
+    import math
+
+    import duckdb
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from cdc_agents_data_stream_spark.queries.window_queries import events_hourly_rollup
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["window_start_ms"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in events_hourly_rollup(spark, sf).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT event_type, epoch_ms(ts) // 3600000, value "
+        f"FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    acc = defaultdict(lambda: [0, Fraction(0)])
+    for t, hr, v in rows:
+        a = acc[(hr * 3600000, t)]
+        a[0] += 1
+        # CAST(double AS DECIMAL(18,6)): round-half-up at 6 dp
+        a[1] += Fraction(
+            math.floor(Fraction(v).limit_denominator(10**15) * 10**6 + Fraction(1, 2)),
+            10**6,
+        )
+    assert got == {k: (n, float(sv)) for k, (n, sv) in acc.items()}
