@@ -2891,3 +2891,107 @@ def test_hourly_rollup_matches_bruteforce(spark):
             10**6,
         )
     assert got == {k: (n, float(sv)) for k, (n, sv) in acc.items()}
+
+
+def test_decontam_matches_bruteforce(spark):
+    """`decontam_overlap` vs direct 8-gram set intersection."""
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.sampling_queries import decontam_overlap
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["lang"]: (r["n_docs"], r["n_contaminated"])
+        for r in decontam_overlap(spark, sf).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+
+    def grams(text):
+        toks = text.split(" ")
+        return {" ".join(toks[i : i + 8]) for i in range(max(len(toks) - 7, 0))}
+
+    bench_grams = set()
+    for doc_id, _, text in docs:
+        if doc_id % 20 == 0:
+            bench_grams |= grams(text)
+    acc = defaultdict(lambda: [0, 0])
+    for doc_id, lang, text in docs:
+        if doc_id % 20 == 0:
+            continue
+        a = acc[lang]
+        a[0] += 1
+        a[1] += 1 if grams(text) & bench_grams else 0
+    assert got == {k: tuple(v) for k, v in acc.items()}
+
+
+def test_fixed_k_sample_matches_hashlib(spark):
+    """`group_sample_fixed_k` vs a hashlib md5-rank replay."""
+    import hashlib
+
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.sampling_queries import (
+        group_sample_fixed_k,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["event_type"], r["rnk"], r["event_id"])
+        for r in group_sample_fixed_k(spark, sf).collect()
+    ]
+    rows = duckdb.sql(
+        f"SELECT event_id, event_type FROM read_parquet('{sf}/events.parquet')"
+    ).fetchall()
+    per = defaultdict(list)
+    for eid, t in rows:
+        per[t].append((hashlib.md5(str(eid).encode()).hexdigest(), eid))
+    want = []
+    for t in sorted(per):
+        for rnk, (_, eid) in enumerate(sorted(per[t])[:5], start=1):
+            want.append((t, rnk, eid))
+    assert got == want
+
+
+def test_temperature_mix_matches_bruteforce(spark):
+    """`temperature_mix_counts` vs a full replay: sqrt weights on the
+    micro grid, the capped rate chain, and the md5 keep coin."""
+    import hashlib
+    import math
+
+    import duckdb
+    from collections import Counter
+
+    from cdc_agents_data_stream_spark.queries.sampling_queries import (
+        temperature_mix_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["lang"]: (r["n_docs"], r["rate_micro"], r["n_kept"])
+        for r in temperature_mix_counts(spark, sf).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    counts = Counter(lang for _, lang in docs)
+    n_total = sum(counts.values())
+    w_micro = {
+        lang: round(math.sqrt(n / n_total) * 1e6) for lang, n in counts.items()
+    }
+    w_sum = sum(w_micro.values())
+    rate = {
+        lang: min(round(w_micro[lang] / w_sum * n_total / counts[lang] * 1e6), 1_000_000)
+        for lang in counts
+    }
+    kept = Counter()
+    for doc_id, lang in docs:
+        coin = int(hashlib.md5(f"{doc_id}:t1".encode()).hexdigest()[:15], 16) % 1_000_000
+        if coin < rate[lang]:
+            kept[lang] += 1
+    assert got == {
+        lang: (counts[lang], rate[lang], kept[lang]) for lang in counts
+    }
