@@ -2995,3 +2995,56 @@ def test_temperature_mix_matches_bruteforce(spark):
     assert got == {
         lang: (counts[lang], rate[lang], kept[lang]) for lang in counts
     }
+
+
+def test_contrastive_negatives_match_bruteforce(spark):
+    """`contrastive_negatives` vs a direct Knuth-hash replay with the
+    accidental-positive drop rule."""
+    import duckdb
+
+    from cdc_agents_data_stream_spark.operators.sampling import NEG_P1, NEG_P2
+    from cdc_agents_data_stream_spark.queries.sampling_queries import (
+        contrastive_negatives,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = contrastive_negatives(spark, sf)
+    got = [tuple(r) for r in df.collect()]
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, n_chars FROM read_parquet('{sf}/documents.parquet')"
+        ).fetchall()
+    )
+    n = len(docs)
+    want = []
+    for a in sorted(docs):
+        for j in range(4):
+            neg = (a * NEG_P1 + j * NEG_P2 + 17) % n
+            if neg == a:
+                continue  # accidental positive dropped
+            want.append((a, j, neg, docs[neg]))
+    assert sorted(got) == sorted(want)
+
+
+def test_seq_length_distribution_matches_bruteforce(spark):
+    """`seq_length_distribution` vs direct capped-subword bucketing."""
+    import duckdb
+    from collections import defaultdict
+
+    from cdc_agents_data_stream_spark.queries.text_queries import seq_length_distribution
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["source"], r["len_bucket"]): (r["n_docs"], r["token_mass"])
+        for r in seq_length_distribution(spark, sf).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT source, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    acc = defaultdict(lambda: [0, 0])
+    for source, text in docs:
+        n_sub = sum(min(-(-len(t) // 4), 8) for t in text.split(" "))
+        a = acc[(source, n_sub // 256)]
+        a[0] += 1
+        a[1] += n_sub
+    assert got == {k: tuple(v) for k, v in acc.items()}
