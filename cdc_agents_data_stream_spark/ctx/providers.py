@@ -32,12 +32,21 @@ from typing import Any, Callable
 
 Provider = Callable[[dict[str, Any]], "dict[str, Any] | None"]
 
+# A clock is any ``() -> epoch millis``. Production uses the wall clock
+# (reference parity: TestReportContextProvider.java:68 stamps
+# ``creationTime`` with the current instant); tests and the C14
+# correctness gate inject a deterministic clock so the stamped value is
+# oracle-checkable.
+Clock = Callable[[], int]
+
 
 def _now_millis() -> int:
     return int(time.time() * 1000)
 
 
-def make_test_report_provider(runner_paths: list[str]) -> Provider:
+def make_test_report_provider(
+    runner_paths: list[str], clock: Clock = _now_millis
+) -> Provider:
     """S5: consume-once test-report file source.
 
     Mirrors TestReportContextProvider.java:29-139: for each configured
@@ -74,30 +83,37 @@ def make_test_report_provider(runner_paths: list[str]) -> Provider:
         return {
             "type": "test-report",
             "sessionId": session_id,
-            "creationTime": _now_millis(),
+            "creationTime": clock(),
             "testReports": reports,
         }
 
     return provider
 
 
-def environment_provider(state_doc: dict[str, Any]) -> dict[str, Any]:
+def environment_provider(
+    state_doc: dict[str, Any], clock: Clock = _now_millis
+) -> dict[str, Any]:
     """Environment ctx item carrying only the session id — reference parity:
     the git-scan call sites are commented out, so the emitted item holds
     just ``sessionId`` (ctx/GitEnvironmentContextProvider.java:57-76)."""
     return {
         "type": "environment",
         "sessionId": state_doc["session_id"],
-        "creationTime": _now_millis(),
+        "creationTime": clock(),
     }
 
 
-def make_environment_provider(scan_root: str | None = None, max_depth: int = 3, commit_limit: int = 10) -> Provider:
+def make_environment_provider(
+    scan_root: str | None = None,
+    max_depth: int = 3,
+    commit_limit: int = 10,
+    clock: Clock = _now_millis,
+) -> Provider:
     """Environment provider with the git scan *enabled* (what the reference
     intends once it uncomments GitEnvironmentContextProvider.java:62-67)."""
 
     def provider(state_doc: dict[str, Any]) -> dict[str, Any]:
-        item = environment_provider(state_doc)
+        item = environment_provider(state_doc, clock=clock)
         if scan_root:
             item["repositories"] = scan_git_repositories(scan_root, max_depth, commit_limit)
         return item

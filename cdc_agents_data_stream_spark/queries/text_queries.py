@@ -1564,7 +1564,17 @@ def bpe_vocab_compression(spark, sf_dir, n_merges: int = 5):
     argmax rides a broadcast) and reduces each round's vocabulary to ONE
     row: Σ freq · |tokens|. Output (rnk, total_tokens) is 6 rows; the
     compression must be monotone non-increasing — each merge can only
-    shrink spellings."""
+    shrink spellings.
+
+    NOTE on merge convention (affects the reported counts): merge
+    application is the delimiter-guarded replace pinned in
+    ``bpe_train_merges`` — on a repeated run like 'a a a a' the shared
+    delimiter between adjacent matches is consumed, so one pass merges
+    that run once, not pairwise twice as canonical left-to-right BPE
+    would. Both engines (Spark and the DuckDB oracle) and the pure-
+    Python reference replay implement the identical convention, so the
+    curve is self-consistent, but absolute totals on highly repetitive
+    tokens will differ from standard tokenizers (e.g. HF tokenizers)."""
     docs = load(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))

@@ -3048,3 +3048,98 @@ def test_seq_length_distribution_matches_bruteforce(spark):
         a[0] += 1
         a[1] += n_sub
     assert got == {k: tuple(v) for k, v in acc.items()}
+
+
+def test_png_decode_matches_independent_encoder():
+    """`multimodal_decode_real`'s decoder vs a PNG built by an
+    INDEPENDENT in-test encoder (own chunk writer, hand-filtered
+    scanlines: None / Up) — the decode must recover the hand-computed
+    geometry and pixel sum from raw bytes, so an encode/decode pair
+    with mutually-cancelling convention errors cannot pass."""
+    import struct
+    import zlib
+
+    from cdc_agents_data_stream_spark.functions.pngcodec import decode_png
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    # 2x2 gray: pixels [[10,20],[30,40]]; row0 filter None, row1 filter Up
+    raw = bytes([0, 10, 20]) + bytes([2, 30 - 10, 40 - 20])
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    meta = decode_png(data)
+    assert (meta["width"], meta["height"], meta["pixel_sum"]) == (2, 2, 100)
+
+
+def test_png_gate_pixels_match_closed_form():
+    """The decode-real gate's per-doc pixel sum, replayed driver-side for
+    a doc_id sample through the actual encode->decode path, vs the pure
+    closed form the oracle uses."""
+    from cdc_agents_data_stream_spark.functions.pngcodec import decode_png, encode_png
+    from cdc_agents_data_stream_spark.operators.multimodal import decode_image_real
+
+    for d in [0, 1, 12, 13, 142, 997, 4999]:
+        w, h = 1 + d % 13, 1 + d % 11
+        px = bytes((3 * x + 7 * y + d) % 256 for y in range(h) for x in range(w))
+        data = encode_png(w, h, px)
+        meta = decode_image_real(data)
+        assert (meta["width"], meta["height"], meta["fmt"]) == (w, h, "png")
+        want = sum((3 * x + 7 * y + d) % 256 for y in range(h) for x in range(w))
+        assert decode_png(data)["pixel_sum"] == want
+
+
+def test_ctx_clock_stamps_match_call_order():
+    """`ctx_timestamp_stamp` kernel replay without Spark: the REAL
+    providers under an injected counter clock must stamp creationTime in
+    provider-list call order, transition must preserve the stamps
+    verbatim next to its sequenceNumber, and the wall-clock default must
+    never be consulted (a poisoned time.time would throw)."""
+    from cdc_agents_data_stream_spark.ctx.providers import (
+        make_environment_provider,
+        make_test_report_provider,
+    )
+    from cdc_agents_data_stream_spark.operators.merge import transition
+
+    for uid in [0, 3, 1499]:
+        base = uid * 1000
+        calls = {"n": 0}
+
+        def clock():
+            v = base + calls["n"]
+            calls["n"] += 1
+            return v
+
+        providers = [
+            make_environment_provider(clock=clock),
+            make_test_report_provider([], clock=clock),
+        ]
+        sid = str(uid)
+        item = {
+            "task_id": "t",
+            "content": "a",
+            "timestamp": 1,
+            "thread_id": sid,
+            "checkpoint_id": "c1",
+        }
+        s1, _ = transition(None, sid, [item], ctx_providers=providers)
+        s2, _ = transition(
+            s1, sid, [dict(item, content="b", timestamp=2, checkpoint_id="c2")],
+            ctx_providers=providers,
+        )
+        cts = [c["creationTime"] for c in s2["ctx"]]
+        types = [c["type"] for c in s2["ctx"]]
+        seqs = [c["sequenceNumber"] for c in s2["ctx"]]
+        assert cts == [base, base + 1, base + 2, base + 3]
+        assert types == ["environment", "test-report"] * 2
+        assert seqs == [1, 1, 2, 2]
+        assert calls["n"] == 4  # exactly one stamp per provider call

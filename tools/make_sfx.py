@@ -1,0 +1,163 @@
+#!/usr/bin/env python3
+"""Synthesize a larger-SF derivative of an existing testdata directory by
+unioning N key-shifted copies of each table, preserving distributions and
+referential integrity — scratch-space input for a 4th decade on the
+SCALING.md curve (testdata itself is read-only).
+
+Construction (copy index i in 0..N-1; copy 0 is the original, byte-equal):
+
+- region / nation: dimensions — kept as-is (TPC-H keeps them constant
+  across SF too).
+- customer / supplier / part / orders / lineitem: every key column is
+  shifted by ``i * stride(table)`` with one shared stride per key space,
+  so FK joins land on exactly the shifted partner row (orders of copy i
+  join customers of copy i; join fan-out per key is unchanged).
+- events: event_id / user_id shifted; ts / value / props untouched, so
+  the time window densifies 10x (same effect as a 10x event rate).
+- documents: doc_id shifted; for i>0 the text gets a per-copy Caesar
+  rotation of [a-z] (length-, whitespace- and dup-structure-preserving).
+  Within-copy duplicate/near-dup structure is EXACTLY the original's;
+  cross-copy shingle Jaccard ~ 0 — so the global duplicate RATE matches
+  the original corpus instead of every doc gaining 9 near-identical
+  twins (which would blow up any LSH candidate count ~10x beyond what a
+  real 10x corpus produces).
+- embeddings: vec_id shifted; the vector is rotated by i positions
+  (norm- and pairwise-distance-preserving within a copy, decorrelated
+  across copies). label kept.
+
+Usage: python tools/make_sfx.py [src_dir] [dst_dir] [n_copies]
+Defaults: /root/testdata/sf0.1 /tmp/spark-graft-sf1 10
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+# one stride per key space (dense 0-based keys in the generated testdata;
+# stride = max+1 so shifted copies never collide)
+STRIDES = {
+    "cust": 15000,
+    "supp": 1000,
+    "part": 20000,
+    "order": 150000,
+    "event": 100000,
+    "user": 1500,
+    "doc": 5000,
+    "vec": 2000,
+}
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _rot_alpha(i: int) -> str:
+    r = i % 26
+    return ALPHA[r:] + ALPHA[:r]
+
+
+def table_sql(table: str, src: str, n: int, scale: dict[str, int]) -> str:
+    """One SELECT producing the n-copy union for ``table``.
+
+    Uses a cross join against range(n) so DuckDB streams the copies in a
+    single pass over the source parquet.
+    """
+    p = f"'{src}/{table}.parquet'"
+    c = "c.i"
+    if table in ("region", "nation"):
+        return f"SELECT * FROM {p}"
+    if table == "customer":
+        return (
+            f"SELECT c_custkey + {c} * {scale['cust']} AS c_custkey, c_name, "
+            f"c_nationkey, c_acctbal, c_mktsegment "
+            f"FROM {p}, (SELECT unnest(range({n})) AS i) c"
+        )
+    if table == "supplier":
+        return (
+            f"SELECT s_suppkey + {c} * {scale['supp']} AS s_suppkey, s_name, "
+            f"s_nationkey, s_acctbal "
+            f"FROM {p}, (SELECT unnest(range({n})) AS i) c"
+        )
+    if table == "part":
+        return (
+            f"SELECT p_partkey + {c} * {scale['part']} AS p_partkey, p_name, "
+            f"p_brand, p_type, p_size, p_retailprice "
+            f"FROM {p}, (SELECT unnest(range({n})) AS i) c"
+        )
+    if table == "orders":
+        return (
+            f"SELECT o_orderkey + {c} * {scale['order']} AS o_orderkey, "
+            f"o_custkey + {c} * {scale['cust']} AS o_custkey, "
+            f"o_orderstatus, o_totalprice, o_orderdate, o_orderpriority "
+            f"FROM {p}, (SELECT unnest(range({n})) AS i) c"
+        )
+    if table == "lineitem":
+        return (
+            f"SELECT l_orderkey + {c} * {scale['order']} AS l_orderkey, "
+            f"l_partkey + {c} * {scale['part']} AS l_partkey, "
+            f"l_suppkey + {c} * {scale['supp']} AS l_suppkey, "
+            f"l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
+            f"l_returnflag, l_linestatus, l_shipdate "
+            f"FROM {p}, (SELECT unnest(range({n})) AS i) c"
+        )
+    if table == "events":
+        return (
+            f"SELECT event_id + {c} * {scale['event']} AS event_id, ts, "
+            f"user_id + {c} * {scale['user']} AS user_id, event_type, value, props "
+            f"FROM {p}, (SELECT unnest(range({n})) AS i) c"
+        )
+    if table == "documents":
+        # per-copy Caesar rotation; CASE per copy index keeps it one pass
+        whens = " ".join(
+            f"WHEN {i} THEN translate(text, '{ALPHA}', '{_rot_alpha(i)}')"
+            for i in range(1, n)
+        )
+        rot = f"CASE {c} {whens} ELSE text END" if n > 1 else "text"
+        return (
+            f"SELECT doc_id + {c} * {scale['doc']} AS doc_id, {rot} AS text, "
+            f"lang, source, n_chars "
+            f"FROM {p}, (SELECT unnest(range({n})) AS i) c"
+        )
+    if table == "embeddings":
+        # rotate the 64-dim vector by i: distance-preserving within a copy
+        return (
+            f"SELECT vec_id + {c} * {scale['vec']} AS vec_id, "
+            f"(embedding[(({c}) % len(embedding)) + 1 :] || "
+            f" embedding[1 : (({c}) % len(embedding))])::FLOAT[] AS embedding, "
+            f"label "
+            f"FROM {p}, (SELECT unnest(range({n})) AS i) c"
+        )
+    raise ValueError(table)
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark-graft-sf1"
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    # sanity-pin DuckDB's 1-based inclusive list slicing before relying on it
+    assert con.sql("SELECT [1,2,3,4][2:] || [1,2,3,4][1:1]").fetchone()[0] == [2, 3, 4, 1]
+    for table in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ):
+        sql = table_sql(table, src, n, STRIDES)
+        out = f"{dst}/{table}.parquet"
+        con.sql(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+        rows = con.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+        print(f"{table}: {rows} rows -> {out}")
+    con.close()
+
+
+if __name__ == "__main__":
+    main()
