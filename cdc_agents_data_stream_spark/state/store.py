@@ -14,14 +14,18 @@ O(touched buckets), not O(total store):
   the update's keys, plus the update rows) into a new uniquely-named data
   directory in a single partitioned write job, then commits a new manifest
   that repoints just those buckets;
-- **commit is optimistic multi-writer**: version ``nv`` is claimed by
-  exclusively creating ``_manifest_v{nv}.json`` (``open(..., "x")`` —
-  atomic on POSIX); exactly one concurrent writer wins, then advances the
-  ``_VERSION`` pointer. A loser discards its (never-referenced, uniquely
-  named) data directory, waits for the winner's pointer, re-reads the new
-  snapshot, RE-MERGES its rows, and retries — so two live streams (the
-  reference runs the cdc and ide subscribers concurrently) can MERGE into
-  one store with no lost rows;
+- **commit is optimistic multi-writer AND crash-safe**: version ``nv`` is
+  claimed by atomically ``os.link``-ing a fully-written manifest into
+  ``_manifest_v{nv}.json`` — a claimed manifest is complete by
+  construction, so a writer killed at ANY instruction leaves either no
+  claim or a valid one, never a torn file. Exactly one concurrent writer
+  wins, then advances the ``_VERSION`` pointer (lock-guarded, monotonic).
+  A loser discards its (never-referenced, uniquely named) data directory,
+  ROLLS the winner's claim FORWARD if the winner died before advancing
+  the pointer (no deadlock on a SIGKILLed writer; its committed data
+  survives), re-reads the new snapshot, RE-MERGES its rows, and retries —
+  so two live streams (the reference runs the cdc and ide subscribers
+  concurrently) can MERGE into one store with no lost rows;
 - recent manifests are retained so concurrent readers that already
   resolved an old pointer finish cleanly; a data directory is vacuumed
   only when it is referenced by an EXPIRED manifest and by no retained
@@ -147,31 +151,65 @@ class ParquetStateStore:
             return json.load(fh)["buckets"]
 
     def _try_commit(self, v: int, buckets: dict[str, str]) -> bool:
-        """Claim version ``v`` by exclusively creating its manifest —
-        atomic on POSIX, so exactly one concurrent writer wins. The winner
-        then advances the pointer; pointer writes are causally ordered
-        because version v+1 can only be attempted after the pointer shows
-        v. Returns False when another writer already claimed ``v``."""
+        """Claim version ``v`` by atomically linking a fully-written
+        manifest into place — ``os.link`` of a complete tmp file, so a
+        claimed manifest is COMPLETE BY CONSTRUCTION (a writer killed at
+        any instruction leaves either no manifest or a valid one, never a
+        torn JSON; the pre-round-4 ``open(..., 'x')`` + ``json.dump``
+        claim had a kill window that left a truncated claim no process
+        could ever repair). Exactly one concurrent writer wins the link;
+        the winner then advances the pointer. Returns False when another
+        writer already claimed ``v``."""
+        mtmp = f"{self._manifest_file(v)}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(mtmp, "w") as fh:
+            json.dump({"version": v, "buckets": buckets}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            fh = open(self._manifest_file(v), "x")
+            os.link(mtmp, self._manifest_file(v))
         except FileExistsError:
             return False
-        with fh:
-            json.dump({"version": v, "buckets": buckets}, fh)
-        ptmp = f"{self._pointer_file()}.{uuid.uuid4().hex[:8]}.tmp"
-        with open(ptmp, "w") as fh:
-            fh.write(str(v))
-        os.replace(ptmp, self._pointer_file())  # atomic on POSIX
+        finally:
+            os.unlink(mtmp)
+        self._advance_pointer(v)
         return True
 
+    def _advance_pointer(self, v: int) -> None:
+        """Monotonic, lock-guarded pointer advance. Both the committing
+        winner and any roll-forward helper (see ``_wait_for_version``)
+        call this; the flock + ``>=`` guard makes a stale helper unable
+        to regress the pointer past a newer commit. flock is correct for
+        multi-process same-host (this container); a shared-filesystem
+        deployment swaps this class for Delta/Iceberg whose commit
+        service owns the pointer (module docstring)."""
+        import fcntl
+
+        with open(os.path.join(self.path, "_ptr.lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            if self.current_version() >= v:
+                return
+            ptmp = f"{self._pointer_file()}.{uuid.uuid4().hex[:8]}.tmp"
+            with open(ptmp, "w") as fh:
+                fh.write(str(v))
+            os.replace(ptmp, self._pointer_file())  # atomic on POSIX
+
     def _wait_for_version(self, v: int) -> int:
-        """After losing a claim on ``v``: wait for the winner's pointer to
-        reach it, then return the (possibly even newer) current version."""
+        """After losing a claim on ``v``: the claimed manifest is complete
+        by construction, so a dead winner's commit is simply ROLLED
+        FORWARD (advance the pointer for it) instead of waited on — the
+        crash-recovery path: a writer SIGKILLed between claiming its
+        manifest and advancing the pointer blocks nobody, and its
+        committed data survives. Returns the (possibly newer) current
+        version. The timeout now only guards pathological states (e.g.
+        an unreadable manifest on a dying disk)."""
         deadline = time.monotonic() + self.COMMIT_WAIT_SECONDS
         while True:
             cur = self.current_version()
             if cur >= v:
                 return cur
+            if os.path.exists(self._manifest_file(v)):
+                self._advance_pointer(v)
+                continue
             if time.monotonic() > deadline:
                 raise CommitTimeout(
                     f"version {v} was claimed but its pointer never advanced "
@@ -215,6 +253,18 @@ class ParquetStateStore:
                 os.unlink(os.path.join(self.path, name))
             except FileNotFoundError:
                 pass  # a concurrent vacuum got there first
+        # crash debris: a writer killed between writing its manifest tmp
+        # and linking it leaves a stray .tmp — safe to sweep once stale
+        # (an in-flight writer links within milliseconds of the write)
+        now = time.time()
+        for name in os.listdir(self.path):
+            if name.endswith(".tmp"):
+                full = os.path.join(self.path, name)
+                try:
+                    if now - os.path.getmtime(full) > self.COMMIT_WAIT_SECONDS:
+                        os.unlink(full)
+                except OSError:
+                    pass
 
     # -- distributed (Spark) API -----------------------------------------------
 

@@ -219,20 +219,27 @@ def test_dual_stream_union_pipeline(spark, tmp_path):
         query.stop()
 
 
-def test_torn_commit_times_out_with_clear_error(spark, tmp_path, monkeypatch):
+def test_torn_commit_rolls_forward_without_losing_rows(spark, tmp_path, monkeypatch):
     """A version claimed by a writer that died before advancing the
-    pointer must surface as CommitTimeout, not a silent hang or a lost
-    update."""
-    from cdc_agents_data_stream_spark.state.store import CommitTimeout
-
+    pointer must be ROLLED FORWARD by the next writer (round-4 contract;
+    previously this wedged into CommitTimeout and the claimed version was
+    permanently stuck). A real claim is always a complete merged bucket
+    map — fabricate exactly that dead-winner state and prove the next
+    upsert adopts it, commits on top, and loses nothing. Full randomized
+    SIGKILL coverage lives in tests/test_store_crash.py."""
     store = ParquetStateStore(spark, str(tmp_path / "s"), n_buckets=4)
     store.upsert_rows([_state_row("a", 1)])
-    # simulate a crashed writer: version 2's manifest exists, pointer stuck at 1
+    # simulate a crashed writer: version 2's manifest exists (complete,
+    # as the link-claim guarantees), pointer stuck at 1
+    import json as _json
+
     with open(store._manifest_file(2), "x") as fh:
-        fh.write('{"version": 2, "buckets": {}}')
-    monkeypatch.setattr(store, "COMMIT_WAIT_SECONDS", 0.2)
-    with pytest.raises(CommitTimeout):
-        store.upsert_rows([_state_row("b", 1)])
+        _json.dump({"version": 2, "buckets": dict(store._manifest(1))}, fh)
+    monkeypatch.setattr(store, "COMMIT_WAIT_SECONDS", 2.0)
+    store.upsert_rows([_state_row("b", 1)])
+    assert store.current_version() == 3  # adopted v2, committed v3
+    got = {r["session_id"] for r in store.read().collect()}
+    assert got == {"a", "b"}
 
 
 def test_reader_snapshot_isolation_under_concurrent_commits(spark, tmp_path):
