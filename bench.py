@@ -218,37 +218,48 @@ def main() -> None:
             except Exception as exc:  # never let warm-up kill the bench
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
+    # min AND median of N=3 per metric: min is the steady-state plan cost
+    # (the comparable, headline number — a single run is hostage to
+    # transient host load; one noisy-neighbor burst showed as a 4x outlier,
+    # and back-to-back FULL runs have disagreed 2.3s vs 6.5s on one query);
+    # the median quantifies how noisy THIS host was during THIS run, so a
+    # drift between rounds can be attributed to code vs load without
+    # re-running (tools/bench_compare.py measured ~2x uniform inflation on
+    # identical code across driver rounds)
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+
+    def measure(name: str, run, n_runs: int = 3) -> None:
+        samples = []
+        for _ in range(n_runs):
+            samples.append(run())
+        samples.sort()
+        timings[name] = round(samples[0], 3)
+        medians[name] = round(samples[len(samples) // 2], 3)
+        print(
+            f"# {name}: min={timings[name]}s median={medians[name]}s", file=sys.stderr
+        )
+
     for name in BENCH_QUERIES:
         q = registry[name]
-        # best of 3: a single run is hostage to transient host load (one
-        # noisy-neighbor burst showed as a 4x outlier on a repeat run, and
-        # back-to-back FULL runs have disagreed 2.3s vs 6.5s on one query)
-        best, n = None, 0
-        for _ in range(3):
+
+        def run_query(q=q):
             t0 = time.perf_counter()
-            n = q.fn(spark, SF_DIR).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+            q.fn(spark, SF_DIR).count()
+            return time.perf_counter() - t0
+
+        measure(name, run_query)
 
     bench_streaming_cadence(spark, n_ticks=2)  # warm the streaming plans
-    # best of 2 for the pipeline metrics too — these are the headline
-    # numbers the judge gates on, and a single run is hostage to the same
-    # noisy-neighbor bursts (measured: 8.6 s vs 22.1 s for the identical
-    # cadence run back-to-back on an otherwise idle host)
-    timings["cdc_stream_20_ticks"] = min(bench_streaming_cadence(spark) for _ in range(2))
-    print(f"# cdc_stream_20_ticks: {timings['cdc_stream_20_ticks']}s", file=sys.stderr)
-    timings["cdc_backfill_100_sessions"] = min(bench_backfill_throughput(spark) for _ in range(2))
-    print(f"# cdc_backfill_100_sessions: {timings['cdc_backfill_100_sessions']}s", file=sys.stderr)
+    measure("cdc_stream_20_ticks", lambda: bench_streaming_cadence(spark))
+    measure("cdc_backfill_100_sessions", lambda: bench_backfill_throughput(spark))
     # 20x the sessions through the DISTRIBUTED transition + MERGE sink (the
     # 100-session run's small result takes the driver fast path); reference
     # sequential-equivalent is ~5000 s — this is the scale-out story
-    timings["cdc_backfill_2000_sessions"] = min(
-        bench_backfill_throughput(spark, n_sessions=2000) for _ in range(2)
+    measure(
+        "cdc_backfill_2000_sessions",
+        lambda: bench_backfill_throughput(spark, n_sessions=2000),
     )
-    print(f"# cdc_backfill_2000_sessions: {timings['cdc_backfill_2000_sessions']}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -258,6 +269,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "median_total": round(sum(medians.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -2043,3 +2043,99 @@ QUERIES["stream_restart_resume"] = Q(
     STREAM_RESTART_RESUME_SQL,
     "LIVE restart-from-checkpoint: resumed query absorbs only new ticks, view == batch truth",
 )
+
+
+def stream_pyds_cdc_source(spark, sf_dir):
+    """LIVE Python Data Source API gate (Spark 4, sources/pyds.py): the
+    CDC feed consumed through a REGISTERED ``format("cdc_table")``
+    streaming source backed by a growing DuckDB table — the reference's
+    notify/poll loop (AgentsPostgresSubscriber.java:28-49) as a
+    first-class Spark source with Structured Streaming owning the
+    (ts, id) offset in the query checkpoint. Three availableNow drains
+    over three appends; the middle append includes rows whose ts was
+    already seen but whose id is later — the lexicographic watermark
+    must deliver them exactly once (the classic equal-timestamp poller
+    bug). Output: per-event-type count + ts sum over everything
+    delivered, which must equal the batch truth over the deterministic
+    90-row event subset."""
+    import os
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    from ..sources.pyds import CdcTableDataSource
+
+    spark.dataSource.register(CdcTableDataSource)
+    src = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(90)
+        .select("event_id", "event_type")
+        .collect()
+    )
+    # ts = event_id DIV 3 -> repeated timestamps across neighbors, so the
+    # tick split below genuinely exercises the equal-ts/later-id edge
+    rows = [(r["event_id"] // 3, f"cp-{r['event_id']:05d}", r["event_type"]) for r in src]
+    rows.sort(key=lambda x: (x[0], x[1]))
+    # 31/61 splits land mid-timestamp (ids come in ts-triples), so drains
+    # 2 and 3 each START at an equal-ts/later-id row past the watermark
+    ticks = [rows[:31], rows[31:61], rows[61:]]
+    base = tempfile.mkdtemp(prefix="pyds-gate-")
+    db = f"{base}/cdc.duckdb"
+    sink = f"{base}/delivered"
+    try:
+        con = duckdb.connect(db)
+        con.execute("CREATE TABLE checkpoint_writes(ts BIGINT, checkpoint_id VARCHAR, content VARCHAR)")
+        con.close()
+        for tick in ticks:
+            con = duckdb.connect(db)  # writer closed before the drain polls
+            con.executemany("INSERT INTO checkpoint_writes VALUES (?, ?, ?)", tick)
+            con.close()
+            q = (
+                spark.readStream.format("cdc_table")
+                .option("database", db)
+                .option("table", "checkpoint_writes")
+                .option("ts_col", "ts")
+                .option("id_col", "checkpoint_id")
+                .load()
+                .writeStream.foreachBatch(
+                    lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+                )
+                .option("checkpointLocation", f"{base}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(timeout=120)
+            q.stop()
+        out = (
+            spark.read.parquet(sink)
+            .groupBy(F.col("content").alias("event_type"))
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("ts").cast("bigint").alias("sum_ts"),
+            )
+        )
+        collected = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        collected, "event_type string, n long, sum_ts long"
+    ).orderBy("event_type")
+
+
+STREAM_PYDS_CDC_SOURCE_SQL = """
+WITH s AS (
+  SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 90
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(event_id // 3) AS BIGINT) AS sum_ts
+FROM s GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["stream_pyds_cdc_source"] = Q(
+    stream_pyds_cdc_source,
+    STREAM_PYDS_CDC_SOURCE_SQL,
+    "LIVE registered Python Data Source stream: checkpointed (ts,id) offsets, equal-ts late ids delivered once",
+)
