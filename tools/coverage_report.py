@@ -62,7 +62,7 @@ SURVEY_S2_MAP: dict[str, tuple[str, str]] = {
     "C11 UUID generation": ("message_uuid_assign", "query"),
     "C12 string templating": ("scalar_expr_sampler", "query"),
     "C13 encode UTF-8": ("multimodal_binary_meta", "query"),
-    "C14 current timestamp": ("tests (wall-clock, excluded from deterministic gates)", "test"),
+    "C14 current timestamp": ("ctx_timestamp_stamp", "query"),
     "X1 keyed mutable session state": ("stream_pipeline_state", "query"),
     "X2 merge policy (LWW + __start__)": ("merge_transition_seq", "query"),
     "X3 late/stale event drop": ("merge_transition_seq", "query"),
