@@ -148,26 +148,70 @@ MAX_CENTROIDS = 256  # ...capped: the centroid set must NOT grow with the
 
 
 def _assign(base: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
-    """Nearest-centroid assignment: one broadcast join corpus × centroids +
-    grouped argmax. At 100 TB the centroid table is tiny (thousands of
-    rows) so the corpus never shuffles; ties break on the smaller
-    centroid_id (both engines agree). NOTE: unrolling this 64-dim dot into
-    64 explicit terms was measured 3.6× SLOWER than the ``aggregate`` fold
-    (13.8 s vs 3.8 s for ``ann_ivf_kmeans`` at sf0.1) — the expression
-    blows past the codegen method budget and falls back to interpreted
-    per-term eval; unrolling only wins at PQ's 16-dim subvector width."""
-    sim = _dot(F.col("vec"), F.col("cvec")) / (F.col("norm") * F.col("cnorm"))
-    return (
-        base.crossJoin(F.broadcast(cents))
-        .select(F.col(id_col), "vec", "norm", "centroid_id", sim.alias("csim"))
-        .groupBy(id_col)
-        .agg(
-            F.max_by(
-                F.col("centroid_id"), F.struct(F.col("csim"), -F.col("centroid_id"))
-            ).alias("cluster"),
-            F.first("vec").alias("vec"),
-            F.first("norm").alias("norm"),
-        )
+    """Nearest-centroid assignment as an Arrow-vectorized numpy pass —
+    map-only, zero shuffle: the centroid table is a bounded artifact
+    (≤ ``MAX_CENTROIDS`` rows — the audited-collect contract) shipped in
+    the UDF closure; each Arrow batch computes all corpus×centroid
+    cosines with 64 vectorized accumulation steps.
+
+    BIT-IDENTICAL to the previous broadcast-join + ``max_by`` form (and
+    to the DuckDB oracle), not merely close: the accumulation loops over
+    dimensions j=0..63 doing ``acc += v_j * c_j`` — per scalar exactly
+    the left-fold addition order ``_dot``'s ``aggregate`` and DuckDB's
+    ``list_dot_product`` evaluate, so every IEEE operation matches; and
+    ``argmax`` over centroids pre-sorted by id picks the first max,
+    which equals the ``max_by(struct(csim, -centroid_id))`` tie-break.
+    (A plain ``V @ C.T`` matmul would be faster still but reorders the
+    additions — sub-ulp drift near assignment ties is exactly the kind
+    of cross-engine hazard the oracle gates exist to catch.)
+
+    Why not the broadcast-join form: Catalyst evaluates the
+    ``aggregate`` fold through the expression interpreter once per
+    (corpus row × centroid) — measured 111 s at the sf1 decade once the
+    centroid set hits its 256 cap (5.1M interpreted 64-dim folds per
+    assignment), vs ~1 s vectorized. Unrolling the dot into 64 explicit
+    codegen terms was also tried and is 3.6× slower than the fold at
+    this width (method-budget fallback)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(
+        (
+            (int(r["centroid_id"]), list(r["cvec"]), float(r["cnorm"]))
+            for r in cents.select("centroid_id", "cvec", "cnorm").collect()
+        ),
+        key=lambda t: t[0],
+    )
+    out_schema = f"{id_col} long, cluster long, vec array<double>, norm double"
+    if not rows:
+        # empty training corpus -> no centroids -> no assignments
+        return base.sparkSession.createDataFrame([], out_schema)
+    ids = np.array([t[0] for t in rows], dtype=np.int64)
+    C = np.array([t[1] for t in rows], dtype=np.float64)
+    cn = np.array([t[2] for t in rows], dtype=np.float64)
+    dim = C.shape[1]
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["vec"].to_numpy()).astype(np.float64, copy=False)
+            acc = np.zeros((len(pdf), len(ids)), dtype=np.float64)
+            for j in range(dim):  # left-fold order: acc -> +v1c1 -> +v2c2 ...
+                acc += V[:, j, None] * C[None, :, j]
+            sim = acc / (pdf["norm"].to_numpy(dtype=np.float64)[:, None] * cn[None, :])
+            k = np.argmax(sim, axis=1)  # first max == smallest centroid_id
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "cluster": ids[k],
+                    "vec": pdf["vec"],
+                    "norm": pdf["norm"],
+                }
+            )
+
+    return base.select(F.col(id_col), "vec", "norm").mapInPandas(
+        assign, schema=out_schema
     )
 
 
@@ -210,6 +254,15 @@ def kmeans_centroids(base: DataFrame, iters: int, id_col: str) -> DataFrame:
             F.col("cvec"),
             F.sqrt(_dot(F.col("cvec"), F.col("cvec"))).alias("cnorm"),
         )
+        # Materialize EVERY iteration, not just the trained result: each
+        # Lloyd step references the previous step's centroids, so an
+        # unmaterialized loop nests the full corpus assignment ``iters``
+        # deep and every consumer re-executes the whole chain. The
+        # centroid table is a bounded artifact (≤ MAX_CENTROIDS rows —
+        # the audited-collect contract), so pinning it per iteration
+        # caps the plan at ONE corpus pass per iteration. Found by the
+        # measured sf1 decade: 116.6 s → linear after this change.
+        cents = _materialize_quantizer(cents)
     return cents
 
 

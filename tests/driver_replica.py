@@ -19,14 +19,22 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
     import __spark_entry__ as e
     from tests.oracle_harness import compare, duck_con
 
-    # Vanilla session — no engine config, like the driver builds.
-    spark = (
+    # Vanilla session — no engine config, like the driver builds. One
+    # opt-in knob: SPARK_GRAFT_REPLICA_MEM raises the driver heap for
+    # beyond-driver-scale sweeps (the sf1 derivative OOMs the 1g default
+    # JVM; at the driver's own sf0.01 the default stays untouched).
+    import os
+
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("driver-replica")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    mem = os.environ.get("SPARK_GRAFT_REPLICA_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     con = duck_con(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
     if only:

@@ -39,6 +39,10 @@ SUBSET = [
     "user_active_streaks", "interval_union_coverage", "user_value_drawdown",
     "daily_local_peaks", "revenue_share_hierarchy",
     "tpch_q11_important_stock", "tpch_q16_supplier_cnt",
+    # round-4 gates: clock-stamped ctx enrichment (mapInPandas grouping
+    # must be layout-invariant) and real PNG decode (map-only, but the
+    # Arrow batch split changes under local[3])
+    "ctx_timestamp_stamp", "multimodal_decode_real",
 ]
 
 

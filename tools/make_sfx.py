@@ -14,19 +14,24 @@ Construction (copy index i in 0..N-1; copy 0 is the original, byte-equal):
   join customers of copy i; join fan-out per key is unchanged).
 - events: event_id / user_id shifted; ts / value / props untouched, so
   the time window densifies 10x (same effect as a 10x event rate).
-- documents: doc_id shifted; for i>0 the text gets a per-copy Caesar
-  rotation of [a-z] (length-, whitespace- and dup-structure-preserving).
+- documents: doc_id shifted; for i>0 the text gets a per-copy affine
+  letter permutation of [a-z] (x -> a*x+b mod 26; 312 distinct maps, so
+  copies stay pairwise-distinct up to a 312-copy build; copies 1..25
+  reduce to the classic Caesar rotation). Length-, whitespace- and
+  dup-structure-preserving.
   Within-copy duplicate/near-dup structure is EXACTLY the original's;
   cross-copy shingle Jaccard ~ 0 — so the global duplicate RATE matches
   the original corpus instead of every doc gaining 9 near-identical
   twins (which would blow up any LSH candidate count ~10x beyond what a
   real 10x corpus produces).
-- embeddings: vec_id shifted; the vector is rotated by i positions
-  (norm- and pairwise-distance-preserving within a copy, decorrelated
-  across copies). label kept.
+- embeddings: vec_id shifted; the vector is rotated by i positions,
+  with a sign flip once i exceeds one full rotation period (norm- and
+  pairwise-distance-preserving within a copy, decorrelated across
+  copies, pairwise-distinct up to 2*dim copies). label kept.
 
 Usage: python tools/make_sfx.py [src_dir] [dst_dir] [n_copies]
 Defaults: /root/testdata/sf0.1 /tmp/spark-graft-sf1 10
+(5th decade: python tools/make_sfx.py /root/testdata/sf0.1 /tmp/spark-graft-sf10 100)
 """
 
 from __future__ import annotations
@@ -51,10 +56,19 @@ STRIDES = {
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
+# Units of Z/26 — the valid multipliers of an affine cipher x -> a*x + b
+# (mod 26). 12 units x 26 shifts = 312 distinct length-preserving letter
+# permutations: enough unique per-copy text transforms for a 100-copy
+# (sf10) build. a=1 (the first unit) reduces to the Caesar rotation, so
+# copies 0..25 are byte-identical to what the original Caesar-only
+# builder produced (copy 0 = identity = the untouched original).
+_UNITS = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+
 
 def _rot_alpha(i: int) -> str:
-    r = i % 26
-    return ALPHA[r:] + ALPHA[:r]
+    a = _UNITS[(i // 26) % len(_UNITS)]
+    b = i % 26
+    return "".join(ALPHA[(a * k + b) % 26] for k in range(26))
 
 
 def table_sql(table: str, src: str, n: int, scale: dict[str, int]) -> str:
@@ -120,11 +134,22 @@ def table_sql(table: str, src: str, n: int, scale: dict[str, int]) -> str:
             f"FROM {p}, (SELECT unnest(range({n})) AS i) c"
         )
     if table == "embeddings":
-        # rotate the 64-dim vector by i: distance-preserving within a copy
+        # rotate the 64-dim vector by i: distance-preserving within a copy.
+        # Past one full rotation period (copy index >= dim, reachable only
+        # in a >=64-copy build like sf10) also flip the sign — still norm-
+        # and pairwise-distance-preserving, and it keeps copies i and
+        # i+dim from carrying identical vectors under shifted ids.
+        rot = (
+            f"(embedding[(({c}) % len(embedding)) + 1 :] || "
+            f" embedding[1 : (({c}) % len(embedding))])"
+        )
+        signed = (
+            f"CASE WHEN (({c}) // len(embedding)) % 2 = 1 "
+            f"THEN list_transform({rot}, x -> -x) ELSE {rot} END"
+        )
         return (
             f"SELECT vec_id + {c} * {scale['vec']} AS vec_id, "
-            f"(embedding[(({c}) % len(embedding)) + 1 :] || "
-            f" embedding[1 : (({c}) % len(embedding))])::FLOAT[] AS embedding, "
+            f"({signed})::FLOAT[] AS embedding, "
             f"label "
             f"FROM {p}, (SELECT unnest(range({n})) AS i) c"
         )
