@@ -588,11 +588,17 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
             "left_anti",
         )
     )
+    # Spec Q21 groups by s_name, not supplier key. Keep the heavy count
+    # keyed on l_suppkey (the join key — map-side-combinable), then
+    # re-aggregate the |S|-row result by name: identical to grouping by
+    # name directly, including when distinct keys share an s_name (the
+    # sf1-derivative sweep caught the key-grouped form diverging there).
     return (
         waiting.groupBy("l_suppkey")
         .agg(F.count("*").cast("bigint").alias("numwait"))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
-        .select("s_name", "numwait")
+        .groupBy("s_name")
+        .agg(F.sum("numwait").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(20)
     )
