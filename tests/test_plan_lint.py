@@ -78,11 +78,24 @@ def test_no_unbounded_plan_constructs(spark, name, q):
             f"{name}: BroadcastNestedLoopJoin not in allowlist — audit whether "
             f"the broadcast side is scalar/bounded and record the reason"
         )
-    # A physical Window line prints `Window [exprs], [partSpec], [orderSpec]`;
-    # with an empty partition spec the middle group disappears, leaving one
-    # `], [` instead of two — that's the global-window signature.
+    # A physical Window line prints `Window [exprs], [partSpec], [orderSpec]`,
+    # and EMPTY specs disappear from the print entirely. So:
+    #   zero `], [` groups -> no partition AND no order spec (global window);
+    #   one group whose content carries ASC/DESC -> it's an orderSpec, i.e.
+    #     ordered-but-unpartitioned (global window);
+    #   one group without a sort direction -> it's a partitionSpec, i.e. a
+    #     partitioned-unordered window (e.g. pagerank's sum(w) OVER
+    #     (PARTITION BY src)) — fine, not global;
+    #   two groups -> partitioned and ordered — fine.
     for line in plan.splitlines():
-        if "Window [" in line and line.count("], [") < 2:
-            assert name in WINDOW_GLOBAL_ALLOWED, (
-                f"{name}: unpartitioned Window — audit the row bound: {line[:160]}"
-            )
+        if "Window [" not in line:
+            continue
+        groups = line.count("], [")
+        if groups >= 2:
+            continue
+        last = line.rsplit("], [", 1)[-1] if groups == 1 else ""
+        if groups == 1 and " ASC" not in last and " DESC" not in last:
+            continue  # lone group is a partition spec
+        assert name in WINDOW_GLOBAL_ALLOWED, (
+            f"{name}: unpartitioned Window — audit the row bound: {line[:160]}"
+        )
