@@ -637,25 +637,27 @@ QUERIES = {
 def market_basket_pairs(spark, sf_dir):
     """Market-basket association mining (the A-Priori support/confidence/
     lift first pass): per-order brand itemsets reduce map-side to sorted
-    distinct arrays, candidate pairs are generated INSIDE the array by an
-    indexed comprehension (≤ C(|basket|,2) pairs per order, bounded by
-    basket width — never a self-join of the line-item table, whose
-    shuffle would square at 100 TB), and the pair/item supports meet in
-    one broadcast join to yield exact ppm confidence and lift. Top 20 by
-    support with a total pair order."""
+    distinct arrays in ONE shuffle (``collect_set`` dedups AND
+    partial-aggregates in the mappers — the earlier two-pass form paid a
+    second full-width shuffle for a separate ``DISTINCT`` whose output
+    ``collect_set`` re-dedups anyway), candidate pairs are generated
+    INSIDE the array by an indexed comprehension (≤ C(|basket|,2) pairs
+    per order, bounded by basket width — never a self-join of the
+    line-item table, whose shuffle would square at 100 TB), and the
+    item supports / order count derive from the SAME basket exchange
+    (reused, not recomputed) so pair and item counts meet in one
+    broadcast join for exact ppm confidence and lift. Top 20 by support
+    with a total pair order."""
     from .base import load as _load
 
     li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _load(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), "p_brand"
     )
-    ob = (
+    baskets = (
         li.join(F.broadcast(part), "l_partkey")
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
-    baskets = ob.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("p_brand")).alias("arr")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("arr"))
     )
     pairs = baskets.select(
         F.explode(
@@ -671,7 +673,14 @@ def market_basket_pairs(spark, sf_dir):
         ).alias("p")
     ).select("p.a", "p.b")
     n_ab = pairs.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
-    item = ob.groupBy("p_brand").agg(F.count("*").alias("n_item"))
+    # (order, brand) membership = one array element: item supports and the
+    # order count are projections of the basket table, landing on the same
+    # shuffle exchange (ReusedExchange) instead of a second lineitem pass
+    item = (
+        baskets.select(F.explode("arr").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_item"))
+    )
     n_orders = baskets.agg(F.count("*").alias("n_orders"))
     return (
         n_ab.join(F.broadcast(item.select(F.col("p_brand").alias("a"), F.col("n_item").alias("n_a"))), "a")
