@@ -11,7 +11,12 @@ Construction (copy index i in 0..N-1; copy 0 is the original, byte-equal):
 - customer / supplier / part / orders / lineitem: every key column is
   shifted by ``i * stride(table)`` with one shared stride per key space,
   so FK joins land on exactly the shifted partner row (orders of copy i
-  join customers of copy i; join fan-out per key is unchanged).
+  join customers of copy i; join fan-out per key is unchanged). part's
+  p_name/p_type additionally get the per-copy affine letter permutation
+  (lower/upper alphabet) so the entity-resolution corpus built from part
+  text keeps the ORIGINAL match rate instead of gaining N-1 verbatim
+  twins per part (p_brand/p_size stay fixed — TPC-H holds brand
+  cardinality constant across SF).
 - events: event_id / user_id shifted; ts / value / props untouched, so
   the time window densifies 10x (same effect as a 10x event rate).
 - documents: doc_id shifted; for i>0 the text gets a per-copy affine
@@ -94,9 +99,32 @@ def table_sql(table: str, src: str, n: int, scale: dict[str, int]) -> str:
             f"FROM {p}, (SELECT unnest(range({n})) AS i) c"
         )
     if table == "part":
+        # p_name/p_type get the SAME per-copy affine letter permutation as
+        # documents (lowercase resp. uppercase alphabet): a verbatim copy
+        # made every part's entity string (name+brand+type+size) appear
+        # 10/100× in the catalog, turning entity-resolution candidate sets
+        # quadratic in the copy count (measured: fuzzy_entity_match emitted
+        # 3.56M matches at sf1 vs ~20k at sf0.1 and OOMed the 8 GB replica
+        # heap). Permuted names/types keep cross-copy token Jaccard below
+        # the LSH threshold, so the match RATE matches the original catalog
+        # — the same dup-rate-preservation argument as documents. p_brand
+        # (25-value categorical itemset key) and p_size stay fixed, like
+        # TPC-H keeps brand cardinality constant across SF.
+        upper = ALPHA.upper()
+        name_whens = " ".join(
+            f"WHEN {i} THEN translate(p_name, '{ALPHA}', '{_rot_alpha(i)}')"
+            for i in range(1, n)
+        )
+        type_whens = " ".join(
+            f"WHEN {i} THEN translate(p_type, '{upper}', '{_rot_alpha(i).upper()}')"
+            for i in range(1, n)
+        )
+        pname = f"CASE {c} {name_whens} ELSE p_name END" if n > 1 else "p_name"
+        ptype = f"CASE {c} {type_whens} ELSE p_type END" if n > 1 else "p_type"
         return (
-            f"SELECT p_partkey + {c} * {scale['part']} AS p_partkey, p_name, "
-            f"p_brand, p_type, p_size, p_retailprice "
+            f"SELECT p_partkey + {c} * {scale['part']} AS p_partkey, "
+            f"{pname} AS p_name, "
+            f"p_brand, {ptype} AS p_type, p_size, p_retailprice "
             f"FROM {p}, (SELECT unnest(range({n})) AS i) c"
         )
     if table == "orders":
