@@ -171,9 +171,17 @@ def _assign(base: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     centroid set hits its 256 cap (5.1M interpreted 64-dim folds per
     assignment), vs ~1 s vectorized. Unrolling the dot into 64 explicit
     codegen terms was also tried and is 3.6× slower than the fold at
-    this width (method-budget fallback)."""
+    this width (method-budget fallback).
+
+    Arrow, not pandas: ``mapInPandas`` converts the list column to a
+    pandas object Series (one numpy object per ROW) on the way in and
+    re-serializes it row-by-row on the way out — at the sf10 decade that
+    conversion was 97% of the pass (11.6 s for ~0.3 s of matmul).
+    ``mapInArrow`` reads the list values buffer as one flat float64
+    array (zero-copy reshape) and passes the input vec/norm arrays
+    straight through to the output batch untouched."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     rows = sorted(
         (
@@ -192,30 +200,34 @@ def _assign(base: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     dim = C.shape[1]
 
     def assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            V = np.stack(pdf["vec"].to_numpy()).astype(np.float64, copy=False)
-            acc = np.zeros((len(pdf), len(ids)), dtype=np.float64)
+            id_arr = rb.column(0).cast(pa.int64())
+            vec_arr = rb.column(1)
+            norm_arr = rb.column(2)
+            # fixed-width lists (all dim long, no nulls): flatten() honors
+            # the batch's slice offset and exposes the values buffer
+            V = np.asarray(vec_arr.flatten()).reshape(n, dim)
+            acc = np.zeros((n, len(ids)), dtype=np.float64)
             for j in range(dim):  # left-fold order: acc -> +v1c1 -> +v2c2 ...
                 acc += V[:, j, None] * C[None, :, j]
-            sim = acc / (pdf["norm"].to_numpy(dtype=np.float64)[:, None] * cn[None, :])
+            sim = acc / (np.asarray(norm_arr)[:, None] * cn[None, :])
             k = np.argmax(sim, axis=1)  # first max == smallest centroid_id
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].astype("int64"),
-                    "cluster": ids[k],
-                    "vec": pdf["vec"],
-                    "norm": pdf["norm"],
-                }
+            yield pa.RecordBatch.from_arrays(
+                [id_arr, pa.array(ids[k]), vec_arr, norm_arr],
+                names=[id_col, "cluster", "vec", "norm"],
             )
 
-    return base.select(F.col(id_col), "vec", "norm").mapInPandas(
+    return base.select(F.col(id_col), "vec", "norm").mapInArrow(
         assign, schema=out_schema
     )
 
 
-def kmeans_centroids(base: DataFrame, iters: int, id_col: str) -> DataFrame:
+def kmeans_centroids(
+    base: DataFrame, iters: int, id_col: str, train_sample_mod: int = 1
+) -> DataFrame:
     """Spherical k-means (Lloyd) on DataFrame ops: deterministic init
     (every ``CENTROID_MOD``-th vector), cosine assignment, element-wise
     mean per cluster as the new centroid.
@@ -225,9 +237,14 @@ def kmeans_centroids(base: DataFrame, iters: int, id_col: str) -> DataFrame:
     (cluster, pos, double) triples with map-side combine. Components round
     to 6 decimals so float summation order (engine/partition dependent)
     cannot leak into the result — the DuckDB oracle reproduces training
-    bit-for-bit. At 100 TB, train on a sample (standard IVF practice) and
-    broadcast the result; assignment of the full corpus stays one
-    broadcast-join pass."""
+    bit-for-bit.
+
+    ``train_sample_mod > 1`` runs the Lloyd iterations over the
+    deterministic sample ``id % mod == 0`` (init is unchanged) — standard
+    IVF practice, and the 100 TB shape: quantizer training cost scales
+    with the SAMPLE while the final full-corpus assignment stays the one
+    linear pass it always was. Deterministic and oracle-reproducible by
+    construction (the oracle applies the same predicate)."""
     cents = base.filter(
         (F.col(id_col) % CENTROID_MOD == 0)
         & (F.col(id_col) < CENTROID_MOD * MAX_CENTROIDS)
@@ -236,8 +253,13 @@ def kmeans_centroids(base: DataFrame, iters: int, id_col: str) -> DataFrame:
         F.col("vec").alias("cvec"),
         F.col("norm").alias("cnorm"),
     )
+    train = (
+        base.filter(F.col(id_col) % train_sample_mod == 0)
+        if train_sample_mod > 1
+        else base
+    )
     for _ in range(iters):
-        assigned = _assign(base, cents, id_col)
+        assigned = _assign(train, cents, id_col)
         means = (
             assigned.select("cluster", F.posexplode("vec").alias("pos", "val"))
             .groupBy("cluster", "pos")
@@ -267,7 +289,11 @@ def kmeans_centroids(base: DataFrame, iters: int, id_col: str) -> DataFrame:
 
 
 def ivf_index(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", train_iters: int = 0
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 0,
+    train_sample_mod: int = 1,
 ):
     """IVF coarse index: (centroids, assignments).
 
@@ -277,7 +303,7 @@ def ivf_index(
     final assignment — same probe/rerank path either way.
     """
     base = with_norm(emb, vec_col).select(F.col(id_col), "vec", "norm")
-    cents = kmeans_centroids(base, train_iters, id_col)
+    cents = kmeans_centroids(base, train_iters, id_col, train_sample_mod)
     if train_iters > 0:
         cents = _materialize_quantizer(cents)
     assigned = _assign(base, cents, id_col)
@@ -292,6 +318,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_iters: int = 0,
+    train_sample_mod: int = 1,
 ) -> DataFrame:
     """IVF-style approximate top-k: probe the ``nprobe`` nearest centroid
     lists per query, rerank only those lists' vectors by exact cosine.
@@ -301,7 +328,7 @@ def ivf_topk(
     cluster-equi-join between probes and the assigned corpus, which
     replaces the brute-force cross join with a join Catalyst hash-
     partitions on ``cluster``."""
-    cents, assigned = ivf_index(emb, id_col, vec_col, train_iters)
+    cents, assigned = ivf_index(emb, id_col, vec_col, train_iters, train_sample_mod)
     q = assigned.filter(F.col(id_col) < query_ids_below).select(
         F.col(id_col).alias("query_id"),
         F.col("vec").alias("qvec"),

@@ -155,17 +155,30 @@ SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim_r FROM ranked WHERE ran
 QUERIES["ann_ivf_probe"] = Q(ann_ivf_probe, ANN_IVF_PROBE_SQL, "IVF probe-rerank ANN")
 
 
+TRAIN_SAMPLE_MOD = 4  # Lloyd iterations train on vec_id % 4 == 0 — the
+# 100 TB shape: quantizer training cost scales with the sample, the final
+# corpus assignment stays the single linear pass (operators/similarity.py
+# ::kmeans_centroids). Deterministic, so the oracle replays it exactly.
+
+
 def ann_ivf_kmeans(spark, sf_dir):
     """IVF with a TRAINED coarse quantizer: 2 spherical k-means Lloyd
-    iterations (deterministic init, 6-decimal-rounded means) before the
-    probe-rerank. The oracle reproduces the training loop exactly."""
+    iterations (deterministic init, 6-decimal-rounded means) over the
+    deterministic 1-in-4 training sample before the probe-rerank. The
+    oracle reproduces the training loop exactly."""
     return S.ivf_topk(
-        load(spark, sf_dir, "embeddings"), query_ids_below=5, k=5, nprobe=2, train_iters=2
+        load(spark, sf_dir, "embeddings"),
+        query_ids_below=5,
+        k=5,
+        nprobe=2,
+        train_iters=2,
+        train_sample_mod=TRAIN_SAMPLE_MOD,
     )
 
 
-def _kmeans_iter_sql(k: int, dim: int = 64) -> str:
+def _kmeans_iter_sql(k: int, dim: int = 64, sample_mod: int = 1) -> str:
     """One Lloyd iteration: assignment under cents{k-1} -> cents{k}."""
+    train_pred = f"WHERE b.vec_id % {sample_mod} = 0" if sample_mod > 1 else ""
     return f"""
 a{k} AS (
   SELECT vec_id, v, norm, centroid_id AS cluster FROM (
@@ -174,7 +187,7 @@ a{k} AS (
              PARTITION BY b.vec_id
              ORDER BY list_dot_product(b.v, c.cvec) / (b.norm * c.cnorm) DESC,
                       c.centroid_id ASC) AS rn
-    FROM base b CROSS JOIN cents{k - 1} c
+    FROM base b CROSS JOIN cents{k - 1} c {train_pred}
   ) WHERE rn = 1
 ),
 m{k} AS (
@@ -196,8 +209,8 @@ cents0 AS (
   SELECT vec_id AS centroid_id, v AS cvec, norm AS cnorm FROM base
   WHERE vec_id % {S.CENTROID_MOD} = 0 AND vec_id < {S.CENTROID_MOD * S.MAX_CENTROIDS}
 ),
-{_kmeans_iter_sql(1)},
-{_kmeans_iter_sql(2)},
+{_kmeans_iter_sql(1, sample_mod=TRAIN_SAMPLE_MOD)},
+{_kmeans_iter_sql(2, sample_mod=TRAIN_SAMPLE_MOD)},
 assigned AS (
   SELECT vec_id, v, norm, centroid_id AS cluster FROM (
     SELECT b.vec_id, b.v, b.norm, c.centroid_id,
