@@ -658,6 +658,13 @@ def market_basket_pairs(spark, sf_dir):
         li.join(F.broadcast(part), "l_partkey")
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("p_brand")).alias("arr"))
+        # three consumers (pairs, item supports, order count) read this
+        # table; Catalyst does NOT unify their exchanges (column pruning
+        # specializes each copy — post-exec plan showed 3 full join+agg
+        # passes and zero ReusedExchange), so materialize the one-shuffle
+        # basket table once. MEMORY_AND_DISK, executor-distributed — the
+        # same pattern as the minhash shingle tables (operators/dedup.py).
+        .localCheckpoint()
     )
     pairs = baskets.select(
         F.explode(
@@ -673,15 +680,20 @@ def market_basket_pairs(spark, sf_dir):
         ).alias("p")
     ).select("p.a", "p.b")
     n_ab = pairs.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
-    # (order, brand) membership = one array element: item supports and the
-    # order count are projections of the basket table, landing on the same
-    # shuffle exchange (ReusedExchange) instead of a second lineitem pass
+    # (order, brand) membership = one array element: item supports and
+    # the order count are projections of the basket table. All three
+    # basket consumers (pairs, item, n_orders) must prune to the SAME
+    # column set (arr only) for their subplans to canonicalize equal and
+    # share one exchange — which is why n_orders counts ``arr`` (never
+    # null under collect_set) rather than ``*``: a count(*) branch prunes
+    # the collect_set away and silently forks another full lineitem pass
+    # (caught in PLANS.md).
     item = (
         baskets.select(F.explode("arr").alias("p_brand"))
         .groupBy("p_brand")
         .agg(F.count("*").alias("n_item"))
     )
-    n_orders = baskets.agg(F.count("*").alias("n_orders"))
+    n_orders = baskets.agg(F.count("arr").alias("n_orders"))
     return (
         n_ab.join(F.broadcast(item.select(F.col("p_brand").alias("a"), F.col("n_item").alias("n_a"))), "a")
         .join(F.broadcast(item.select(F.col("p_brand").alias("b"), F.col("n_item").alias("n_b"))), "b")
