@@ -7,36 +7,66 @@ than the feature's own cardinality.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .base import Q, load
 
 
 def winsorize_stats(spark, sf_dir):
-    """Per-event-type P01/P99 winsorization: values clipped into the
-    interpolated-percentile band, with clip counts and the exact
-    micro-grid sum of the clipped column. Two passes over one
-    type-keyed partition: percentile aggregate (bounded digest per
-    group), then a broadcast join + map-side clip."""
-    ev = load(spark, sf_dir, "events").select("event_type", "value")
-    bounds = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.01)").alias("p01"),
-        F.expr("percentile(value, 0.99)").alias("p99"),
+    """Per-event-type P01/P99 winsorization with DISCRETE (type-1)
+    percentile thresholds on the exact micro grid: clip counts and the
+    micro-grid sum of the clipped column.
+
+    Why discrete + integral: the original interpolated-percentile form
+    compared raw values against an FP-constructed threshold — the sf1
+    derivative sweep caught a 1-ulp Spark/DuckDB divergence in the
+    interpolation flipping an entire 10-row tie group at the boundary
+    (n_clip_high 2000 vs 2010). Here the threshold IS a data value
+    (smallest v with cum_count ≥ ceil(q·n), rank math in pure integers:
+    ceil(n/100) = (n+99) DIV 100), so both engines agree bit-for-bit no
+    matter how tied the data is.
+
+    Shape: ONE shuffle over raw events builds the bounded per-(type,
+    micro-value) histogram (map-side combine; cardinality is the value
+    DOMAIN, not the row count — the auc_roc_exact pattern); thresholds,
+    clip counts and clipped sums all derive from that histogram, so the
+    raw table is never re-scanned. At 100 TB with an unbounded value
+    domain this becomes approx_percentile territory; the exact-histogram
+    contract is documented here on purpose."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 1e6).cast("long").alias("v")
     )
-    clipped = ev.join(F.broadcast(bounds), "event_type").select(
-        "event_type",
-        "value",
-        F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")).alias("cv"),
-        (F.col("value") < F.col("p01")).cast("long").alias("lo"),
-        (F.col("value") > F.col("p99")).cast("long").alias("hi"),
+    h = ev.groupBy("event_type", "v").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("v")
+    cum = (
+        h.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy("event_type")))
+    )
+    bounds = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 99) DIV 100"), F.col("v"))
+        ).alias("p01"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(99 * n + 99) DIV 100"), F.col("v"))
+        ).alias("p99"),
+        F.max("n").alias("n"),
     )
     return (
-        clipped.groupBy("event_type")
+        h.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
         .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum("lo").cast("long").alias("n_clip_low"),
-            F.sum("hi").cast("long").alias("n_clip_high"),
-            F.sum(F.round(F.col("cv") * 1e6).cast("long"))
+            F.max("n").cast("long").alias("n"),
+            F.sum(F.when(F.col("v") < F.col("p01"), F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_clip_low"),
+            F.sum(F.when(F.col("v") > F.col("p99"), F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_clip_high"),
+            F.sum(
+                F.col("cnt")
+                * F.least(F.greatest(F.col("v"), F.col("p01")), F.col("p99"))
+            )
             .cast("long")
             .alias("sum_clipped_micro"),
         )
@@ -45,26 +75,31 @@ def winsorize_stats(spark, sf_dir):
 
 
 WINSORIZE_STATS_SQL = """
-WITH b AS (
-  SELECT event_type,
-         quantile_cont(value, 0.01) AS p01,
-         quantile_cont(value, 0.99) AS p99
-  FROM events GROUP BY event_type
+WITH h AS (
+  SELECT event_type, CAST(ROUND(value * 1e6) AS BIGINT) AS v, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
 ),
-c AS (
-  SELECT e.event_type, e.value,
-         LEAST(GREATEST(e.value, b.p01), b.p99) AS cv,
-         CASE WHEN e.value < b.p01 THEN 1 ELSE 0 END AS lo,
-         CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END AS hi
-  FROM events e JOIN b USING (event_type)
+cum AS (
+  SELECT event_type, v, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM h
+),
+b AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= (n + 99) // 100 THEN v END) AS p01,
+         MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN v END) AS p99,
+         MAX(n) AS n
+  FROM cum GROUP BY event_type
 )
-SELECT event_type,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(lo) AS BIGINT) AS n_clip_low,
-       CAST(SUM(hi) AS BIGINT) AS n_clip_high,
-       CAST(SUM(CAST(ROUND(cv * 1e6) AS BIGINT)) AS BIGINT) AS sum_clipped_micro
-FROM c GROUP BY event_type
-ORDER BY event_type
+SELECT h.event_type,
+       CAST(MAX(b.n) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN h.v < b.p01 THEN h.cnt ELSE 0 END) AS BIGINT) AS n_clip_low,
+       CAST(SUM(CASE WHEN h.v > b.p99 THEN h.cnt ELSE 0 END) AS BIGINT) AS n_clip_high,
+       CAST(SUM(h.cnt * LEAST(GREATEST(h.v, b.p01), b.p99)) AS BIGINT) AS sum_clipped_micro
+FROM h JOIN b USING (event_type)
+GROUP BY h.event_type
+ORDER BY h.event_type
 """
 
 

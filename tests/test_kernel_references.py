@@ -3143,3 +3143,54 @@ def test_ctx_clock_stamps_match_call_order():
         assert types == ["environment", "test-report"] * 2
         assert seqs == [1, 1, 2, 2]
         assert calls["n"] == 4  # exactly one stamp per provider call
+
+
+@pytest.mark.parametrize("seed", [5, 61])
+def test_winsorize_matches_bruteforce_discrete(spark, seed):
+    """`winsorize_stats`'s histogram-rank thresholds vs the direct
+    definition on raw rows: sort each type's micro values, take the
+    ceil(q*n)-th smallest (pure-integer rank), clip, count, sum. Heavy
+    ties on purpose — every value is drawn from a 40-value grid, the
+    exact regime where the interpolated-percentile form diverged between
+    engines at the sf1 decade."""
+    import datetime
+
+    import cdc_agents_data_stream_spark.queries.base as B
+    import cdc_agents_data_stream_spark.queries.feature_queries as FQ
+
+    rng = random.Random(seed)
+    rows = []
+    by_type = {}
+    for i in range(3000):
+        et = rng.choice(["click", "view", "error"])
+        cents = rng.choice(range(0, 4000, 100))  # 40 distinct values
+        rows.append(
+            (i, datetime.datetime(2024, 1, 1), et, cents / 100.0)
+        )
+        by_type.setdefault(et, []).append(round(cents / 100.0 * 1e6))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    orig = B.load
+    try:
+        B.load = lambda _s, _d, _n: ev
+        FQ.load = B.load
+        got = {
+            r["event_type"]: (
+                r["n"], r["n_clip_low"], r["n_clip_high"], r["sum_clipped_micro"]
+            )
+            for r in FQ.winsorize_stats(spark, "ignored").collect()
+        }
+    finally:
+        B.load = orig
+        FQ.load = orig
+
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        p01 = vals[(n + 99) // 100 - 1]
+        p99 = vals[(99 * n + 99) // 100 - 1]
+        lo = sum(1 for v in vals if v < p01)
+        hi = sum(1 for v in vals if v > p99)
+        s = sum(min(max(v, p01), p99) for v in vals)
+        assert got[et] == (n, lo, hi, s), et
