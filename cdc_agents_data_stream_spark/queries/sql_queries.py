@@ -17,7 +17,7 @@ Constraints for the shared subset:
 from __future__ import annotations
 
 from ..sql import register_tables
-from .base import Q
+from .base import Q, load
 
 
 def _sql_query(text: str):
@@ -615,4 +615,61 @@ QUERIES["sql_named_params"] = Q(
     sql_named_params,
     SQL_NAMED_PARAMS_ORACLE,
     "Spark 4 named-parameter SQL + DataFrame template args vs inlined-constant oracle",
+)
+
+
+def observed_ingest_metrics(spark, sf_dir):
+    """``Dataset.observe()`` — data-quality counters that ride the ingest
+    scan as a CollectMetrics node: row count, cent-grid value sum, a
+    conditional anomaly counter, and a max watermark accumulate on the
+    executors DURING the write action, costing zero extra jobs (the
+    alternative — a second aggregation over the source — re-scans
+    everything; at 100 TB that is the difference between free telemetry
+    and a second pass). The noop-sink write drives the action; the
+    Observation's resolved metrics are rebuilt into a 1-row DataFrame
+    whose values the batch-side oracle must reproduce exactly.
+
+    DISTINCT aggregates are rejected by CollectMetrics (Spark
+    INVALID_OBSERVED_METRICS), so the counters stick to the
+    merge-able forms a streaming-safe metric requires.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    obs = Observation("ingest_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("n_negative"),
+        F.max("user_id").alias("max_user_id"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["sum_cents"]),
+                int(m["n_negative"]),
+                int(m["max_user_id"]),
+            )
+        ],
+        "n_rows long, sum_cents long, n_negative long, max_user_id long",
+    )
+
+
+OBSERVED_INGEST_METRICS_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(COUNT(CASE WHEN value < 0 THEN 1 END) AS BIGINT) AS n_negative,
+       CAST(MAX(user_id) AS BIGINT) AS max_user_id
+FROM events
+"""
+
+QUERIES["observed_ingest_metrics"] = Q(
+    observed_ingest_metrics,
+    OBSERVED_INGEST_METRICS_SQL,
+    "Dataset.observe() CollectMetrics counters riding the ingest action, zero extra scan",
 )

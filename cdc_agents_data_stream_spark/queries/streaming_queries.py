@@ -2139,3 +2139,77 @@ QUERIES["stream_pyds_cdc_source"] = Q(
     STREAM_PYDS_CDC_SOURCE_SQL,
     "LIVE registered Python Data Source stream: checkpointed (ts,id) offsets, equal-ts late ids delivered once",
 )
+
+
+def stream_state_reader(spark, sf_dir):
+    """Spark 4 State Data Source: crack a committed streaming-aggregation
+    checkpoint open as a BATCH DataFrame. An availableNow stream runs a
+    grouped count+sum over the events feed into a noop sink (state is the
+    only output, exactly how a production state-repair / debugging job
+    sees it); then ``spark.read.format("statestore")`` reads the
+    operator's keyed state files directly — key struct, aggregation
+    buffer struct, partition id — with no re-execution of the stream.
+    The buffer carries the running COUNT and SUM on the cent grid, so
+    the state contents equal the batch GROUP BY, which is the oracle.
+    At 100 TB this read is one task per state partition over the
+    checkpoint's delta/snapshot files — observability that costs a scan
+    of the STATE, never of the source.
+
+    The read must happen in the session that ran a streaming query (the
+    reader resolves the StateStoreCoordinator endpoint); the gate runs
+    its own stream first, so any caller-supplied session works.
+    """
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="statestore-read-")
+    try:
+        ev = load(spark, sf_dir, "events").select("user_id", "event_type", "value")
+        ev.write.parquet(f"{base}/in")
+        stream = (
+            spark.readStream.schema("user_id long, event_type string, value double")
+            .parquet(f"{base}/in")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+            )
+        )
+        q = (
+            stream.writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout=300)
+        finally:
+            q.stop()
+        # Aggregation buffers expose positional field names (count, sum).
+        st = spark.read.format("statestore").load(f"{base}/ckpt").select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("long").alias("n_events"),
+            F.col("value.sum").cast("long").alias("sum_cents"),
+        )
+        collected = st.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        collected, "event_type string, n_events long, sum_cents long"
+    )
+
+
+STREAM_STATE_READER_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY event_type
+"""
+
+QUERIES["stream_state_reader"] = Q(
+    stream_state_reader,
+    STREAM_STATE_READER_SQL,
+    "State Data Source: committed agg checkpoint read back as batch key/buffer rows",
+)

@@ -3194,3 +3194,68 @@ def test_winsorize_matches_bruteforce_discrete(spark, seed):
         hi = sum(1 for v in vals if v > p99)
         s = sum(min(max(v, p01), p99) for v in vals)
         assert got[et] == (n, lo, hi, s), et
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_state_reader_matches_pure_python_agg(spark, seed):
+    """`stream_state_reader` cracks a committed streaming-agg checkpoint
+    open via the State Data Source; the buffer rows must equal a pure
+    dict-fold over the same synthetic feed (values generated on the cent
+    grid, so the HALF_UP cent rounding is exact on both sides)."""
+    import cdc_agents_data_stream_spark.queries.base as B
+    import cdc_agents_data_stream_spark.queries.streaming_queries as S
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(400):
+        cents = rng.randint(-5000, 99999)
+        rows.append((i % 37, rng.choice(["a", "b", "c", "d"]), cents / 100.0))
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+
+    orig = B.load
+    try:
+        B.load = lambda _s, _d, _n: ev
+        S.load = B.load
+        got = {
+            r["event_type"]: (r["n_events"], r["sum_cents"])
+            for r in S.stream_state_reader(spark, "ignored").collect()
+        }
+    finally:
+        B.load = orig
+        S.load = orig
+
+    want = {}
+    for uid, et, v in rows:
+        n, s = want.get(et, (0, 0))
+        # exact: v is cents/100.0, so round(v*100) recovers the integer
+        want[et] = (n + 1, s + round(v * 100))
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [13])
+def test_observed_metrics_match_pure_python(spark, seed):
+    """`observed_ingest_metrics`' CollectMetrics counters vs a direct
+    fold over the same synthetic rows."""
+    import cdc_agents_data_stream_spark.queries.base as B
+    import cdc_agents_data_stream_spark.queries.sql_queries as Sq
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(500):
+        cents = rng.randint(-20000, 99999)
+        rows.append((rng.randint(1, 1000), rng.choice(["x", "y"]), cents / 100.0))
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+
+    orig = B.load
+    try:
+        B.load = lambda _s, _d, _n: ev
+        Sq.load = B.load
+        r = Sq.observed_ingest_metrics(spark, "ignored").collect()[0]
+    finally:
+        B.load = orig
+        Sq.load = orig
+
+    assert r["n_rows"] == len(rows)
+    assert r["sum_cents"] == sum(round(v * 100) for _, _, v in rows)
+    assert r["n_negative"] == sum(1 for _, _, v in rows if v < 0)
+    assert r["max_user_id"] == max(u for u, _, _ in rows)
