@@ -638,66 +638,118 @@ def market_basket_pairs(spark, sf_dir):
     """Market-basket association mining (the A-Priori support/confidence/
     lift first pass): per-order brand itemsets reduce map-side to sorted
     distinct arrays in ONE shuffle (``collect_set`` dedups AND
-    partial-aggregates in the mappers — the earlier two-pass form paid a
-    second full-width shuffle for a separate ``DISTINCT`` whose output
-    ``collect_set`` re-dedups anyway), candidate pairs are generated
+    partial-aggregates in the mappers), candidate pairs are generated
     INSIDE the array by an indexed comprehension (≤ C(|basket|,2) pairs
     per order, bounded by basket width — never a self-join of the
-    line-item table, whose shuffle would square at 100 TB), and the
-    item supports / order count derive from the SAME basket exchange
-    (reused, not recomputed) so pair and item counts meet in one
-    broadcast join for exact ppm confidence and lift. Top 20 by support
-    with a total pair order."""
+    line-item table, whose shuffle would square at 100 TB).
+
+    Two scale moves on top of that shape (A/B at the measured sf10
+    decade, 60M line items):
+
+    - **dictionary-encode the brand dimension** (dense 1-based ids off a
+      ~25-row distinct) so the basket shuffle, array sort, and pair
+      fan-out move 4-byte ints instead of brand strings; ids are
+      assigned in brand order, so sorted-id arrays yield exactly the
+      oracle's ``a < b`` string-compare pairs;
+    - **fuse the three basket consumers into ONE explode** by encoding
+      pair/item/order rows in a single int column (pair = a·4096+b,
+      item = −id, order sentinel = 0) and aggregating once — the counts
+      land map-side into ≤ |brands|²/2 + |brands| + 1 keys, and the
+      basket table has a single consumer, so the previous 15M-row
+      ``localCheckpoint`` materialization (and its two re-read passes)
+      disappears; only the ≤~330-row code table is pinned.
+
+    The tiny decoded joins (supports, order count, brand strings) are
+    all broadcast. Top 20 by support with a total pair order."""
+    from pyspark.sql import Window
+
     from .base import load as _load
 
     li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _load(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), "p_brand"
     )
-    baskets = (
-        li.join(F.broadcast(part), "l_partkey")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("p_brand")).alias("arr"))
-        # three consumers (pairs, item supports, order count) read this
-        # table; Catalyst does NOT unify their exchanges (column pruning
-        # specializes each copy — post-exec plan showed 3 full join+agg
-        # passes and zero ReusedExchange), so materialize the one-shuffle
-        # basket table once. MEMORY_AND_DISK, executor-distributed — the
-        # same pattern as the minhash shingle tables (operators/dedup.py).
+    # Dense brand dictionary (dimension-bounded, ~25 rows; eager
+    # localCheckpoint pins it so the encode + two decode consumers don't
+    # each re-scan part, and keeps the bounded row_number window out of
+    # downstream plans).
+    brand_dict = (
+        part.select("p_brand")
+        .distinct()
+        .withColumn("bid", F.row_number().over(Window.orderBy("p_brand")))
         .localCheckpoint()
     )
-    pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "arr",
-                    lambda x, i: F.transform(
-                        F.slice(F.col("arr"), i + 2, F.size("arr")),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+    part_enc = part.join(F.broadcast(brand_dict), "p_brand").select("l_partkey", "bid")
+    BASE = 4096  # > max brand id; pair code a*BASE+b stays well inside int
+    codes = (
+        li.join(F.broadcast(part_enc), "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("bid")).alias("arr"))
+        # Collapse identical baskets BEFORE the fan-out: over a ~25-item
+        # alphabet only ~tens-of-thousands of distinct sorted itemsets
+        # exist regardless of order count, so the pair explode runs over
+        # weighted distinct baskets (20k rows at sf10) instead of every
+        # order (15M) — A/B at sf10 cut the fan-out stage ~400× while
+        # the added groupBy(arr) exchange partial-aggregates map-side to
+        # the same bounded key set.
+        .groupBy("arr")
+        .agg(F.count("*").alias("w"))
+        .select(
+            F.explode(
+                F.concat(
+                    F.flatten(
+                        F.transform(
+                            "arr",
+                            lambda x, i: F.transform(
+                                F.slice(F.col("arr"), i + 2, F.size("arr")),
+                                lambda y: x * BASE + y,
+                            ),
+                        )
                     ),
+                    F.transform("arr", lambda x: -x),
+                    F.array(F.lit(0)),
                 )
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
-    n_ab = pairs.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
-    # (order, brand) membership = one array element: item supports and
-    # the order count are projections of the basket table. All three
-    # basket consumers (pairs, item, n_orders) must prune to the SAME
-    # column set (arr only) for their subplans to canonicalize equal and
-    # share one exchange — which is why n_orders counts ``arr`` (never
-    # null under collect_set) rather than ``*``: a count(*) branch prunes
-    # the collect_set away and silently forks another full lineitem pass
-    # (caught in PLANS.md).
-    item = (
-        baskets.select(F.explode("arr").alias("p_brand"))
-        .groupBy("p_brand")
-        .agg(F.count("*").alias("n_item"))
+            ).alias("code"),
+            "w",
+        )
     )
-    n_orders = baskets.agg(F.count("arr").alias("n_orders"))
+    # ≤ ~330 distinct codes: pin once, fan out to pair/item/order views.
+    agg = codes.groupBy("code").agg(F.sum("w").alias("n")).localCheckpoint()
+    pairs = agg.filter(F.col("code") >= BASE).select(
+        F.expr(f"code DIV {BASE}").cast("int").alias("a_id"),
+        (F.col("code") % BASE).cast("int").alias("b_id"),
+        F.col("n").alias("n_ab"),
+    )
+    items = agg.filter(F.col("code") < 0).select(
+        (-F.col("code")).cast("int").alias("bid"), F.col("n").alias("n_item")
+    )
+    n_orders = agg.filter(F.col("code") == 0).select(F.col("n").alias("n_orders"))
     return (
-        n_ab.join(F.broadcast(item.select(F.col("p_brand").alias("a"), F.col("n_item").alias("n_a"))), "a")
-        .join(F.broadcast(item.select(F.col("p_brand").alias("b"), F.col("n_item").alias("n_b"))), "b")
+        pairs.join(
+            F.broadcast(
+                items.select(F.col("bid").alias("a_id"), F.col("n_item").alias("n_a"))
+            ),
+            "a_id",
+        )
+        .join(
+            F.broadcast(
+                items.select(F.col("bid").alias("b_id"), F.col("n_item").alias("n_b"))
+            ),
+            "b_id",
+        )
         .crossJoin(F.broadcast(n_orders))
+        .join(
+            F.broadcast(
+                brand_dict.select(F.col("bid").alias("a_id"), F.col("p_brand").alias("a"))
+            ),
+            "a_id",
+        )
+        .join(
+            F.broadcast(
+                brand_dict.select(F.col("bid").alias("b_id"), F.col("p_brand").alias("b"))
+            ),
+            "b_id",
+        )
         .select(
             "a",
             "b",
