@@ -6,6 +6,16 @@ name-sorted/row-sorted values. Exact equality is required (parity rules in
 queries/base.py are designed for it); floats compare with a tiny absolute
 epsilon only to absorb engine-level summation-order noise we cannot
 control — report it if it triggers.
+
+Float tolerance is absolute AND relative: the absolute 1e-9 absorbs
+summation-order noise near zero, and the 1e-12 relative term absorbs the
+final decimal→double CONVERSION divergence — Spark (BigDecimal.doubleValue)
+converts correctly rounded, DuckDB's int128·10^-s path can land 1 ulp away,
+and one ulp at revenue magnitudes (~1e8) is ~1.5e-8, over the absolute
+epsilon. First observed at the sf1-derivative sweep on tpch_q7 (identical
+exact decimal sums, doubles 1 ulp apart); a pure-absolute epsilon can never
+hold across magnitudes for that artifact. 1e-12 is still ~4 orders of
+magnitude stricter than any real aggregation error.
 """
 
 from __future__ import annotations
@@ -17,6 +27,7 @@ import duckdb
 from cdc_agents_data_stream_spark.schemas import TABLE_NAMES
 
 FLOAT_EPS = 1e-9
+FLOAT_REL = 1e-12
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -32,14 +43,17 @@ def _norm(v):
     if isinstance(v, bool):
         return int(v)
     if isinstance(v, float):
-        return ("f", round(v, 9))
+        # 12 significant digits (after the 9-decimal absolute round) so
+        # the row-sort key is stable across a 1-ulp conversion divergence
+        # at any magnitude — mirrors the rel/abs compare below.
+        return ("f", float(f"{round(v, 9):.12g}"))
     if isinstance(v, int):
         return ("i", int(v))
     try:  # Decimal
         from decimal import Decimal
 
         if isinstance(v, Decimal):
-            return ("f", round(float(v), 9))
+            return ("f", float(f"{round(float(v), 9):.12g}"))
     except ImportError:
         pass
     return v
@@ -79,7 +93,7 @@ def compare(spark_df, con, oracle_sql: str, name: str) -> list[str]:
                 if len(problems) > 5:
                     return problems
             elif isinstance(ns, tuple) and isinstance(nd, tuple) and ns[0] == "f" and nd[0] == "f":
-                if not math.isclose(ns[1], nd[1], rel_tol=0, abs_tol=FLOAT_EPS):
+                if not math.isclose(ns[1], nd[1], rel_tol=FLOAT_REL, abs_tol=FLOAT_EPS):
                     problems.append(f"{name}: row {i} col {c}: spark={sv!r} duck={dv!r}")
                     if len(problems) > 5:
                         return problems
