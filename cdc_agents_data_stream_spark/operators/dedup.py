@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Universal-hash parameters: h_i(x) = (A[i] * (x mod P) + B[i]) mod P with
 # P = 2^31 - 1; products stay < 2^62 so the arithmetic is exact in int64 in
@@ -57,6 +58,28 @@ HASH_B = _lcg_constants(N_HASHES, seed=7)
 def _text_md5_int(col):
     """First 60 bits of md5 as a BIGINT — reproducible in any engine."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _pin_spill(df: DataFrame) -> DataFrame:
+    """Materialize a multi-consumer intermediate ONCE, like
+    ``localCheckpoint``, but in the DataFrame cache (columnar, compressed,
+    evictable, disk-spillable) instead of deserialized RDD blocks.
+
+    For data-proportional intermediates (the shingle tables here scale
+    linearly with the corpus) ``localCheckpoint`` stores every partition
+    as deserialized row objects and unrolls them in heap during the
+    checkpoint job — at the 100×-bench decade (20M shingle rows) that
+    OOMs a 32 GB single JVM before the query proper even starts. The
+    columnar cache stores the same partitions ~20-50× smaller, evicts
+    under pressure, and spills to disk; the eager ``count()`` preserves
+    the checkpoint's one-materialization guarantee for the downstream
+    fan-out. Dimension-bounded pins elsewhere keep ``localCheckpoint``
+    (plan truncation matters more there, and their size is fixed)."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
 
 
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3, id_col: str = "doc_id") -> DataFrame:
@@ -251,6 +274,7 @@ def minhash_lsh_incremental(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup: probe a NEW batch against the corpus's
     stored LSH index — the maintenance mode of `minhash_lsh_pairs`
@@ -267,7 +291,21 @@ def minhash_lsh_incremental(
     anything in this drop a near-dup of what we already have", the
     decontamination-style question every incremental corpus build asks.
     Output: (doc_new, doc_hist, jaccard ≥ threshold).
-    """
+
+    ``max_bucket`` drops (band, bucket) groups holding more than that
+    many docs on EITHER side before the probe join. Buckets whose
+    population grows with the corpus are degenerate by construction —
+    their members collide on ubiquitous shared tokens, not on content —
+    and their pair fan-out is quadratic in bucket size. Measured on the
+    100×-bench derivative (2M-part catalog): max clean-side bucket
+    13,578 docs vs p99.9 = 62, and the handful of degenerate buckets
+    alone generate ~10^8 verify pairs (ran a 32 GB JVM out of disk);
+    with a cap at 256 the candidate volume returns to linear at a
+    measured recall cost of ~0.1% of matches (a true J≥0.6 pair
+    collides in ~half its 8 bands, so a link is lost only when EVERY
+    colliding band is a degenerate bucket — see SWEEPS.md for the
+    sf0.1/sf1 counts). ``None`` keeps exact candidate semantics for
+    bounded corpora/gates."""
     # one shingle pass per side, materialized: the band index AND the
     # exact-Jaccard verify both consume these (re-shingling the
     # candidate sliver is cheaper only when candidates are rare; at
@@ -275,10 +313,25 @@ def minhash_lsh_incremental(
     # re-shingle is a full second pass — best-of-3 on the
     # fuzzy_entity_match bench 5.9 s → 4.5 s by reusing the checkpointed
     # tables)
-    sh_hist = shingles(df_hist, text_col, n, id_col).localCheckpoint()
-    sh_new = shingles(df_new, text_col, n, id_col).localCheckpoint()
+    sh_hist = _pin_spill(shingles(df_hist, text_col, n, id_col))
+    sh_new = _pin_spill(shingles(df_new, text_col, n, id_col))
     bh = minhash_band_buckets(minhash_signatures(sh_hist))
     bn = minhash_band_buckets(minhash_signatures(sh_new))
+    if max_bucket is not None:
+        # One windowed count per side, partitioned on the SAME
+        # (band, bucket) key as the probe join, so the window's exchange
+        # is the join's exchange — the filter costs one extra sort, not
+        # an extra shuffle. (A/B'd against a broadcast anti-join on the
+        # tiny over-cap list: that form re-evaluates the signature
+        # subtree for the count and serializes behind the broadcast
+        # barrier — 2× slower at sf0.1.)
+        w = Window.partitionBy("band", "bucket")
+        bh = bh.withColumn("bsz", F.count("*").over(w)).filter(
+            F.col("bsz") <= max_bucket
+        ).drop("bsz")
+        bn = bn.withColumn("bsz", F.count("*").over(w)).filter(
+            F.col("bsz") <= max_bucket
+        ).drop("bsz")
     candidates = (
         bn.alias("n")
         .join(
@@ -290,8 +343,10 @@ def minhash_lsh_incremental(
             F.col("n.doc_id").alias("doc_a"), F.col("h.doc_id").alias("doc_b")
         )
         .distinct()
-        .localCheckpoint()
     )
+    # match-rate-proportional (every dirty record links at entity
+    # resolution), so the pin must spill too
+    candidates = _pin_spill(candidates)
     cand_docs = candidates.select(
         F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     ).distinct()

@@ -607,7 +607,18 @@ def fuzzy_entity_match(spark, sf_dir):
         ).alias("text"),
     )
     return (
-        D.minhash_lsh_incremental(clean, dirty, threshold=0.6, n=1)
+        # max_bucket=256: p99.9 bucket size is ~62 even at the 100×-bench
+        # decade, but brand/size tokens are shared across the whole
+        # catalog, so a handful of degenerate shared-token buckets grow
+        # linearly with catalog size and their pair fan-out quadratically
+        # (measured: max bucket 13,578 at 2M parts → ~10^8 verify pairs
+        # from those buckets alone). The cap keeps candidate volume
+        # linear at a measured recall cost of 0.05% of matches at sf0.1
+        # (35,609 vs 35,625) and 0.10% at sf1 (357,412 vs 357,751) —
+        # the dropped links are those whose ONLY colliding band is a
+        # degenerate shared-token bucket. The oracle applies the same
+        # cap, so the driver gate checks the capped semantics exactly.
+        D.minhash_lsh_incremental(clean, dirty, threshold=0.6, n=1, max_bucket=256)
         .select(
             F.col("doc_new").alias("dirty_id"),
             F.col("doc_hist").alias("part_id"),
@@ -649,11 +660,21 @@ buckets AS (
          md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bucket
   FROM sigs GROUP BY doc_id, (i // {D.BAND_SIZE})
 ),
+bkt_ok AS (
+  -- mirror of max_bucket=256: drop (band, bucket) groups larger than the
+  -- cap on either side before pairing
+  SELECT band, bucket,
+         COUNT(*) FILTER (WHERE doc_id < 10000000) AS n_h,
+         COUNT(*) FILTER (WHERE doc_id >= 10000000) AS n_n
+  FROM buckets GROUP BY band, bucket
+),
 cands AS (
   SELECT DISTINCT n.doc_id AS dirty_id, h.doc_id AS part_id
-  FROM buckets n JOIN buckets h
-    ON n.band = h.band AND n.bucket = h.bucket
+  FROM buckets n
+  JOIN buckets h ON n.band = h.band AND n.bucket = h.bucket
+  JOIN bkt_ok k ON k.band = n.band AND k.bucket = n.bucket
   WHERE n.doc_id >= 10000000 AND h.doc_id < 10000000
+    AND k.n_h <= 256 AND k.n_n <= 256
 ),
 inter AS (
   SELECT c.dirty_id, c.part_id, COUNT(*) AS inter

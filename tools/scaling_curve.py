@@ -49,6 +49,8 @@ QUERIES = [
     ("embedding_covariance", "d2-bounded moment partials"),
     ("bpe_train_merges", "iterative vocab aggregation"),
     ("market_basket_pairs", "in-array pair fan-out + broadcast supports"),
+    ("fuzzy_entity_match", "LSH-blocked record linkage"),
+    ("ann_ivfpq", "IVF-PQ residual index probe"),
     ("survival_hazard_table", "bounded histogram + reverse cumulative"),
     ("tree_split_histogram", "histogram split search"),
     ("interval_union_coverage", "running-max interval coalescing (one window pass)"),
@@ -65,7 +67,10 @@ def main(out: str = "SCALING.md") -> None:
     registry = all_queries()
 
     # warm each plan once at the smallest SF (codegen + Arrow pool)
+    only = set(sys.argv[2:])
     for name, _ in QUERIES:
+        if only and name not in only:
+            continue
         registry[name].fn(spark, SFS[0]).count()
 
     sfs = list(SFS)
@@ -75,20 +80,44 @@ def main(out: str = "SCALING.md") -> None:
             sfs.append(d)
             extra_tags.append(tag)
     rows = []
+    only = set(sys.argv[2:])
     for name, shape in QUERIES:
+        if only and name not in only:
+            continue
         cells = []
         for sf in sfs:
             best, n = None, 0
-            for _ in range(2):
-                t0 = time.perf_counter()
-                n = registry[name].fn(spark, sf).count()
-                dt = time.perf_counter() - t0
-                best = dt if best is None or dt < best else best
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    n = registry[name].fn(spark, sf).count()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None or dt < best else best
+            except Exception as exc:
+                print(f"# {name} @ {sf.rsplit('/',1)[-1]}: FAILED {exc}", file=sys.stderr)
+                cells.append((None, 0))
+                continue
             cells.append((round(best, 3), n))
             print(f"# {name} @ {sf.rsplit('/',1)[-1]}: {best:.3f}s ({n} rows)", file=sys.stderr)
+            # Drop RDD blocks pinned by this point (localCheckpoint
+            # materializations) before the next one: a 22-query session
+            # otherwise accumulates every query's checkpoint blocks in
+            # the block store, and by the heavy tail the storage pool —
+            # not the query under test — is what OOMs the JVM.
+            spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                try:
+                    rdd.unpersist(True)
+                except Exception:
+                    pass
         # ratio over the LAST decade step — the one where data cost
         # dominates fixed overhead
-        ratio = round(cells[-1][0] / cells[-2][0], 1) if cells[-2][0] > 0 else float("inf")
+        measured = [c for c in cells if c[0] is not None]
+        ratio = (
+            round(measured[-1][0] / measured[-2][0], 1)
+            if len(measured) >= 2 and measured[-2][0] > 0
+            else float("inf")
+        )
         rows.append((name, shape, cells, ratio))
 
     sf1_cols = "".join(f" {t} |" for t in extra_tags)
@@ -123,7 +152,9 @@ def main(out: str = "SCALING.md") -> None:
         for name, shape, cells, ratio in rows:
             fh.write(
                 f"| {name} | {shape} | "
-                + " | ".join(f"{t}s ({n})" for t, n in cells)
+                + " | ".join(
+                    f"{t}s ({n})" if t is not None else "OOM†" for t, n in cells
+                )
                 + f" | {ratio} |\n"
             )
     print(f"wrote {out}", file=sys.stderr)

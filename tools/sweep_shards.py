@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Shard the full-catalog replica sweep across N parallel processes.
+
+The replica harness (tests/driver_replica.py) is single-process by
+design — one vanilla local[8] session, queries in registry order. At
+sf1-derivative scale the serial sweep takes hours; per-query runs are
+independent (read-only parquet + per-process DuckDB), so wall-clock
+divides by N with no semantic change. Queries are dealt round-robin by
+registry index so each shard gets an even mix of heavy and light
+shapes.
+
+Usage: python tools/sweep_shards.py SF_DIR N_SHARDS [mem]
+Prints one `python tests/driver_replica.py SF_DIR q1 q2 ...` command
+per shard (run them yourself, e.g. under nohup), or with --run spawns
+them and waits, merging exit status.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def shard_lists(n_shards: int) -> list[list[str]]:
+    from cdc_agents_data_stream_spark.queries.registry import all_queries
+
+    names = list(all_queries())
+    return [names[i::n_shards] for i in range(n_shards)]
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if a != "--run"]
+    run = "--run" in sys.argv
+    sf_dir = args[0] if args else "/tmp/spark-graft-sf1"
+    n = int(args[1]) if len(args) > 1 else 3
+    mem = args[2] if len(args) > 2 else "8g"
+    shards = shard_lists(n)
+    procs = []
+    for i, names in enumerate(shards):
+        cmd = [sys.executable, "tests/driver_replica.py", sf_dir, *names]
+        if not run:
+            print(" ".join(cmd))
+            continue
+        log = f"/tmp/sweep_shard_{i}.log"
+        env = dict(os.environ, SPARK_GRAFT_REPLICA_MEM=mem)
+        with open(log, "w") as fh:
+            procs.append(
+                (i, log, subprocess.Popen(cmd, stdout=fh, stderr=subprocess.STDOUT, env=env))
+            )
+        print(f"shard {i}: {len(names)} queries -> {log}")
+    rc = 0
+    for i, log, p in procs:
+        p.wait()
+        with open(log) as fh:
+            tail = fh.read().strip().splitlines()[-1] if os.path.getsize(log) else ""
+        print(f"shard {i} rc={p.returncode}: {tail}")
+        rc |= p.returncode
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
