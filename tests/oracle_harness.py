@@ -21,6 +21,7 @@ magnitude stricter than any real aggregation error.
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 
@@ -32,6 +33,12 @@ FLOAT_REL = 1e-12
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # DuckDB grabs every core by default; when several replica shards run
+    # side by side (tools/sweep_shards.py) that thrashes the host — honor
+    # an opt-in thread cap. Unset = DuckDB's default, the driver behavior.
+    threads = os.environ.get("SPARK_GRAFT_DUCK_THREADS")
+    if threads:
+        con.execute(f"SET threads = {int(threads)}")
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     return con

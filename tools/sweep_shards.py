@@ -24,20 +24,26 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
-def shard_lists(n_shards: int) -> list[list[str]]:
+def shard_lists(n_shards: int, skip: set[str] | None = None) -> list[list[str]]:
     from cdc_agents_data_stream_spark.queries.registry import all_queries
 
-    names = list(all_queries())
+    names = [n for n in all_queries() if not (skip and n in skip)]
     return [names[i::n_shards] for i in range(n_shards)]
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--run"]
-    run = "--run" in sys.argv
+    argv = sys.argv[1:]
+    skip: set[str] = set()
+    if "--skip-file" in argv:
+        i = argv.index("--skip-file")
+        skip = set(open(argv[i + 1]).read().split())
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if a != "--run"]
+    run = "--run" in argv
     sf_dir = args[0] if args else "/tmp/spark-graft-sf1"
     n = int(args[1]) if len(args) > 1 else 3
     mem = args[2] if len(args) > 2 else "8g"
-    shards = shard_lists(n)
+    shards = shard_lists(n, skip)
     procs = []
     for i, names in enumerate(shards):
         cmd = [sys.executable, "tests/driver_replica.py", sf_dir, *names]
