@@ -95,3 +95,48 @@ def test_connected_components_chain_and_clusters(spark):
     )
     got = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_minhash_incremental_max_bucket_prunes_degenerate_buckets(spark):
+    """max_bucket drops (band, bucket) groups larger than the cap on
+    either side BEFORE the probe join, and leaves sub-cap semantics
+    untouched.
+
+    Construction: 40 'degenerate' history docs share one identical
+    text (so all their bands land in the same buckets), plus one
+    clean near-dup pair. With max_bucket=8 the degenerate buckets
+    (population 40 > 8) are pruned, so a probe that would match the
+    shared text finds nothing; the clean pair still links. With the
+    default (None) the degenerate probe matches all 40."""
+    from cdc_agents_data_stream_spark.operators.dedup import (
+        minhash_lsh_incremental,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog every day"
+    hist = spark.createDataFrame(
+        [(i, boiler) for i in range(40)]
+        + [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (200, boiler),  # only matches via degenerate buckets
+            (201, "alpha beta gamma delta epsilon zeta eta iota"),
+        ],
+        ["doc_id", "text"],
+    )
+    uncapped = {
+        (r["doc_new"], r["doc_hist"])
+        for r in minhash_lsh_incremental(hist, new, threshold=0.5).collect()
+    }
+    assert sum(1 for a, _ in uncapped if a == 200) == 40
+    assert (201, 100) in uncapped
+
+    capped = {
+        (r["doc_new"], r["doc_hist"])
+        for r in minhash_lsh_incremental(
+            hist, new, threshold=0.5, max_bucket=8
+        ).collect()
+    }
+    assert not any(a == 200 for a, _ in capped)
+    assert (201, 100) in capped
