@@ -452,6 +452,27 @@ def dedup_keeper_by_quality(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Scale-tractable oracle variants for the three closure-based gates.
+#
+# The driver-gate oracles above construct ground truth by BRUTE FORCE —
+# an O(N²) all-pairs simhash join — deliberately independent of the
+# engine's blocking. That independence is affordable at the driver's
+# sf0.01 gate scale but infeasible at the sf1 derivative (1.25B
+# comparisons burned >45 CPU-min per query without completing —
+# SWEEPS.md). These variants replace ONLY the pair-generation CTE with
+# a LOSSLESS pigeonhole blocking: for hamming distance <= 3 on a 32-bit
+# simhash, any qualifying pair agrees exactly on at least one of 4
+# disjoint 8-bit blocks, so a block equi-join followed by the same
+# exact bit_count verify produces the IDENTICAL pair set (proved
+# equivalent against the brute-force SQL at sf0.001 and sf0.01 by
+# tests/test_scale_oracles.py). Everything downstream of `prs` is the
+# shared closure text. Used by beyond-driver-scale sweeps via
+# SPARK_GRAFT_SCALE_ORACLES=1 (tests/driver_replica.py); the driver's
+# own gates keep the brute-force construction.
+SCALE_ORACLES: dict[str, str] = {}  # filled below once the gate SQL exists
+
+
 DEDUP_KEEPER_BY_QUALITY_SQL = f"""
 WITH RECURSIVE {_CLOSURE_CTES},
 members AS (
@@ -478,6 +499,30 @@ QUERIES["dedup_keeper_by_quality"] = Q(
     DEDUP_KEEPER_BY_QUALITY_SQL,
     "quality-aware (longest-doc) canonical keeper per near-dup cluster",
 )
+
+_PRS_BRUTE = """prs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sv a JOIN sv b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),"""
+_PRS_BLOCKED = """blk AS (
+  SELECT doc_id, simhash, g.b AS blk_i,
+         (simhash >> (g.b * 8)) & 255 AS blk_v
+  FROM sv, UNNEST(range(0, 4)) AS g(b)
+),
+prs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blk a JOIN blk b
+    ON a.blk_i = b.blk_i AND a.blk_v = b.blk_v AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),"""
+for _name, _sql in (
+    ("dedup_components", DEDUP_COMPONENTS_SQL),
+    ("dedup_keep_corpus", DEDUP_KEEP_CORPUS_SQL),
+    ("dedup_keeper_by_quality", DEDUP_KEEPER_BY_QUALITY_SQL),
+):
+    assert _PRS_BRUTE in _sql, _name
+    SCALE_ORACLES[_name] = _sql.replace(_PRS_BRUTE, _PRS_BLOCKED)
 
 
 def dedup_lsh_recall(spark, sf_dir):

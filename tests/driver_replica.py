@@ -37,6 +37,16 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
     spark = builder.getOrCreate()
     con = duck_con(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
+    if os.environ.get("SPARK_GRAFT_SCALE_ORACLES"):
+        # beyond-driver-scale sweeps: overlay the lossless pigeonhole
+        # variants of the brute-force closure oracles (see
+        # dedup_queries.SCALE_ORACLES; equivalence to the gate SQL is
+        # pinned by tests/test_scale_oracles.py)
+        from cdc_agents_data_stream_spark.queries.dedup_queries import (
+            SCALE_ORACLES,
+        )
+
+        oracles = {**oracles, **SCALE_ORACLES}
     if only:
         qs = {k: v for k, v in qs.items() if k in only}
     failed = []
