@@ -41,6 +41,13 @@ from pyspark.sql.window import Window
 MERSENNE_P = 2_147_483_647
 N_HASHES = 32
 BAND_SIZE = 4  # 8 bands of 4 -> catches J>=0.5 pairs w.h.p.
+# Max history docs a single salted probe-join task compares against per
+# (band, bucket): buckets larger than this are split into
+# ceil(bsz / _SALT_BLOCK) salt sub-buckets (lossless — see
+# minhash_lsh_incremental). 32 keeps the worst per-task pair block at
+# max_bucket × 32 (~8k at cap 256) while leaving p99.9 buckets (<100
+# docs) un-split.
+_SALT_BLOCK = 32
 
 
 def _lcg_constants(n: int, seed: int, lo: int = 1) -> list[int]:
@@ -82,6 +89,23 @@ def _pin_spill(df: DataFrame) -> DataFrame:
     return df
 
 
+def _gram_array(text_col: str, n: int):
+    """Distinct word n-gram set of a text column, as an array expression —
+    the single gram definition shared by the exploded shingle index and
+    the array-intersect verify (so both compute the SAME Jaccard)."""
+    toks = F.split(F.col(text_col), " ")
+    # guard: Spark's sequence(1, x) DESCENDS when x < 1, so short docs need
+    # an explicit empty-gram branch
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3, id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
@@ -95,17 +119,7 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3, id_col: str = "d
     exchange, and on a small scan AQE merges it back to ~1 partition,
     silently serializing the kernel again (measured 8s -> 2s at sf0.1)."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-    toks = F.split(F.col(text_col), " ")
-    # guard: Spark's sequence(1, x) DESCENDS when x < 1, so short docs need
-    # an explicit empty-gram branch
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    return df.select(F.col(id_col), F.explode(_gram_array(text_col, n)).alias("shingle"))
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -275,6 +289,7 @@ def minhash_lsh_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int | None = None,
+    verify: str = "index",
 ) -> DataFrame:
     """Incremental near-dup: probe a NEW batch against the corpus's
     stored LSH index — the maintenance mode of `minhash_lsh_pairs`
@@ -284,9 +299,8 @@ def minhash_lsh_incremental(
     production: the parquet artifact `minhash_band_buckets` writes once;
     here recomputed so the gate is self-contained). The probe is an
     equi-join on (band, bucket) between the SMALL new batch's buckets and
-    the index — cost scales with the batch, never with history size — and
-    only candidate docs from either side are re-shingled for the exact
-    Jaccard verify. New-vs-new duplicates are intentionally out of scope
+    the index — cost scales with the batch, never with history size.
+    New-vs-new duplicates are intentionally out of scope
     (run the batch variant within the batch); this operator answers "is
     anything in this drop a near-dup of what we already have", the
     decontamination-style question every incremental corpus build asks.
@@ -305,16 +319,41 @@ def minhash_lsh_incremental(
     collides in ~half its 8 bands, so a link is lost only when EVERY
     colliding band is a degenerate bucket — see SWEEPS.md for the
     sf0.1/sf1 counts). ``None`` keeps exact candidate semantics for
-    bounded corpora/gates."""
-    # one shingle pass per side, materialized: the band index AND the
-    # exact-Jaccard verify both consume these (re-shingling the
-    # candidate sliver is cheaper only when candidates are rare; at
-    # entity-resolution match rates ~100% of docs are candidates and the
-    # re-shingle is a full second pass — best-of-3 on the
-    # fuzzy_entity_match bench 5.9 s → 4.5 s by reusing the checkpointed
-    # tables)
-    sh_hist = _pin_spill(shingles(df_hist, text_col, n, id_col))
-    sh_new = _pin_spill(shingles(df_new, text_col, n, id_col))
+    bounded corpora/gates.
+
+    ``verify`` picks the exact-Jaccard physical strategy (identical
+    values either way — the gram set definition is shared, so the oracle
+    SQL needs no mirror):
+
+    - ``"index"`` (default): inverted shingle-index intersection join —
+      only candidate docs are re-shingled; the right shape when docs are
+      large (the per-pair row volume is sum-of-intersections, never
+      |doc|² per pair).
+    - ``"array"``: join each side's distinct-gram ARRAY onto the pair
+      list and compute `size(array_intersect)/size(union)` in one
+      codegen projection. For SHORT docs (entity strings, titles —
+      tens of grams) this removes the exploded intersection stream
+      entirely: profiled at the 100×-bench decade, the index verify's
+      pair×gram join + pair groupBy was 6.5 GB of shuffle and ~57 s
+      ×32 tasks of uniform (not skewed) aggregation work that the
+      array form replaces with two narrow joins."""
+    if verify not in ("index", "array"):
+        raise ValueError(f"verify must be 'index' or 'array', got {verify!r}")
+    if verify == "index":
+        # one shingle pass per side, materialized: the band index AND the
+        # exact-Jaccard verify both consume these (re-shingling the
+        # candidate sliver is cheaper only when candidates are rare; at
+        # entity-resolution match rates ~100% of docs are candidates and
+        # the re-shingle is a full second pass — best-of-3 on the
+        # fuzzy_entity_match bench 5.9 s → 4.5 s by reusing the
+        # checkpointed tables)
+        sh_hist = _pin_spill(shingles(df_hist, text_col, n, id_col))
+        sh_new = _pin_spill(shingles(df_new, text_col, n, id_col))
+    else:
+        # array verify never consumes the exploded shingles again — the
+        # signature build is their only consumer, so no pin is needed
+        sh_hist = shingles(df_hist, text_col, n, id_col)
+        sh_new = shingles(df_new, text_col, n, id_col)
     bh = minhash_band_buckets(minhash_signatures(sh_hist))
     bn = minhash_band_buckets(minhash_signatures(sh_new))
     if max_bucket is not None:
@@ -326,24 +365,98 @@ def minhash_lsh_incremental(
         # subtree for the count and serializes behind the broadcast
         # barrier — 2× slower at sf0.1.)
         w = Window.partitionBy("band", "bucket")
-        bh = bh.withColumn("bsz", F.count("*").over(w)).filter(
-            F.col("bsz") <= max_bucket
-        ).drop("bsz")
-        bn = bn.withColumn("bsz", F.count("*").over(w)).filter(
-            F.col("bsz") <= max_bucket
-        ).drop("bsz")
+        # Straggler control for NEAR-cap buckets (the capped path's one
+        # remaining skew class): a (band, bucket) key with ~max_bucket
+        # docs on each side makes the single probe-join task owning that
+        # key emit bsz_n × bsz_h (~65k at cap 256) pairs while the p99.9
+        # bucket emits <100 — a measured 5th-decade straggler tail
+        # (SCALING.md ×10 ratio 11.7 before this change). Fix: split the
+        # history side of every over-block bucket into
+        # ceil(bsz / _SALT_BLOCK) salt sub-buckets (salt = a doc_id hash,
+        # so membership is deterministic) and replicate the probe side's
+        # rows across exactly that bucket's salt domain via a
+        # broadcast-joined per-hot-key salt count. Every (probe, hist)
+        # pair still meets exactly once — the history doc owns ONE salt
+        # and the probe doc visits ALL of them — so the candidate set is
+        # bit-identical to the unsalted join (the oracle SQL needs no
+        # mirror) while no task owns more than max_bucket × _SALT_BLOCK
+        # pair emissions per key.
+        n_salt = F.greatest(
+            F.lit(1), F.ceil(F.col("bsz") / F.lit(_SALT_BLOCK)).cast("int")
+        )
+        bh = (
+            bh.withColumn("bsz", F.count("*").over(w))
+            .filter(F.col("bsz") <= max_bucket)
+            .withColumn("n_salt", n_salt)
+            .drop("bsz")
+        )
+        # bh is consumed twice below (hot-key list + salted join input);
+        # pin it so the shingle→signature→window subtree runs once. The
+        # pin is docs × n_bands narrow rows — linear, spillable.
+        bh = _pin_spill(bh)
+        hot = bh.filter(F.col("n_salt") > 1).select("band", "bucket", "n_salt").distinct()
+        bh = bh.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.col("n_salt")).cast("int")
+        ).drop("n_salt")
+        bn = (
+            bn.withColumn("bsz", F.count("*").over(w))
+            .filter(F.col("bsz") <= max_bucket)
+            .drop("bsz")
+            .join(F.broadcast(hot), ["band", "bucket"], "left")
+            .withColumn(
+                "salt",
+                F.explode(
+                    F.sequence(F.lit(0), F.coalesce(F.col("n_salt"), F.lit(1)) - 1)
+                ),
+            )
+            .drop("n_salt")
+        )
+        join_cond = (
+            (F.col("n.band") == F.col("h.band"))
+            & (F.col("n.bucket") == F.col("h.bucket"))
+            & (F.col("n.salt") == F.col("h.salt"))
+        )
+    else:
+        join_cond = (F.col("n.band") == F.col("h.band")) & (
+            F.col("n.bucket") == F.col("h.bucket")
+        )
     candidates = (
         bn.alias("n")
-        .join(
-            bh.alias("h"),
-            (F.col("n.band") == F.col("h.band"))
-            & (F.col("n.bucket") == F.col("h.bucket")),
-        )
+        .join(bh.alias("h"), join_cond)
         .select(
             F.col("n.doc_id").alias("doc_a"), F.col("h.doc_id").alias("doc_b")
         )
         .distinct()
     )
+    if verify == "array":
+        # candidates has exactly one consumer here — no pin. Two narrow
+        # joins attach each side's distinct-gram array; the Jaccard is a
+        # pure projection (|A∩B| / (|A|+|B|-|A∩B|), identical to the
+        # index form because _gram_array is the shared gram definition).
+        ga = df_new.select(
+            F.col(id_col).alias("doc_a"), _gram_array(text_col, n).alias("g_a")
+        )
+        gb = df_hist.select(
+            F.col(id_col).alias("doc_b"), _gram_array(text_col, n).alias("g_b")
+        )
+        inter = F.size(F.array_intersect("g_a", "g_b"))
+        return (
+            candidates.join(ga, "doc_a")
+            .join(gb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    inter / (F.size("g_a") + F.size("g_b") - inter), 6
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select(
+                F.col("doc_a").alias("doc_new"),
+                F.col("doc_b").alias("doc_hist"),
+                "jaccard",
+            )
+        )
     # match-rate-proportional (every dirty record links at entity
     # resolution), so the pin must spill too
     candidates = _pin_spill(candidates)

@@ -618,18 +618,12 @@ QUERIES["dedup_lsh_recall"] = Q(
 )
 
 
-def fuzzy_entity_match(spark, sf_dir):
-    """Fuzzy entity resolution as an LSH join: a deterministically
-    dirtied copy of every part's entity string (name + brand + type +
-    size, ~5 tokens, near-unique per part; the token at position
-    p_partkey mod len dropped — a clipped/typo'd catalog feed) is matched
-    back to the clean catalog through the SAME MinHash index machinery as
-    incremental dedup, on 1-gram (word-set) shingles at J >= 0.6. A
-    dropped token leaves J = (k-1)/k = 0.8 vs the source while unrelated
-    parts share at most 2-3 tokens (J <= ~0.43), so banding recovers the
-    link without any all-pairs comparison — the record-linkage shape
-    (blocking + verify) at catalog scale. Dirty ids are offset by 10^7
-    to share one id space."""
+def _fuzzy_entity_corpus(spark, sf_dir):
+    """(clean, dirty) record-linkage corpus shared by the fuzzy_* gates:
+    clean = every part's entity string (name + brand + type + size,
+    ~5 tokens, near-unique per part); dirty = the same string with the
+    token at position p_partkey mod len dropped (a clipped/typo'd catalog
+    feed), id offset by 10^7 to share one id space."""
     part = load(spark, sf_dir, "part").withColumn(
         "entity",
         F.concat_ws(
@@ -651,6 +645,20 @@ def fuzzy_entity_match(spark, sf_dir):
             ),
         ).alias("text"),
     )
+    return clean, dirty
+
+
+def fuzzy_entity_match(spark, sf_dir):
+    """Fuzzy entity resolution as an LSH join: a deterministically
+    dirtied copy of every part's entity string (see
+    ``_fuzzy_entity_corpus``) is matched back to the clean catalog
+    through the SAME MinHash index machinery as incremental dedup, on
+    1-gram (word-set) shingles at J >= 0.6. A dropped token leaves
+    J = (k-1)/k = 0.8 vs the source while unrelated parts share at most
+    2-3 tokens (J <= ~0.43), so banding recovers the link without any
+    all-pairs comparison — the record-linkage shape (blocking + verify)
+    at catalog scale."""
+    clean, dirty = _fuzzy_entity_corpus(spark, sf_dir)
     return (
         # max_bucket=256: p99.9 bucket size is ~62 even at the 100×-bench
         # decade, but brand/size tokens are shared across the whole
@@ -663,7 +671,13 @@ def fuzzy_entity_match(spark, sf_dir):
         # the dropped links are those whose ONLY colliding band is a
         # degenerate shared-token bucket. The oracle applies the same
         # cap, so the driver gate checks the capped semantics exactly.
-        D.minhash_lsh_incremental(clean, dirty, threshold=0.6, n=1, max_bucket=256)
+        # verify="array": entity strings are ~5 tokens, so the exact
+        # Jaccard runs as array_intersect on the pair list instead of the
+        # exploded index join (same values; profiled 6.5 GB less shuffle
+        # at the 100×-bench decade)
+        D.minhash_lsh_incremental(
+            clean, dirty, threshold=0.6, n=1, max_bucket=256, verify="array"
+        )
         .select(
             F.col("doc_new").alias("dirty_id"),
             F.col("doc_hist").alias("part_id"),
@@ -673,8 +687,7 @@ def fuzzy_entity_match(spark, sf_dir):
     )
 
 
-FUZZY_ENTITY_MATCH_SQL = f"""
-WITH t0 AS (
+_FUZZY_CTES = f"""t0 AS (
   SELECT CAST(p_partkey AS BIGINT) AS pk,
          p_name || ' ' || p_brand || ' ' || p_type || ' ' || CAST(p_size AS VARCHAR) AS entity,
          string_split(p_name || ' ' || p_brand || ' ' || p_type || ' ' || CAST(p_size AS VARCHAR), ' ') AS t
@@ -720,7 +733,10 @@ cands AS (
   JOIN bkt_ok k ON k.band = n.band AND k.bucket = n.bucket
   WHERE n.doc_id >= 10000000 AND h.doc_id < 10000000
     AND k.n_h <= 256 AND k.n_n <= 256
-),
+)"""
+
+FUZZY_ENTITY_MATCH_SQL = f"""
+WITH {_FUZZY_CTES},
 inter AS (
   SELECT c.dirty_id, c.part_id, COUNT(*) AS inter
   FROM cands c
@@ -836,6 +852,76 @@ QUERIES["fuzzy_best_link"] = Q(
     fuzzy_best_link,
     FUZZY_BEST_LINK_SQL,
     "best-link resolution over LSH candidates by Levenshtein distance",
+)
+
+
+def fuzzy_cap_recall(spark, sf_dir):
+    """Continuous recall bound for fuzzy_entity_match's max_bucket cap:
+    the capped match set is a strict subset of the uncapped one (the cap
+    only removes candidate pairs; the exact-Jaccard verify is
+    deterministic), so n_capped / n_true IS the cap's recall — measured
+    at every gate run instead of the one-time SWEEPS.md claim. The
+    uncapped probe is O(sum bucket²) and only tractable at small SFs;
+    that is exactly where this gate runs (the driver gates at sf0.01,
+    the replica at sf0.1) — at scale the cap's cost model is covered by
+    SCALING.md instead."""
+    clean, dirty = _fuzzy_entity_corpus(spark, sf_dir)
+    capped = D.minhash_lsh_incremental(
+        clean, dirty, threshold=0.6, n=1, max_bucket=256, verify="array"
+    )
+    uncapped = D.minhash_lsh_incremental(
+        clean, dirty, threshold=0.6, n=1, verify="array"
+    )
+    n_true = uncapped.agg(F.count("*").cast("long").alias("n_true"))
+    n_cap = capped.agg(F.count("*").cast("long").alias("n_capped"))
+    return n_true.crossJoin(n_cap).select(
+        "n_true",
+        "n_capped",
+        (F.col("n_true") - F.col("n_capped")).alias("n_lost"),
+        F.expr("(n_capped * 1000000) DIV n_true").cast("long").alias("recall_ppm"),
+    )
+
+
+FUZZY_CAP_RECALL_SQL = f"""
+WITH {_FUZZY_CTES},
+cands_all AS (
+  SELECT DISTINCT n.doc_id AS dirty_id, h.doc_id AS part_id
+  FROM buckets n
+  JOIN buckets h ON n.band = h.band AND n.bucket = h.bucket
+  WHERE n.doc_id >= 10000000 AND h.doc_id < 10000000
+),
+inter_all AS (
+  SELECT c.dirty_id, c.part_id, COUNT(*) AS inter
+  FROM cands_all c
+  JOIN sh a ON a.doc_id = c.dirty_id
+  JOIN sh b ON b.doc_id = c.part_id AND b.shingle = a.shingle
+  GROUP BY c.dirty_id, c.part_id
+),
+m_all AS (
+  SELECT i.dirty_id, i.part_id
+  FROM inter_all i
+  JOIN sizes sa ON sa.doc_id = i.dirty_id
+  JOIN sizes sb ON sb.doc_id = i.part_id
+  WHERE ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.6
+),
+-- capped matches = uncapped matches ∩ capped candidates (verify is
+-- deterministic, so no second intersection pass is needed)
+m_cap AS (
+  SELECT m.dirty_id, m.part_id FROM m_all m JOIN cands c USING (dirty_id, part_id)
+),
+counts AS (
+  SELECT CAST((SELECT COUNT(*) FROM m_all) AS BIGINT) AS n_true,
+         CAST((SELECT COUNT(*) FROM m_cap) AS BIGINT) AS n_capped
+)
+SELECT n_true, n_capped, n_true - n_capped AS n_lost,
+       CAST((n_capped * 1000000) // n_true AS BIGINT) AS recall_ppm
+FROM counts
+"""
+
+QUERIES["fuzzy_cap_recall"] = Q(
+    fuzzy_cap_recall,
+    FUZZY_CAP_RECALL_SQL,
+    "measured recall of the max_bucket cap vs the uncapped LSH match set",
 )
 
 

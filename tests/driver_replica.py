@@ -69,6 +69,19 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
             failed.append(name)
             print(f"ERR  {name}")
             traceback.print_exc(limit=3)
+        finally:
+            # Queries that pin multi-consumer intermediates (persist /
+            # localCheckpoint, e.g. the LSH shingle tables) hold their
+            # blocks for the session lifetime otherwise; a full-registry
+            # sweep in one session would accumulate every query's pinned
+            # blocks until the storage pool — not the query under test —
+            # is what OOMs. Mirrors tools/scaling_curve.py's cleanup.
+            spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                try:
+                    rdd.unpersist(True)
+                except Exception:
+                    pass
     print(f"\n{len(qs) - len(failed)}/{len(qs)} green; failed: {failed}")
     spark.stop()
     return 1 if failed else 0

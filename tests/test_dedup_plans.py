@@ -140,3 +140,62 @@ def test_minhash_incremental_max_bucket_prunes_degenerate_buckets(spark):
     }
     assert not any(a == 200 for a, _ in capped)
     assert (201, 100) in capped
+
+def test_capped_join_salting_is_lossless(spark, monkeypatch):
+    """The near-cap straggler salting (history side split into
+    ceil(bsz/_SALT_BLOCK) salt sub-buckets, probe side replicated across
+    exactly that domain) must be a pure physical rewrite: match sets
+    bit-identical at any _SALT_BLOCK. Construction: 20 docs share one
+    boilerplate text (bucket population 20, under the cap of 32 but over
+    the forced salt block of 3 → n_salt = 7 engages) plus a clean pair.
+    The forced-salt run and the salting-disabled run (block >= cap, so
+    n_salt is always 1) must produce identical (pair, jaccard) sets."""
+    from cdc_agents_data_stream_spark.operators import dedup as D
+
+    boiler = "the quick brown fox jumps over the lazy dog every day"
+    hist = spark.createDataFrame(
+        [(i, boiler) for i in range(20)]
+        + [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(200, boiler), (201, "alpha beta gamma delta epsilon zeta eta iota")],
+        ["doc_id", "text"],
+    )
+
+    def run(verify):
+        return {
+            (r["doc_new"], r["doc_hist"], r["jaccard"])
+            for r in D.minhash_lsh_incremental(
+                hist, new, threshold=0.5, max_bucket=32, verify=verify
+            ).collect()
+        }
+
+    monkeypatch.setattr(D, "_SALT_BLOCK", 3)
+    salted = run("index")
+    salted_arr = run("array")
+    monkeypatch.setattr(D, "_SALT_BLOCK", 1_000_000)
+    unsalted = run("index")
+    assert salted == unsalted
+    # the array-intersect verify is a pure physical rewrite of the index
+    # verify: identical (pair, jaccard) sets
+    assert salted_arr == salted
+    assert sum(1 for a, _, _ in salted if a == 200) == 20  # cap not hit
+    assert any(a == 201 and b == 100 for a, b, _ in salted)
+
+
+def test_fuzzy_cap_recall_gate_properties(spark):
+    """fuzzy_cap_recall invariants at sf0.001: the capped match set is a
+    subset of the uncapped truth (n_capped <= n_true, both positive) and
+    the ppm arithmetic is the integer grid both engines share. Plan lint:
+    no cartesian product in the executed plan."""
+    from cdc_agents_data_stream_spark.queries.dedup_queries import fuzzy_cap_recall
+
+    df = fuzzy_cap_recall(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    row = df.collect()[0]
+    assert row["n_true"] > 0
+    assert 0 < row["n_capped"] <= row["n_true"]
+    assert row["n_lost"] == row["n_true"] - row["n_capped"]
+    assert row["recall_ppm"] == row["n_capped"] * 1_000_000 // row["n_true"]

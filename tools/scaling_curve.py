@@ -66,12 +66,17 @@ def main(out: str = "SCALING.md") -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
 
-    # warm each plan once at the smallest SF (codegen + Arrow pool)
+    # warm each plan once at the smallest SF (codegen + Arrow pool);
+    # warm failures must not abort the sweep — the timed loop records
+    # them per-cell
     only = set(sys.argv[2:])
     for name, _ in QUERIES:
         if only and name not in only:
             continue
-        registry[name].fn(spark, SFS[0]).count()
+        try:
+            registry[name].fn(spark, SFS[0]).count()
+        except Exception as exc:
+            print(f"# {name} warm FAILED: {exc}", file=sys.stderr)
 
     sfs = list(SFS)
     extra_tags = []
@@ -80,7 +85,6 @@ def main(out: str = "SCALING.md") -> None:
             sfs.append(d)
             extra_tags.append(tag)
     rows = []
-    only = set(sys.argv[2:])
     for name, shape in QUERIES:
         if only and name not in only:
             continue
@@ -93,23 +97,25 @@ def main(out: str = "SCALING.md") -> None:
                     n = registry[name].fn(spark, sf).count()
                     dt = time.perf_counter() - t0
                     best = dt if best is None or dt < best else best
+                cells.append((round(best, 3), n))
+                print(f"# {name} @ {sf.rsplit('/',1)[-1]}: {best:.3f}s ({n} rows)", file=sys.stderr)
             except Exception as exc:
                 print(f"# {name} @ {sf.rsplit('/',1)[-1]}: FAILED {exc}", file=sys.stderr)
                 cells.append((None, 0))
-                continue
-            cells.append((round(best, 3), n))
-            print(f"# {name} @ {sf.rsplit('/',1)[-1]}: {best:.3f}s ({n} rows)", file=sys.stderr)
-            # Drop RDD blocks pinned by this point (localCheckpoint
-            # materializations) before the next one: a 22-query session
-            # otherwise accumulates every query's checkpoint blocks in
-            # the block store, and by the heavy tail the storage pool —
-            # not the query under test — is what OOMs the JVM.
-            spark.catalog.clearCache()
-            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                try:
-                    rdd.unpersist(True)
-                except Exception:
-                    pass
+            finally:
+                # Drop blocks pinned by this point (localCheckpoint /
+                # persist materializations) before the next one: a
+                # 22-query session otherwise accumulates every query's
+                # pinned blocks in the block store, and by the heavy tail
+                # the storage pool — not the query under test — is what
+                # OOMs the JVM. MUST run on the failure path too: a
+                # failed/OOM query leaves the MOST blocks behind.
+                spark.catalog.clearCache()
+                for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                    try:
+                        rdd.unpersist(True)
+                    except Exception:
+                        pass
         # ratio over the LAST decade step — the one where data cost
         # dominates fixed overhead
         measured = [c for c in cells if c[0] is not None]
@@ -119,6 +125,12 @@ def main(out: str = "SCALING.md") -> None:
             else float("inf")
         )
         rows.append((name, shape, cells, ratio))
+
+    if only and out == "SCALING.md":
+        # a filtered run would silently overwrite the committed full table
+        # with only the filtered rows — force a scratch output instead
+        out = "/tmp/SCALING_subset.md"
+        print(f"# query filter active: redirecting output to {out}", file=sys.stderr)
 
     sf1_cols = "".join(f" {t} |" for t in extra_tags)
     sf1_note = (

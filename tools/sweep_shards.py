@@ -61,9 +61,12 @@ def main() -> int:
     for i, log, p in procs:
         p.wait()
         with open(log) as fh:
-            tail = fh.read().strip().splitlines()[-1] if os.path.getsize(log) else ""
+            lines = fh.read().strip().splitlines()
+        tail = lines[-1] if lines else ""
         print(f"shard {i} rc={p.returncode}: {tail}")
-        rc |= p.returncode
+        # plain OR mangles negative (signal-kill) codes into misleading
+        # merged values; any nonzero shard makes the sweep fail with 1
+        rc = rc or (1 if p.returncode != 0 else 0)
     return rc
 
 
