@@ -6,6 +6,8 @@ every tick) reproduced on Structured Streaming with file-drop micro-batches.
 from __future__ import annotations
 
 import json
+import os
+import signal
 import time
 
 import pytest
@@ -557,3 +559,129 @@ def test_session_windows_survive_query_restart(spark, tmp_path):
     }
     assert got == closed
     assert len(set(second) - set(first)) > 0  # the restart emitted NEW sessions
+
+
+# --- streaming crash injection ------------------------------------------------
+
+CRASH_SCRIPT = r"""
+import json, os, signal, sys, time
+sys.path.insert(0, {repo!r})
+base, kill_after, n_ticks = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("crash-foreachbatch")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+from cdc_agents_data_stream_spark.state.store import ParquetAppendLog, ParquetStateStore
+from cdc_agents_data_stream_spark.streaming.pipeline import run_foreachbatch_pipeline
+
+store = ParquetStateStore(spark, f"{{base}}/state")
+log = ParquetAppendLog(spark, f"{{base}}/diffs")
+
+# Kill points straddle the two store operations of every micro-batch:
+# odd index = BEFORE the op, even = AFTER it (i.e. between the diff
+# append and the state MERGE, and between the state MERGE and Spark's
+# checkpoint-offset advance). The kill takes down the JVM first, then
+# this driver — a whole-app crash, not a polite stop.
+count = {{"n": 0}}
+def bump():
+    count["n"] += 1
+    if 0 < kill_after <= count["n"]:
+        jvm_pid = int(spark._jvm.java.lang.ProcessHandle.current().pid())
+        os.kill(jvm_pid, signal.SIGKILL)
+        os.kill(os.getpid(), signal.SIGKILL)
+def arm(obj, name):
+    real = getattr(obj, name)
+    def wrapped(*a, **k):
+        bump()
+        out = real(*a, **k)
+        bump()
+        return out
+    setattr(obj, name, wrapped)
+arm(log, "append_rows")
+arm(store, "upsert_rows")
+
+query = run_foreachbatch_pipeline(
+    spark, f"{{base}}/writes", f"{{base}}/cps", store, log,
+    checkpoint_location=f"{{base}}/ckpt",
+    trigger={{"availableNow": True}},
+    max_files_per_trigger=1,
+)
+query.awaitTermination(180)
+
+rows = {{r["session_id"]: r for r in store.read().collect()}}
+doc = rows["thread-0"]
+content = json.loads(doc["cdc_content"])
+diffs_all = [r["sequence_number"] for r in log.read().collect()]
+diffs = sorted(r["sequence_number"] for r in log.read(dedup=True).collect())
+print("RESULT", json.dumps({{
+    "seq": doc["sequence_number"],
+    "n_last_task_msgs": len(json.loads(content["0_task"][0]["content"])),
+    "n_start_items": len(content["3_task__start__"]),
+    "diffs_dedup": diffs,
+    "n_diff_raw": len(diffs_all),
+    "ops": count["n"],
+}}))
+spark.stop()
+"""
+
+
+# 3 ticks x 2 store ops x 2 (before/after) = 12 in-run kill points; 13
+# lands past the end (no kill - the control). Sweep batch 0 and batch 1
+# exhaustively plus a batch-2 point and the control; each point costs two
+# JVM launches, so the full 13-point sweep is left to ad-hoc runs.
+@pytest.mark.parametrize("kill_after", [1, 2, 3, 4, 6, 9, 13])
+def test_sigkill_mid_foreachbatch_replays_idempotently(spark, tmp_path, kill_after):
+    """Whole-app SIGKILL between the diff append, the state MERGE, and
+    Spark's checkpoint advance must never double-apply or lose a tick:
+    after a cold restart on the same checkpoint, the replayed batch is
+    absorbed idempotently (X3 staleness gate + keyed MERGE + diff-log
+    dedup), so the final state doc and the deduped diff log are exactly
+    what an uninterrupted run produces. This converts the exactly-once
+    claim in run_foreachbatch_pipeline's docstring from an argument into
+    a measured property (store-level twin: tests/test_store_crash.py)."""
+    import subprocess
+    import sys as _sys
+
+    n_ticks = 3
+    (tmp_path / "writes").mkdir()
+    (tmp_path / "cps").mkdir()
+    for tick in range(n_ticks):
+        _drop_tick(tmp_path, tick)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = CRASH_SCRIPT.format(repo=repo)
+
+    p1 = subprocess.run(
+        [_sys.executable, "-c", script, str(tmp_path), str(kill_after), str(n_ticks)],
+        capture_output=True, text=True, timeout=300,
+    )
+    killed = p1.returncode == -signal.SIGKILL
+    if kill_after >= 13:
+        assert not killed, p1.stderr[-2000:]
+    if not killed:
+        assert p1.returncode == 0, f"stdout:\n{p1.stdout}\nstderr:\n{p1.stderr[-3000:]}"
+
+    # resume phase: same dirs + checkpoint, kills disarmed
+    p2 = subprocess.run(
+        [_sys.executable, "-c", script, str(tmp_path), "0", str(n_ticks)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert p2.returncode == 0, f"stdout:\n{p2.stdout}\nstderr:\n{p2.stderr[-3000:]}"
+    line = [ln for ln in p2.stdout.splitlines() if ln.startswith("RESULT ")][-1]
+    res = json.loads(line[len("RESULT "):])
+    # exactly-once effects: every tick absorbed once, none lost
+    assert res["seq"] == n_ticks, res
+    assert res["n_last_task_msgs"] == n_ticks, res
+    assert res["n_start_items"] == n_ticks, res
+    assert res["diffs_dedup"] == list(range(1, n_ticks + 1)), res
+    # the raw log MAY carry a replayed duplicate (at-least-once append);
+    # it must never carry more than one extra copy per crash
+    assert res["n_diff_raw"] <= n_ticks + 1, res
