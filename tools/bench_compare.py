@@ -16,21 +16,45 @@ import sys
 
 def load_bench(path: str) -> dict:
     with open(path) as fh:
-        doc = json.load(fh)
-    if "queries" in doc:
-        return doc
-    # driver wrapper: the bench line is embedded in the captured tail
-    tail = doc.get("tail", "")
-    for line in reversed(tail.splitlines()):
-        line = line.strip()
-        if line.startswith('{"metric"'):
-            return json.loads(line)
-    raise SystemExit(f"{path}: no bench line found")
+        text = fh.read()
+    try:
+        doc = json.loads(text)
+    except ValueError:
+        doc = None
+    if doc is None or "queries" not in doc:
+        # driver wrapper or raw bench stdout: the bench line is the last
+        # parseable {"metric"...} line of the captured text/tail
+        tail = (doc or {}).get("tail", text if doc is None else "")
+        for line in reversed(tail.splitlines()):
+            line = line.strip()
+            i = line.find('{"metric"')
+            if i >= 0:
+                try:
+                    return json.loads(line[i:])
+                except ValueError:
+                    continue
+        # front-truncated single-line tail (the round-4 artifact): the
+        # median block survived at the end — reconstruct from there
+        j = tail.find('"queries_median"')
+        if j >= 0:
+            try:
+                return json.loads("{" + tail[j:].strip())
+            except ValueError:
+                pass
+        raise SystemExit(f"{path}: no bench line found")
+    return doc
+
+
+def _q(doc: dict) -> dict:
+    # bench prints medians as "queries" since round 5 (with min-of-N in a
+    # separate bench_min line); older artifacts carried min as "queries"
+    # and medians as "queries_median" — prefer the median stat either way
+    return doc.get("queries_median") or doc["queries"]
 
 
 def main(old_path: str, new_path: str, noise: float = 0.3) -> int:
     old, new = load_bench(old_path), load_bench(new_path)
-    oq, nq = old["queries"], new["queries"]
+    oq, nq = _q(old), _q(new)
     rows = []
     for name in sorted(set(oq) | set(nq)):
         a, b = oq.get(name), nq.get(name)
@@ -45,7 +69,12 @@ def main(old_path: str, new_path: str, noise: float = 0.3) -> int:
             flag = "improved"
         rows.append((-(delta), name, a, b, flag))
     rows.sort()
-    print(f"total: {old.get('value')} -> {new.get('value')} s (noise gate ±{noise:.0%} and ±0.3 s)")
+    shared = set(oq) & set(nq)
+    to, tn = sum(oq[k] for k in shared), sum(nq[k] for k in shared)
+    print(
+        f"total over {len(shared)} shared (median stat): {to:.2f} -> {tn:.2f} s "
+        f"(noise gate ±{noise:.0%} and ±0.3 s)"
+    )
     for _, name, a, b, flag in rows:
         if flag:
             a_s = f"{a:.2f}" if a is not None else "—"
