@@ -39,6 +39,15 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     threads = os.environ.get("SPARK_GRAFT_DUCK_THREADS")
     if threads:
         con.execute(f"SET threads = {int(threads)}")
+    # DuckDB's default memory_limit is 80% of host RAM PER PROCESS; a
+    # multi-shard sweep with heavy oracles (the sf1 fuzzy/dedup SQL) can
+    # therefore drive the HOST out of memory — a shard was OOM-killed at
+    # 33 GB RSS during the round-5 sf1 sweep. Same opt-in pattern as the
+    # thread cap; DuckDB spills to temp past the limit instead of dying.
+    mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
+    if mem:
+        con.execute(f"SET memory_limit = '{mem}'")
+        con.execute("SET temp_directory = '/tmp/duck_spill'")
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     return con
