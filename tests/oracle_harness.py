@@ -47,7 +47,10 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
     if mem:
         con.execute(f"SET memory_limit = '{mem}'")
-        con.execute("SET temp_directory = '/tmp/duck_spill'")
+        # per-PROCESS spill dir: concurrent shards sharing one directory
+        # delete each other's temp files on query cleanup, which aborts
+        # the other shard's DuckDB with an unrecoverable C++ IOException
+        con.execute(f"SET temp_directory = '/tmp/duck_spill_{os.getpid()}'")
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     return con
