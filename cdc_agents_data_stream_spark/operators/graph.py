@@ -179,16 +179,16 @@ def pagerank_oracle_iterations(
         p = i - 1
         parts.append(
             f"""
-c{i} AS (
+c{i} AS MATERIALIZED (
   SELECT e.dst AS node, {contrib_expr} AS contrib
   FROM edges e JOIN deg d USING (src) JOIN r{p} r ON r.node = e.src
   GROUP BY e.dst
 ),
-d{i} AS (
+d{i} AS MATERIALIZED (
   SELECT COALESCE(SUM(r.rank_ppm), 0) AS dsum
   FROM r{p} r LEFT JOIN deg d ON r.node = d.src WHERE d.src IS NULL
 ),
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT nd.node,
          CAST({PR_TELEPORT_PPM} + ({PR_DAMP_MILLI} * (COALESCE(c.contrib, 0)
               + (SELECT dsum FROM d{i}) // (SELECT n FROM nn))) // 1000
@@ -415,16 +415,16 @@ def ppr_oracle_iterations(n_nodes_sql: str, n_seeds_sql: str, iterations: int = 
         p = i - 1
         parts.append(
             f"""
-c{i} AS (
+c{i} AS MATERIALIZED (
   SELECT e.dst AS node, SUM(r.rank_ppm // d.outdeg) AS contrib
   FROM edges e JOIN deg d USING (src) JOIN r{p} r ON r.node = e.src
   GROUP BY e.dst
 ),
-d{i} AS (
+d{i} AS MATERIALIZED (
   SELECT COALESCE(SUM(r.rank_ppm), 0) AS dsum
   FROM r{p} r LEFT JOIN deg d ON r.node = d.src WHERE d.src IS NULL
 ),
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT s.node,
          CAST(s.is_seed * (({PR_TELEPORT_PPM} * {n_nodes_sql}
                 + ({PR_DAMP_MILLI} * (SELECT dsum FROM d{i})) // 1000) // {n_seeds_sql})
@@ -484,12 +484,12 @@ def bfs_oracle_iterations(rounds: int = BFS_ROUNDS) -> str:
         p = i - 1
         parts.append(
             f"""
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT e.dst AS node, CAST(MIN(d.dist) + 1 AS BIGINT) AS ndist
   FROM edges e JOIN d{p} d ON d.node = e.src
   GROUP BY e.dst
 ),
-d{i} AS (
+d{i} AS MATERIALIZED (
   SELECT COALESCE(d.node, r.node) AS node,
          CAST(LEAST(COALESCE(d.dist, 1152921504606846976),
                     COALESCE(r.ndist, 1152921504606846976)) AS BIGINT) AS dist
@@ -547,12 +547,12 @@ def minplus_oracle_iterations(rounds: int = BFS_ROUNDS) -> str:
         p = i - 1
         parts.append(
             f"""
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT e.dst AS node, CAST(MIN(d.cost + e.w) AS BIGINT) AS ncost
   FROM edges e JOIN d{p} d ON d.node = e.src
   GROUP BY e.dst
 ),
-d{i} AS (
+d{i} AS MATERIALIZED (
   SELECT COALESCE(d.node, r.node) AS node,
          CAST(LEAST(COALESCE(d.cost, 1152921504606846976),
                     COALESCE(r.ncost, 1152921504606846976)) AS BIGINT) AS cost

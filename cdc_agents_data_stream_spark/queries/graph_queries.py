@@ -55,17 +55,17 @@ WITH pairs AS (
                   CAST(l.l_suppkey AS BIGINT) AS sk
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM pairs
   UNION ALL
   SELECT sk * 2 + 1, ck * 2 FROM pairs
 ),
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT CAST(c_custkey AS BIGINT) * 2 AS node FROM customer
   UNION
   SELECT CAST(s_suppkey AS BIGINT) * 2 + 1 FROM supplier
 ),
-deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
 nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
 r0 AS (SELECT node, CAST({G.PR_INIT_PPM} AS BIGINT) AS rank_ppm FROM nodes),
 {G.pagerank_oracle_iterations()}
@@ -187,12 +187,12 @@ WITH pairs AS (
                   CAST(l.l_suppkey AS BIGINT) AS sk
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM pairs
   UNION ALL
   SELECT sk * 2 + 1, ck * 2 FROM pairs
 ),
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT CAST(c_custkey AS BIGINT) * 2 AS node FROM customer
   UNION
   SELECT CAST(s_suppkey AS BIGINT) * 2 + 1 FROM supplier
@@ -257,12 +257,12 @@ WITH pairs AS (
                   CAST(l.l_suppkey AS BIGINT) AS sk
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM pairs
   UNION ALL
   SELECT sk * 2 + 1, ck * 2 FROM pairs
 ),
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT CAST(c_custkey AS BIGINT) * 2 AS node FROM customer
   UNION
   SELECT CAST(s_suppkey AS BIGINT) * 2 + 1 FROM supplier
@@ -274,7 +274,7 @@ smark AS (
   SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
   FROM nodes n LEFT JOIN seeds s USING (node)
 ),
-deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
 r0 AS (SELECT node, CAST({G.PR_INIT_PPM} AS BIGINT) AS rank_ppm FROM nodes),
 {G.ppr_oracle_iterations("(SELECT COUNT(*) FROM nodes)", "(SELECT COUNT(*) FROM seeds)")}
 SELECT node, rank_ppm FROM r{G.PR_ITERATIONS} ORDER BY node
@@ -334,17 +334,17 @@ WITH wpairs AS (
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
   ) GROUP BY ck, sk
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT ck * 2 AS src, sk * 2 + 1 AS dst, w FROM wpairs
   UNION ALL
   SELECT sk * 2 + 1, ck * 2, w FROM wpairs
 ),
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT CAST(c_custkey AS BIGINT) * 2 AS node FROM customer
   UNION
   SELECT CAST(s_suppkey AS BIGINT) * 2 + 1 FROM supplier
 ),
-deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS strength FROM edges GROUP BY src),
+deg AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS strength FROM edges GROUP BY src),
 nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
 r0 AS (SELECT node, CAST({G.PR_INIT_PPM} AS BIGINT) AS rank_ppm FROM nodes),
 {G.pagerank_oracle_iterations(weighted=True)}
@@ -392,7 +392,7 @@ WITH pairs AS (
                   CAST(l.l_suppkey AS BIGINT) AS sk
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM pairs
   UNION ALL
   SELECT sk * 2 + 1, ck * 2 FROM pairs
@@ -452,7 +452,7 @@ WITH pairs AS (
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
   GROUP BY 1, 2
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT ck * 2 AS src, sk * 2 + 1 AS dst, w FROM pairs
   UNION ALL
   SELECT sk * 2 + 1, ck * 2, w FROM pairs
@@ -511,7 +511,7 @@ WITH pairs AS (
                   CAST(l.l_suppkey AS BIGINT) AS sk
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 ),
-deg AS (
+deg AS MATERIALIZED (
   SELECT 'customer' AS side, COUNT(*) AS d FROM pairs GROUP BY ck
   UNION ALL
   SELECT 'supplier' AS side, COUNT(*) AS d FROM pairs GROUP BY sk
@@ -586,26 +586,26 @@ def graph_kcore_prune(spark, sf_dir):
 
 
 def _kcore_oracle_sql() -> str:
-    sql = """WITH e0 AS (
+    sql = """WITH e0 AS MATERIALIZED (
   SELECT DISTINCT CAST(o.o_custkey AS BIGINT) * 2 AS u,
                   CAST(l.l_suppkey AS BIGINT) * 2 + 1 AS v
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 )"""
     for r in range(_KCORE_ROUNDS):
         sql += f""",
-d{r} AS (
+d{r} AS MATERIALIZED (
   SELECT u, COUNT(*) AS d FROM (
     SELECT u, v FROM e{r} UNION ALL SELECT v AS u, u AS v FROM e{r}
   ) GROUP BY u
 ),
-k{r} AS (SELECT u AS node FROM d{r} WHERE d >= {_KCORE_K}),
-e{r + 1} AS (
+k{r} AS MATERIALIZED (SELECT u AS node FROM d{r} WHERE d >= {_KCORE_K}),
+e{r + 1} AS MATERIALIZED (
   SELECT e.u, e.v FROM e{r} e
   WHERE e.u IN (SELECT node FROM k{r}) AND e.v IN (SELECT node FROM k{r})
 )"""
     r = _KCORE_ROUNDS
     sql += f""",
-dfin AS (
+dfin AS MATERIALIZED (
   SELECT u, COUNT(*) AS d FROM (
     SELECT u, v FROM e{r} UNION ALL SELECT v AS u, u AS v FROM e{r}
   ) GROUP BY u
