@@ -115,7 +115,7 @@ bits AS (
   FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS j) jj
 ),
 perbit AS (SELECT doc_id, j, SUM(c) AS s FROM bits GROUP BY doc_id, j),
-sv AS (
+sv AS MATERIALIZED (
   SELECT doc_id,
          SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS simhash
   FROM perbit GROUP BY doc_id
@@ -153,17 +153,17 @@ bits AS (
   FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS j) jj
 ),
 perbit AS (SELECT doc_id, j, SUM(c) AS s FROM bits GROUP BY doc_id, j),
-sv AS (
+sv AS MATERIALIZED (
   SELECT doc_id,
          SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS simhash
   FROM perbit GROUP BY doc_id
 ),
-prs AS (
+prs AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sv a JOIN sv b ON a.doc_id < b.doc_id
   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM prs
   UNION
   SELECT doc_b AS a, doc_a AS b FROM prs
@@ -173,7 +173,7 @@ reach(node, comp) AS (
   UNION
   SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
 ),
-comps AS (SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node),
+comps AS MATERIALIZED (SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node),
 csizes AS (SELECT component, COUNT(*) AS cluster_size FROM comps GROUP BY component)
 SELECT c.doc_id, c.component, s.cluster_size
 FROM comps c JOIN csizes s USING (component)
@@ -214,17 +214,17 @@ bits AS (
   FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS j) jj
 ),
 perbit AS (SELECT doc_id, j, SUM(c) AS s FROM bits GROUP BY doc_id, j),
-sv AS (
+sv AS MATERIALIZED (
   SELECT doc_id,
          SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS simhash
   FROM perbit GROUP BY doc_id
 ),
-prs AS (
+prs AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sv a JOIN sv b ON a.doc_id < b.doc_id
   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM prs
   UNION
   SELECT doc_b AS a, doc_a AS b FROM prs
@@ -234,7 +234,7 @@ reach(node, comp) AS (
   UNION
   SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
 ),
-comps AS (SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node)"""
+comps AS MATERIALIZED (SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node)"""
 
 
 DEDUP_KEEP_CORPUS_SQL = f"""
@@ -500,17 +500,17 @@ QUERIES["dedup_keeper_by_quality"] = Q(
     "quality-aware (longest-doc) canonical keeper per near-dup cluster",
 )
 
-_PRS_BRUTE = """prs AS (
+_PRS_BRUTE = """prs AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sv a JOIN sv b ON a.doc_id < b.doc_id
   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 ),"""
-_PRS_BLOCKED = """blk AS (
+_PRS_BLOCKED = """blk AS MATERIALIZED (
   SELECT doc_id, simhash, g.b AS blk_i,
          (simhash >> (g.b * 8)) & 255 AS blk_v
   FROM sv, UNNEST(range(0, 4)) AS g(b)
 ),
-prs AS (
+prs AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM blk a JOIN blk b
     ON a.blk_i = b.blk_i AND a.blk_v = b.blk_v AND a.doc_id < b.doc_id
