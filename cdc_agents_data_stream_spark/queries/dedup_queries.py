@@ -516,13 +516,67 @@ prs AS MATERIALIZED (
     ON a.blk_i = b.blk_i AND a.blk_v = b.blk_v AND a.doc_id < b.doc_id
   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 ),"""
+# The recursive reachability closure is the OTHER scale wall: it
+# enumerates every (node, root-candidate) pair along every edge —
+# O(cluster²) working set per component — and exceeds a 45-minute budget
+# at sf1 even with the CTE chain materialized. The scale variant unrolls
+# min-label propagation (new_label = min(own, neighbors')) for a fixed
+# round budget and PROVES ITS OWN FIXPOINT in-SQL: the final `comps`
+# NULLs every component unless the last round changed nothing, so an
+# under-provisioned round budget poisons the value-hash loudly instead
+# of silently under-merging. Independence is preserved — the oracle does
+# not trust the engine's iteration count, it certifies convergence.
+_REACH_RECURSIVE = """reach(node, comp) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+),
+comps AS MATERIALIZED (SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node)"""
+
+_LP_ROUNDS = 12  # covers cluster diameter <= 12; convergence-checked
+
+
+def _unrolled_minlabel_sql(rounds: int = _LP_ROUNDS) -> str:
+    parts = [
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM edges)"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""l{r} AS MATERIALIZED (
+  SELECT l.node, LEAST(l.label, MIN(nl.label)) AS label
+  FROM l{r - 1} l JOIN edges e ON e.a = l.node JOIN l{r - 1} nl ON nl.node = e.b
+  GROUP BY l.node, l.label
+)"""
+        )
+    parts.append(
+        f"""conv AS (
+  SELECT COUNT(*) AS n_changed
+  FROM l{rounds} a JOIN l{rounds - 1} b USING (node)
+  WHERE a.label <> b.label
+)"""
+    )
+    parts.append(
+        f"""comps AS MATERIALIZED (
+  SELECT node AS doc_id,
+         CASE WHEN (SELECT n_changed FROM conv) = 0 THEN label END AS component
+  FROM l{rounds}
+)"""
+    )
+    return ",\n".join(parts)
+
+
+_REACH_UNROLLED = _unrolled_minlabel_sql()
+
 for _name, _sql in (
     ("dedup_components", DEDUP_COMPONENTS_SQL),
     ("dedup_keep_corpus", DEDUP_KEEP_CORPUS_SQL),
     ("dedup_keeper_by_quality", DEDUP_KEEPER_BY_QUALITY_SQL),
 ):
     assert _PRS_BRUTE in _sql, _name
-    SCALE_ORACLES[_name] = _sql.replace(_PRS_BRUTE, _PRS_BLOCKED)
+    assert _REACH_RECURSIVE in _sql, _name
+    SCALE_ORACLES[_name] = _sql.replace(_PRS_BRUTE, _PRS_BLOCKED).replace(
+        _REACH_RECURSIVE, _REACH_UNROLLED
+    )
 
 
 def dedup_lsh_recall(spark, sf_dir):
