@@ -533,19 +533,28 @@ _REACH_RECURSIVE = """reach(node, comp) AS (
 ),
 comps AS MATERIALIZED (SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node)"""
 
-_LP_ROUNDS = 12  # covers cluster diameter <= 12; convergence-checked
+_LP_ROUNDS = 20  # pointer-jumping: covers ~2^20-node chains; convergence-checked
 
 
 def _unrolled_minlabel_sql(rounds: int = _LP_ROUNDS) -> str:
+    # each round combines neighbor-min propagation with a pointer jump
+    # (label of my label — always a node of the same component, since a
+    # label is the min id seen so far over reachable nodes), the classic
+    # hybrid that converges in O(log n) rounds instead of O(diameter):
+    # at sf1 the ~1.4k random cross-copy simhash collisions chain
+    # clusters into paths longer than any fixed plain-propagation budget
     parts = [
         "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM edges)"
     ]
     for r in range(1, rounds + 1):
         parts.append(
             f"""l{r} AS MATERIALIZED (
-  SELECT l.node, LEAST(l.label, MIN(nl.label)) AS label
-  FROM l{r - 1} l JOIN edges e ON e.a = l.node JOIN l{r - 1} nl ON nl.node = e.b
-  GROUP BY l.node, l.label
+  SELECT l.node, LEAST(MIN(ll.label), MIN(nl.label)) AS label
+  FROM l{r - 1} l
+  JOIN l{r - 1} ll ON ll.node = l.label
+  JOIN edges e ON e.a = l.node
+  JOIN l{r - 1} nl ON nl.node = e.b
+  GROUP BY l.node
 )"""
         )
     parts.append(
