@@ -89,6 +89,25 @@ def _pin_spill(df: DataFrame) -> DataFrame:
     return df
 
 
+def _normalize_id(df: DataFrame, id_col: str) -> DataFrame:
+    """Alias ``id_col`` to the canonical ``doc_id`` name at operator entry.
+
+    The LSH internals (``minhash_signatures``, the band-bucket salt
+    expression) key on the literal column name ``doc_id``; without this
+    normalization any ``id_col != 'doc_id'`` fails deep in the plan with
+    an opaque unresolved-column error. Renaming once at the boundary
+    keeps every internal reference valid and costs nothing (a rename is
+    metadata-only)."""
+    if id_col == "doc_id":
+        return df
+    if "doc_id" in df.columns:
+        raise ValueError(
+            f"id_col={id_col!r} conflicts with an existing 'doc_id' column; "
+            "drop or rename it before calling the LSH operators"
+        )
+    return df.withColumnRenamed(id_col, "doc_id")
+
+
 def _gram_array(text_col: str, n: int):
     """Distinct word n-gram set of a text column, as an array expression —
     the single gram definition shared by the exploded shingle index and
@@ -250,6 +269,7 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-dup: band-bucket candidates, then exact-Jaccard
     verify (so no false positives; banding controls false negatives)."""
+    df, id_col = _normalize_id(df, id_col), "doc_id"
     sh = shingles(df, text_col, n, id_col)
     buckets = minhash_band_buckets(minhash_signatures(sh))
     a = buckets.alias("a")
@@ -336,9 +356,22 @@ def minhash_lsh_incremental(
       entirely: profiled at the 100×-bench decade, the index verify's
       pair×gram join + pair groupBy was 6.5 GB of shuffle and ~57 s
       ×32 tasks of uniform (not skewed) aggregation work that the
-      array form replaces with two narrow joins."""
+      array form replaces with two narrow joins.
+
+    CACHE CONTRACT (caller must clear): the multi-consumer intermediates
+    this operator pins (``_pin_spill`` — MEMORY_AND_DISK persist) stay
+    pinned for the session lifetime; the operator cannot unpersist them
+    itself because the returned DataFrame still reads through the cached
+    blocks lazily. Embedders that run many queries in one session must
+    release them after consuming the result — either
+    ``spark.catalog.clearCache()`` or unpersisting
+    ``sparkContext._jsc.getPersistentRDDs()`` — as the replica harness
+    (tests/driver_replica.py) and tools/scaling_curve.py both do."""
     if verify not in ("index", "array"):
         raise ValueError(f"verify must be 'index' or 'array', got {verify!r}")
+    df_hist = _normalize_id(df_hist, id_col)
+    df_new = _normalize_id(df_new, id_col)
+    id_col = "doc_id"
     if verify == "index":
         # one shingle pass per side, materialized: the band index AND the
         # exact-Jaccard verify both consume these (re-shingling the
@@ -558,7 +591,7 @@ def connected_components(
     labels = sym.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("comp")
     ).localCheckpoint()
-    for _ in range(max_iters):
+    for _iter in range(max_iters):
         nbr_min = (
             sym.join(
                 labels.select(F.col("node").alias("b"), F.col("comp").alias("bcomp")), "b"
@@ -584,6 +617,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            # Diameter diagnostic for the scale-oracle budget: plain
+            # min-label propagation converges in (label-eccentricity ≈
+            # component diameter) rounds, so the round count is a free
+            # upper-bound proxy for the max component diameter. The
+            # unrolled pointer-jumping DuckDB oracle
+            # (queries/dedup_queries._LP_ROUNDS) covers diameters up to
+            # ~2^rounds; the replica sweep reads this attribute to assert
+            # the budget holds BEFORE the oracle's in-SQL fixpoint proof
+            # can poison a hash (tests/driver_replica.py).
+            connected_components.last_rounds = _iter + 1
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "

@@ -624,7 +624,7 @@ def dedup_lsh_recall(spark, sf_dir):
             "n_candidates",
             "n_hit",
             (F.col("n_candidates") - F.col("n_hit")).alias("n_cand_rejected"),
-            F.expr("(n_hit * 1000000) DIV n_true").cast("long").alias("recall_ppm"),
+            F.expr("(n_hit * 1000000) DIV NULLIF(n_true, 0)").cast("long").alias("recall_ppm"),
         )
     )
 
@@ -670,7 +670,7 @@ c AS (
 )
 SELECT n_true, n_candidates, n_hit,
        n_candidates - n_hit AS n_cand_rejected,
-       CAST((n_hit * 1000000) // n_true AS BIGINT) AS recall_ppm
+       CAST((n_hit * 1000000) // NULLIF(n_true, 0) AS BIGINT) AS recall_ppm
 FROM c
 """
 
@@ -941,7 +941,7 @@ def fuzzy_cap_recall(spark, sf_dir):
         "n_true",
         "n_capped",
         (F.col("n_true") - F.col("n_capped")).alias("n_lost"),
-        F.expr("(n_capped * 1000000) DIV n_true").cast("long").alias("recall_ppm"),
+        F.expr("(n_capped * 1000000) DIV NULLIF(n_true, 0)").cast("long").alias("recall_ppm"),
     )
 
 
@@ -977,7 +977,7 @@ counts AS (
          CAST((SELECT COUNT(*) FROM m_cap) AS BIGINT) AS n_capped
 )
 SELECT n_true, n_capped, n_true - n_capped AS n_lost,
-       CAST((n_capped * 1000000) // n_true AS BIGINT) AS recall_ppm
+       CAST((n_capped * 1000000) // NULLIF(n_true, 0) AS BIGINT) AS recall_ppm
 FROM counts
 """
 

@@ -1675,7 +1675,7 @@ def lang_confusion_matrix(spark, sf_dir):
             "labeled_lang",
             "pred_lang",
             F.col("n").cast("bigint").alias("n"),
-            F.expr("n * 1000000 DIV n_actual").cast("bigint").alias("recall_ppm"),
+            F.expr("n * 1000000 DIV NULLIF(n_actual, 0)").cast("bigint").alias("recall_ppm"),
         )
         .orderBy("labeled_lang", "pred_lang")
     )
@@ -1704,7 +1704,7 @@ cells AS (
 ),
 totals AS (SELECT labeled_lang, SUM(n) AS n_actual FROM cells GROUP BY 1)
 SELECT c.labeled_lang, c.pred_lang, CAST(c.n AS BIGINT) AS n,
-       CAST(c.n * 1000000 // t.n_actual AS BIGINT) AS recall_ppm
+       CAST(c.n * 1000000 // NULLIF(t.n_actual, 0) AS BIGINT) AS recall_ppm
 FROM cells c JOIN totals t USING (labeled_lang)
 ORDER BY c.labeled_lang, c.pred_lang
 """

@@ -13,6 +13,35 @@ import traceback
 sys.path.insert(0, "/root/repo")
 
 
+def _check_closure_budget(name: str) -> None:
+    """Assert the scale-oracle's unrolled pointer-jumping round budget
+    covers the graph the engine just solved, and report the observed
+    diameter proxy next to the budget so an under-provisioned _LP_ROUNDS
+    is diagnosable BEFORE the oracle's in-SQL fixpoint proof poisons the
+    value hash. Plain-propagation convergence rounds (recorded by
+    connected_components) upper-bound the max component diameter;
+    pointer jumping needs ~ceil(log2(diameter)) + 1 rounds."""
+    import math
+
+    from cdc_agents_data_stream_spark.operators.dedup import connected_components
+    from cdc_agents_data_stream_spark.queries.dedup_queries import _LP_ROUNDS
+
+    rounds = getattr(connected_components, "last_rounds", None)
+    if rounds is None:
+        return
+    need = math.ceil(math.log2(max(rounds, 2))) + 1
+    print(
+        f"     [{name}] observed max component diameter <= {rounds} "
+        f"(engine propagation rounds); pointer-jumping oracle needs "
+        f"~{need} rounds, budget _LP_ROUNDS={_LP_ROUNDS}"
+    )
+    assert _LP_ROUNDS >= need, (
+        f"{name}: closure scale-oracle round budget too small — observed "
+        f"diameter proxy {rounds} needs ~{need} pointer-jumping rounds "
+        f"but _LP_ROUNDS={_LP_ROUNDS}; raise it in queries/dedup_queries.py"
+    )
+
+
 def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
     from pyspark.sql import SparkSession
 
@@ -50,9 +79,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
     if only:
         qs = {k: v for k, v in qs.items() if k in only}
     failed = []
+    closure_trio = {"dedup_components", "dedup_keep_corpus", "dedup_keeper_by_quality"}
     for name, fn in qs.items():
         try:
             df = fn(spark, sf_dir)
+            if name in closure_trio:
+                _check_closure_budget(name)
             if name in oracles:
                 problems = compare(df, con, oracles[name], name)
                 if problems:

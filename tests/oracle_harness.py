@@ -20,8 +20,10 @@ magnitude stricter than any real aggregation error.
 
 from __future__ import annotations
 
+import atexit
 import math
 import os
+import shutil
 
 import duckdb
 
@@ -29,6 +31,34 @@ from cdc_agents_data_stream_spark.schemas import TABLE_NAMES
 
 FLOAT_EPS = 1e-9
 FLOAT_REL = 1e-12
+
+# Hard ceiling on the auto-sized oracle budget. DuckDB's own default is 80%
+# of host RAM *per process*; the round-5 sf1 sweep showed that default both
+# OOM-kills concurrent shards (33 GB RSS each) and, once a limit IS set,
+# can spill ~78 GB of disk on the fuzzy-join oracle if the limit is far
+# below the join's working set. 60 GB was the measured green budget for
+# the heaviest oracle (fuzzy_entity_match at sf1) on this 128 GB host.
+_DUCK_MEM_CAP_GB = 60
+
+
+def _auto_duck_mem_gb() -> int:
+    """Pick a safe default DuckDB memory budget from host RAM and shard count.
+
+    Default = min(0.5 * host_RAM / shards, 60 GB), floor 1 GB. The 0.5
+    factor leaves headroom for the Spark JVM(s) sharing the host; the
+    shard divisor (SPARK_GRAFT_DUCK_SHARDS, set by tools/sweep_shards.py)
+    splits the budget across concurrent replica processes so the HOST
+    never over-commits — the exact class of failure that OOM-killed a
+    round-5 sf1 shard under DuckDB's 80%-of-RAM-per-process default.
+    """
+    shards = max(1, int(os.environ.get("SPARK_GRAFT_DUCK_SHARDS", "1")))
+    try:
+        page = os.sysconf("SC_PAGE_SIZE")
+        pages = os.sysconf("SC_PHYS_PAGES")
+        ram_gb = page * pages / (1 << 30)
+    except (ValueError, OSError):
+        ram_gb = 16.0  # conservative fallback when sysconf is unavailable
+    return max(1, min(_DUCK_MEM_CAP_GB, int(ram_gb * 0.5 / shards)))
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -42,15 +72,23 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # DuckDB's default memory_limit is 80% of host RAM PER PROCESS; a
     # multi-shard sweep with heavy oracles (the sf1 fuzzy/dedup SQL) can
     # therefore drive the HOST out of memory — a shard was OOM-killed at
-    # 33 GB RSS during the round-5 sf1 sweep. Same opt-in pattern as the
-    # thread cap; DuckDB spills to temp past the limit instead of dying.
+    # 33 GB RSS during the round-5 sf1 sweep. Auto-size a safe budget by
+    # default (host RAM / shard count, capped); SPARK_GRAFT_DUCK_MEM
+    # overrides. DuckDB spills to temp past the limit instead of dying.
     mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
-    if mem:
-        con.execute(f"SET memory_limit = '{mem}'")
-        # per-PROCESS spill dir: concurrent shards sharing one directory
-        # delete each other's temp files on query cleanup, which aborts
-        # the other shard's DuckDB with an unrecoverable C++ IOException
-        con.execute(f"SET temp_directory = '/tmp/duck_spill_{os.getpid()}'")
+    if not mem:
+        mem = f"{_auto_duck_mem_gb()}GB"
+        print(f"[oracle] duckdb memory_limit auto-sized to {mem} "
+              f"(override: SPARK_GRAFT_DUCK_MEM)")
+    con.execute(f"SET memory_limit = '{mem}'")
+    # per-PROCESS spill dir: concurrent shards sharing one directory
+    # delete each other's temp files on query cleanup, which aborts
+    # the other shard's DuckDB with an unrecoverable C++ IOException.
+    # Removed at interpreter exit so repeated sweeps (and OOM-killed
+    # shards on the next run) don't accumulate orphans on the host.
+    spill = f"/tmp/duck_spill_{os.getpid()}"
+    con.execute(f"SET temp_directory = '{spill}'")
+    atexit.register(shutil.rmtree, spill, ignore_errors=True)
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     return con

@@ -199,3 +199,76 @@ def test_fuzzy_cap_recall_gate_properties(spark):
     assert 0 < row["n_capped"] <= row["n_true"]
     assert row["n_lost"] == row["n_true"] - row["n_capped"]
     assert row["recall_ppm"] == row["n_capped"] * 1_000_000 // row["n_true"]
+
+
+def test_lsh_operators_accept_custom_id_col(spark, docs):
+    """The LSH internals key on the literal 'doc_id' name; the entry-point
+    normalization must make id_col != 'doc_id' produce the SAME pairs as
+    the canonical name (previously an opaque unresolved-column error),
+    and a genuine name conflict must raise a clear ValueError."""
+    from cdc_agents_data_stream_spark.operators.dedup import (
+        minhash_lsh_incremental,
+        minhash_lsh_pairs,
+    )
+
+    sample = docs.limit(60)
+    renamed = sample.withColumnRenamed("doc_id", "entity_id")
+
+    base = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(sample, threshold=0.5).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(renamed, threshold=0.5, id_col="entity_id").collect()
+    }
+    assert got == base
+
+    hist, new = sample.filter(F.col("doc_id") % 2 == 0), sample.filter(
+        F.col("doc_id") % 2 == 1
+    )
+    base_inc = {
+        (r["doc_new"], r["doc_hist"])
+        for r in minhash_lsh_incremental(hist, new, threshold=0.5).collect()
+    }
+    got_inc = {
+        (r["doc_new"], r["doc_hist"])
+        for r in minhash_lsh_incremental(
+            hist.withColumnRenamed("doc_id", "entity_id"),
+            new.withColumnRenamed("doc_id", "entity_id"),
+            threshold=0.5,
+            id_col="entity_id",
+            max_bucket=256,
+        ).collect()
+    }
+    assert got_inc == base_inc
+
+    conflicted = sample.withColumn("entity_id", F.col("doc_id"))
+    with pytest.raises(ValueError, match="conflicts with an existing 'doc_id'"):
+        minhash_lsh_pairs(conflicted, id_col="entity_id")
+
+
+def test_recall_ppm_zero_truth_yields_null_not_error(spark):
+    """NULLIF zero-guard parity: at a corpus slice with ZERO uncapped
+    matches both engines must return recall_ppm = NULL instead of
+    diverging (Spark DIV-by-zero -> NULL vs DuckDB // -> error)."""
+    import duckdb
+
+    spark_row = (
+        spark.range(1)
+        .select(
+            F.lit(0).cast("long").alias("n_true"),
+            F.lit(0).cast("long").alias("n_capped"),
+        )
+        .select(
+            F.expr("(n_capped * 1000000) DIV NULLIF(n_true, 0)")
+            .cast("long")
+            .alias("recall_ppm")
+        )
+        .collect()[0]
+    )
+    duck_row = duckdb.sql(
+        "SELECT CAST((0 * 1000000) // NULLIF(0, 0) AS BIGINT) AS recall_ppm"
+    ).fetchone()
+    assert spark_row["recall_ppm"] is None
+    assert duck_row[0] is None

@@ -69,3 +69,54 @@ def test_row_order_is_irrelevant(spark):
         "ctl",
     )
     assert not ok
+
+
+def test_duck_mem_auto_size_budget(monkeypatch):
+    """The auto-sized DuckDB budget must follow min(0.5*RAM/shards, 60GB)
+    with a 1GB floor, so a default-knob multi-shard sweep can never
+    over-commit the host (the round-5 OOM class)."""
+    from tests.oracle_harness import _auto_duck_mem_gb
+
+    monkeypatch.delenv("SPARK_GRAFT_DUCK_SHARDS", raising=False)
+    one = _auto_duck_mem_gb()
+    assert 1 <= one <= 60
+
+    monkeypatch.setenv("SPARK_GRAFT_DUCK_SHARDS", "8")
+    sharded = _auto_duck_mem_gb()
+    assert 1 <= sharded <= one
+    # with >= 16 GB of host RAM, 8 shards must get a strictly smaller
+    # slice than 1 shard unless both hit the floor/cap
+    if one not in (1, 60):
+        assert sharded < one
+
+    monkeypatch.setenv("SPARK_GRAFT_DUCK_SHARDS", "100000")
+    assert _auto_duck_mem_gb() == 1  # floor
+
+
+def test_duck_con_sets_memory_limit_and_cleans_spill(monkeypatch, tmp_path):
+    """duck_con must always run with a bounded memory_limit (env override
+    wins; auto-size otherwise) and register its per-PID spill dir for
+    removal at exit."""
+    import os
+
+    from tests.oracle_harness import duck_con
+
+    monkeypatch.setenv("SPARK_GRAFT_DUCK_MEM", "2GB")
+    con = duck_con("/root/testdata/sf0.001")
+    lim = con.sql(
+        "SELECT value FROM duckdb_settings() WHERE name='memory_limit'"
+    ).fetchone()[0]
+    assert lim in ("2.0 GiB", "1.8 GiB", "2GB", "1.9 GiB"), lim
+    tmp = con.sql(
+        "SELECT value FROM duckdb_settings() WHERE name='temp_directory'"
+    ).fetchone()[0]
+    assert tmp == f"/tmp/duck_spill_{os.getpid()}"
+    con.close()
+
+    monkeypatch.delenv("SPARK_GRAFT_DUCK_MEM", raising=False)
+    con2 = duck_con("/root/testdata/sf0.001")
+    lim2 = con2.sql(
+        "SELECT value FROM duckdb_settings() WHERE name='memory_limit'"
+    ).fetchone()[0]
+    assert lim2 != "", "auto-size must set a limit when the env is unset"
+    con2.close()

@@ -665,9 +665,21 @@ def test_sigkill_mid_foreachbatch_replays_idempotently(spark, tmp_path, kill_aft
     )
     killed = p1.returncode == -signal.SIGKILL
     if kill_after >= 13:
+        # the control point lands past the 12 in-run ops: no kill
         assert not killed, p1.stderr[-2000:]
-    if not killed:
         assert p1.returncode == 0, f"stdout:\n{p1.stdout}\nstderr:\n{p1.stderr[-3000:]}"
+    else:
+        # 3 ticks x 2 ops x 2 (before/after) = 12 in-run points exist by
+        # construction, so every kill_after <= 12 MUST actually SIGKILL.
+        # Without this, a refactor that stops routing through the armed
+        # store/log bound methods would silently degrade every
+        # parameterization into the no-crash control — still green, but
+        # testing nothing.
+        assert killed, (
+            f"kill point {kill_after} never fired (rc={p1.returncode}) — "
+            f"arm() no longer intercepts the store/log ops\n"
+            f"stderr:\n{p1.stderr[-2000:]}"
+        )
 
     # resume phase: same dirs + checkpoint, kills disarmed
     p2 = subprocess.run(

@@ -45,16 +45,24 @@ def load_bench(path: str) -> dict:
     return doc
 
 
-def _q(doc: dict) -> dict:
+def _q(doc: dict) -> tuple[dict, str]:
     # bench prints medians as "queries" since round 5 (with min-of-N in a
     # separate bench_min line); older artifacts carried min as "queries"
-    # and medians as "queries_median" — prefer the median stat either way
-    return doc.get("queries_median") or doc["queries"]
+    # and medians as "queries_median" — prefer the median stat either way.
+    # Returns (queries, stat_label) so the caller can say WHICH stat each
+    # side actually used: a pre-median artifact falls back to the min stat
+    # and an unlabeled comparison would silently mix min vs median.
+    if "queries_median" in doc:
+        return doc["queries_median"], "median"
+    stat = doc.get("stat", "")
+    if stat.startswith("median"):
+        return doc["queries"], "median"
+    return doc["queries"], "min" if "metric" in doc else "unknown"
 
 
 def main(old_path: str, new_path: str, noise: float = 0.3) -> int:
     old, new = load_bench(old_path), load_bench(new_path)
-    oq, nq = _q(old), _q(new)
+    (oq, o_stat), (nq, n_stat) = _q(old), _q(new)
     rows = []
     for name in sorted(set(oq) | set(nq)):
         a, b = oq.get(name), nq.get(name)
@@ -71,8 +79,13 @@ def main(old_path: str, new_path: str, noise: float = 0.3) -> int:
     rows.sort()
     shared = set(oq) & set(nq)
     to, tn = sum(oq[k] for k in shared), sum(nq[k] for k in shared)
+    stat_note = (
+        f"{o_stat} stat both sides"
+        if o_stat == n_stat
+        else f"STAT MISMATCH old={o_stat} new={n_stat} — deltas not comparable"
+    )
     print(
-        f"total over {len(shared)} shared (median stat): {to:.2f} -> {tn:.2f} s "
+        f"total over {len(shared)} shared ({stat_note}): {to:.2f} -> {tn:.2f} s "
         f"(noise gate ±{noise:.0%} and ±0.3 s)"
     )
     for _, name, a, b, flag in rows:

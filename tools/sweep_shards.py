@@ -51,7 +51,14 @@ def main() -> int:
             print(" ".join(cmd))
             continue
         log = f"/tmp/sweep_shard_{i}.log"
-        env = dict(os.environ, SPARK_GRAFT_REPLICA_MEM=mem)
+        # SPARK_GRAFT_DUCK_SHARDS lets the oracle harness split its
+        # auto-sized DuckDB budget across the concurrent shards so the
+        # host never over-commits (tests/oracle_harness._auto_duck_mem_gb)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_REPLICA_MEM=mem,
+            SPARK_GRAFT_DUCK_SHARDS=str(n),
+        )
         with open(log, "w") as fh:
             procs.append(
                 (i, log, subprocess.Popen(cmd, stdout=fh, stderr=subprocess.STDOUT, env=env))
