@@ -97,10 +97,19 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
             else:
                 n = df.count()
                 print(f"ok   {name} (rows-only: {n})")
-        except Exception:
+        except Exception as exc:
             failed.append(name)
             print(f"ERR  {name}")
             traceback.print_exc(limit=3)
+            if "OutOfMemoryException" in type(exc).__name__ or "Out of Memory" in str(exc):
+                print(
+                    f"     hint: the DuckDB oracle exceeded its memory budget "
+                    f"(shards divide the auto-size; SPARK_GRAFT_DUCK_SHARDS="
+                    f"{os.environ.get('SPARK_GRAFT_DUCK_SHARDS', '1')}). "
+                    f"Re-run this query in a solo pass (full budget): "
+                    f"tools/sweep_shards.py --solo-file, or set "
+                    f"SPARK_GRAFT_DUCK_MEM explicitly."
+                )
         finally:
             # Queries that pin multi-consumer intermediates (persist /
             # localCheckpoint, e.g. the LSH shingle tables) hold their
