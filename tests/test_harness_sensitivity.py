@@ -120,3 +120,32 @@ def test_duck_con_sets_memory_limit_and_cleans_spill(monkeypatch, tmp_path):
     ).fetchone()[0]
     assert lim2 != "", "auto-size must set a limit when the env is unset"
     con2.close()
+
+
+def test_closure_budget_guard_arithmetic(capsys):
+    """The replica's closure-budget guard must pass for diameters inside
+    the pointer-jumping budget and raise a NAMED error (not an opaque
+    hash mismatch) when the observed diameter proxy exceeds it."""
+    import pytest as _pytest
+
+    from cdc_agents_data_stream_spark.operators.dedup import connected_components
+    from cdc_agents_data_stream_spark.queries.dedup_queries import _LP_ROUNDS
+    from tests.driver_replica import _check_closure_budget
+
+    had = hasattr(connected_components, "last_rounds")
+    prev = getattr(connected_components, "last_rounds", None)
+    try:
+        # typical near-dup clusters converge in a handful of rounds
+        connected_components.last_rounds = 8
+        _check_closure_budget("dedup_components")
+        assert "budget _LP_ROUNDS" in capsys.readouterr().out
+
+        # a chain past ~2^_LP_ROUNDS must fail loudly with the knob named
+        connected_components.last_rounds = 2 ** (_LP_ROUNDS + 1)
+        with _pytest.raises(AssertionError, match="_LP_ROUNDS"):
+            _check_closure_budget("dedup_components")
+    finally:
+        if had:
+            connected_components.last_rounds = prev
+        elif hasattr(connected_components, "last_rounds"):
+            del connected_components.last_rounds
