@@ -677,23 +677,47 @@ def market_basket_pairs(spark, sf_dir):
         part.select("p_brand")
         .distinct()
         .withColumn("bid", F.row_number().over(Window.orderBy("p_brand")))
+        # the bitmask basket encode below requires bid <= 62; fail loudly
+        # (dimension-bounded check on the ~25-row dict, no extra action)
+        .withColumn(
+            "bid",
+            F.when(F.col("bid") <= 62, F.col("bid")).otherwise(
+                F.expr("raise_error('brand cardinality exceeds the 62-bit basket mask')")
+            ),
+        )
         .localCheckpoint()
     )
     part_enc = part.join(F.broadcast(brand_dict), "p_brand").select("l_partkey", "bid")
     BASE = 4096  # > max brand id; pair code a*BASE+b stays well inside int
     codes = (
         li.join(F.broadcast(part_enc), "l_partkey")
+        # Basket = a 62-bit brand bitmask, not a sorted array: bit_or
+        # partial-aggregates map-side like collect_set but moves ONE
+        # 8-byte long per order through the shuffle (vs an int array +
+        # header), dedups for free, and needs no per-order array_sort.
+        # The dense dictionary guarantees bid <= |brands| (~25 for this
+        # corpus); the encode raise_errors past 62 bits rather than
+        # silently wrapping (guard lives on the 25-row dict projection).
         .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("bid")).alias("arr"))
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bid))").alias("mask"))
         # Collapse identical baskets BEFORE the fan-out: over a ~25-item
-        # alphabet only ~tens-of-thousands of distinct sorted itemsets
-        # exist regardless of order count, so the pair explode runs over
+        # alphabet only ~tens-of-thousands of distinct itemsets exist
+        # regardless of order count, so the pair explode runs over
         # weighted distinct baskets (20k rows at sf10) instead of every
         # order (15M) — A/B at sf10 cut the fan-out stage ~400× while
-        # the added groupBy(arr) exchange partial-aggregates map-side to
-        # the same bounded key set.
-        .groupBy("arr")
+        # the groupBy(mask) exchange partial-aggregates map-side to the
+        # same bounded key set.
+        .groupBy("mask")
         .agg(F.count("*").alias("w"))
+        # decode mask -> ascending bid array (== array_sort(collect_set))
+        # only on the ~20k weighted distinct baskets, then fan out pairs
+        .withColumn(
+            "arr",
+            F.expr(
+                "filter(sequence(1, 62),"
+                " b -> (mask & shiftleft(CAST(1 AS BIGINT), b)) != 0)"
+            ),
+        )
         .select(
             F.explode(
                 F.concat(
