@@ -48,7 +48,7 @@ QUERIES = [
     ("auc_roc_exact", "histogram rank statistic"),
     ("embedding_covariance", "d2-bounded moment partials"),
     ("bpe_train_merges", "iterative vocab aggregation"),
-    ("market_basket_pairs", "in-array pair fan-out + broadcast supports"),
+    ("market_basket_pairs", "bitmask basket fan-out + broadcast supports"),
     ("fuzzy_entity_match", "LSH-blocked record linkage"),
     ("ann_ivfpq", "IVF-PQ residual index probe"),
     ("survival_hazard_table", "bounded histogram + reverse cumulative"),
