@@ -579,6 +579,10 @@ def connected_components(
     edge⋈label join + a grouped min (two shuffles, partial agg); for
     adversarial long-path graphs swap in large-star/small-star, which
     bounds rounds at O(log n) with the same join primitives."""
+    # The diameter diagnostic below is a function attribute; clear it at
+    # entry so a caller that short-circuits (or a concurrent reader) can
+    # never observe a stale round count from a PREVIOUS graph.
+    connected_components.last_rounds = None
     edges = pairs.select(
         F.col(a_col).cast("long").alias("a"), F.col(b_col).cast("long").alias("b")
     ).localCheckpoint()  # the union below reads it twice; don't run the

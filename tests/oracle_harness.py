@@ -61,6 +61,38 @@ def _auto_duck_mem_gb() -> int:
     return max(1, min(_DUCK_MEM_CAP_GB, int(ram_gb * 0.5 / shards)))
 
 
+def _sweep_dead_spill_dirs(tmp: str = "/tmp") -> None:
+    """Remove /tmp/duck_spill_<pid> dirs whose owning process is gone.
+
+    atexit cleanup never runs for a SIGKILLed (OOM-killed) shard, and the
+    next run has a new PID, so orphaned spill dirs — tens of GB for the
+    heavy sf1 oracles — would otherwise accumulate forever. A dir whose
+    PID is still alive belongs to a concurrently running shard and is
+    left strictly alone (deleting it would abort that shard's DuckDB).
+    """
+    try:
+        entries = os.listdir(tmp)
+    except OSError:
+        return
+    for name in entries:
+        if not name.startswith("duck_spill_"):
+            continue
+        suffix = name[len("duck_spill_"):]
+        if not suffix.isdigit():
+            continue
+        pid = int(suffix)
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe, sends nothing
+            continue  # alive — a live shard owns this dir
+        except ProcessLookupError:
+            pass  # dead — orphan, safe to reclaim
+        except PermissionError:
+            continue  # alive under another uid
+        shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+
+
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     # DuckDB grabs every core by default; when several replica shards run
@@ -84,8 +116,11 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # per-PROCESS spill dir: concurrent shards sharing one directory
     # delete each other's temp files on query cleanup, which aborts
     # the other shard's DuckDB with an unrecoverable C++ IOException.
-    # Removed at interpreter exit so repeated sweeps (and OOM-killed
-    # shards on the next run) don't accumulate orphans on the host.
+    # atexit covers clean exits only — a SIGKILLed (OOM-killed) shard
+    # never runs atexit and its PID won't recur, so ALSO sweep any
+    # /tmp/duck_spill_<pid> whose owning process is dead before
+    # creating ours; that reclaims orphans from killed shards.
+    _sweep_dead_spill_dirs()
     spill = f"/tmp/duck_spill_{os.getpid()}"
     con.execute(f"SET temp_directory = '{spill}'")
     atexit.register(shutil.rmtree, spill, ignore_errors=True)

@@ -149,3 +149,51 @@ def test_closure_budget_guard_arithmetic(capsys):
             connected_components.last_rounds = prev
         elif hasattr(connected_components, "last_rounds"):
             del connected_components.last_rounds
+
+
+def test_dead_pid_spill_dirs_are_swept(tmp_path):
+    """A SIGKILLed shard never runs atexit, so its /tmp/duck_spill_<pid>
+    orphan must be reclaimed by the NEXT harness start — but a dir owned
+    by a live process (including our own) must be left alone."""
+    import os
+    import subprocess
+
+    from tests.oracle_harness import _sweep_dead_spill_dirs
+
+    # dead owner: spawn-and-reap a child so the PID is provably dead
+    child = subprocess.Popen(["true"])
+    child.wait()
+    dead = tmp_path / f"duck_spill_{child.pid}"
+    dead.mkdir()
+    (dead / "orphan.tmp").write_bytes(b"x" * 64)
+
+    live = tmp_path / f"duck_spill_{os.getpid()}"
+    live.mkdir()
+    not_a_pid = tmp_path / "duck_spill_runid-abc"
+    not_a_pid.mkdir()
+
+    _sweep_dead_spill_dirs(str(tmp_path))
+
+    assert not dead.exists(), "dead-PID orphan must be reclaimed"
+    assert live.exists(), "live-PID dir must never be touched"
+    assert not_a_pid.exists(), "non-PID suffixes are not ours to delete"
+
+
+def test_closure_rounds_reset_at_entry(spark):
+    """connected_components must clear its last_rounds diagnostic at
+    ENTRY so a short-circuiting caller can never read a stale diameter
+    proxy from a previous graph (ADVICE r6)."""
+    from cdc_agents_data_stream_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    connected_components(pairs)
+    assert connected_components.last_rounds is not None
+
+    # poison, then fail fast inside the operator: the stale value must
+    # already be gone even though no new value was recorded
+    connected_components.last_rounds = 99
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        connected_components(pairs, max_iters=0)
+    assert connected_components.last_rounds is None
