@@ -201,10 +201,20 @@ def bench_backfill_throughput(spark, n_sessions: int = 100, n_ticks: int = 5) ->
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _loadavg() -> float:
+    """Host 1-minute load average, or -1 where /proc is unavailable."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return -1.0
+
+
 def main() -> None:
     from cdc_agents_data_stream_spark.queries.registry import all_queries
     from cdc_agents_data_stream_spark.session import get_spark
 
+    load_start = _loadavg()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
@@ -288,15 +298,29 @@ def main() -> None:
         ),
         file=sys.stderr,
     )
+    # host-state stamp: a drifted artifact should carry its own noise
+    # forensics (the r6 driver run read +18% uniformly vs a same-code
+    # quiet-host run — load metadata makes that adjudicable without
+    # re-deriving it from untouched-query drift). spread = median/min
+    # totals: ~1.0 on a quiet host, inflating with contention.
+    min_total = round(sum(timings.values()), 3)
+    med_total = round(sum(medians.values()), 3)
+    host = {
+        "load_start": load_start,
+        "load_end": _loadavg(),
+        "cpus": os.cpu_count(),
+        "spread": round(med_total / min_total, 3) if min_total else -1.0,
+    }
     print(
         json.dumps(
             {
                 "metric": "bench_total",
-                "value": round(sum(medians.values()), 3),
+                "value": med_total,
                 "unit": "sec",
                 "stat": "median_of_3",
                 "queries": medians,
-                "min_total": round(sum(timings.values()), 3),
+                "min_total": min_total,
+                "host": host,
                 "sf": sf_val,
             }
         )

@@ -50,3 +50,33 @@ def test_sf1_solo_file_names_real_queries():
     assert solo, "solo file is empty"
     missing = solo - set(all_queries())
     assert not missing, f"solo file names unknown queries: {sorted(missing)}"
+
+
+def test_bench_host_stamp_and_compare_output(tmp_path, capsys):
+    """The bench line carries a host-state stamp (load, cpus, median/min
+    spread) so a drifted artifact is adjudicable as code-vs-load without
+    re-running (VERDICT r6 #3), and bench_compare prints both sides'
+    stamps — including a readable fallback for pre-r7 artifacts."""
+    import json
+
+    from bench import _loadavg
+    from tools.bench_compare import main as compare_main
+
+    load = _loadavg()
+    assert isinstance(load, float) and load >= 0.0  # /proc exists here
+
+    old = {
+        "metric": "bench_total", "value": 10.0, "unit": "sec",
+        "stat": "median_of_3", "queries": {"a": 5.0, "b": 5.0},
+        "min_total": 9.5, "sf": 0.1,
+    }
+    new = dict(old)
+    new["host"] = {"load_start": 1.2, "load_end": 3.4, "cpus": 32, "spread": 1.05}
+    po, pn = tmp_path / "o.json", tmp_path / "n.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    compare_main(str(po), str(pn))
+    out = capsys.readouterr().out
+    assert "host[old]: (no host stamp" in out
+    assert "host[new]: load 1.2 -> 3.4 on 32 cpus" in out
+    assert "spread 1.05" in out

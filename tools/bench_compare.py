@@ -88,6 +88,20 @@ def main(old_path: str, new_path: str, noise: float = 0.3) -> int:
         f"total over {len(shared)} shared ({stat_note}): {to:.2f} -> {tn:.2f} s "
         f"(noise gate ±{noise:.0%} and ±0.3 s)"
     )
+
+    def _host_line(side: str, doc: dict) -> None:
+        h = doc.get("host")
+        if not h:
+            print(f"  host[{side}]: (no host stamp — pre-r7 artifact)")
+            return
+        print(
+            f"  host[{side}]: load {h.get('load_start', '?')} -> "
+            f"{h.get('load_end', '?')} on {h.get('cpus', '?')} cpus, "
+            f"median/min spread {h.get('spread', '?')}"
+        )
+
+    _host_line("old", old)
+    _host_line("new", new)
     for _, name, a, b, flag in rows:
         if flag:
             a_s = f"{a:.2f}" if a is not None else "—"
