@@ -24,6 +24,7 @@ import atexit
 import math
 import os
 import shutil
+import sys
 
 import duckdb
 
@@ -51,7 +52,13 @@ def _auto_duck_mem_gb() -> int:
     never over-commits — the exact class of failure that OOM-killed a
     round-5 sf1 shard under DuckDB's 80%-of-RAM-per-process default.
     """
-    shards = max(1, int(os.environ.get("SPARK_GRAFT_DUCK_SHARDS", "1")))
+    try:
+        shards = max(1, int(os.environ.get("SPARK_GRAFT_DUCK_SHARDS", "1")))
+    except ValueError:
+        # A typo'd knob must degrade to the single-shard budget, not crash
+        # every oracle query in the shard.
+        print("[oracle] bad SPARK_GRAFT_DUCK_SHARDS; assuming 1", file=sys.stderr)
+        shards = 1
     try:
         page = os.sysconf("SC_PAGE_SIZE")
         pages = os.sysconf("SC_PHYS_PAGES")

@@ -197,3 +197,17 @@ def test_closure_rounds_reset_at_entry(spark):
     with _pytest.raises(Exception):
         connected_components(pairs, max_iters=0)
     assert connected_components.last_rounds is None
+
+
+def test_duck_shards_typo_falls_back_to_one(monkeypatch, capsys):
+    """A non-integer SPARK_GRAFT_DUCK_SHARDS must degrade to the
+    single-shard memory budget with a warning, not crash every oracle
+    query in the shard (ADVICE r6)."""
+    from tests.oracle_harness import _auto_duck_mem_gb
+
+    monkeypatch.setenv("SPARK_GRAFT_DUCK_SHARDS", "six")
+    bad = _auto_duck_mem_gb()
+    assert "SPARK_GRAFT_DUCK_SHARDS" in capsys.readouterr().err
+
+    monkeypatch.setenv("SPARK_GRAFT_DUCK_SHARDS", "1")
+    assert bad == _auto_duck_mem_gb()

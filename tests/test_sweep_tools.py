@@ -80,3 +80,45 @@ def test_bench_host_stamp_and_compare_output(tmp_path, capsys):
     assert "host[old]: (no host stamp" in out
     assert "host[new]: load 1.2 -> 3.4 on 32 cpus" in out
     assert "spread 1.05" in out
+
+
+def test_certify_derivative_completeness_gate(tmp_path):
+    """tools/certify_sf1.py must not trust a torso dir from an
+    interrupted make_sfx.py run: all table parquets AND the _COMPLETE
+    marker (written last by make_sfx) are required (ADVICE r6)."""
+    from cdc_agents_data_stream_spark.schemas import TABLE_NAMES
+    from tools.certify_sf1 import derivative_complete
+
+    d = tmp_path / "sfX"
+    assert not derivative_complete(str(d))  # missing dir
+
+    d.mkdir()
+    (d / "region.parquet").touch()
+    assert not derivative_complete(str(d))  # torso
+
+    for t in TABLE_NAMES:
+        (d / f"{t}.parquet").touch()
+    assert not derivative_complete(str(d))  # files but no marker
+
+    (d / "_COMPLETE").touch()
+    assert derivative_complete(str(d))
+
+
+def test_bench_compare_pre_r5_stat_label(tmp_path, capsys):
+    """A pre-round-5 artifact (metric present, no stat key) must be
+    labeled as an ASSUMED min stat, and an unrecognized shape must read
+    'unknown' — key presence alone must never mint a confident 'min'
+    label, because the label drives the STAT MISMATCH notice (ADVICE
+    r6)."""
+    from tools.bench_compare import _q
+
+    q = {"a": 1.0}
+    pre_r5 = {"metric": "bench_total", "queries": q}
+    label = _q(pre_r5)[1]
+    assert label.startswith("min") and "assumed" in label
+
+    alien = {"metric": "something_else", "queries": q}
+    assert _q(alien)[1] == "unknown"
+
+    modern = {"metric": "bench_total", "stat": "median_of_3", "queries": q}
+    assert _q(modern)[1] == "median"

@@ -57,7 +57,15 @@ def _q(doc: dict) -> tuple[dict, str]:
     stat = doc.get("stat", "")
     if stat.startswith("median"):
         return doc["queries"], "median"
-    return doc["queries"], "min" if "metric" in doc else "unknown"
+    # Only pre-round-5 bench.py artifacts reach here (they carried min
+    # per-query times and no "stat"/"queries_median" keys). Derive the
+    # label from the metric NAME rather than mere key presence, so a
+    # future artifact shape with a different stat can't be mislabeled
+    # "min" and suppress/fabricate the STAT MISMATCH notice.
+    metric = doc.get("metric", "")
+    if metric.startswith("bench_"):
+        return doc["queries"], "min (assumed pre-round-5 artifact)"
+    return doc["queries"], "unknown"
 
 
 def main(old_path: str, new_path: str, noise: float = 0.3) -> int:

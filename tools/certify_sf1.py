@@ -31,12 +31,27 @@ sys.path.insert(0, "/root/repo")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def derivative_complete(sf_dir: str) -> bool:
+    """True only for a FULLY built derivative dir: a bare isdir() would
+    accept a torso left by an interrupted make_sfx.py run, so require
+    BOTH the completion marker (make_sfx writes it last) and every
+    table's parquet."""
+    from cdc_agents_data_stream_spark.schemas import TABLE_NAMES
+
+    return os.path.isfile(os.path.join(sf_dir, "_COMPLETE")) and all(
+        os.path.isfile(os.path.join(sf_dir, f"{t}.parquet")) for t in TABLE_NAMES
+    )
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark-graft-sf1"
     n_shards = sys.argv[2] if len(sys.argv) > 2 else "6"
     heap = sys.argv[3] if len(sys.argv) > 3 else "6g"
 
-    if not os.path.isdir(sf_dir):
+    complete = derivative_complete(sf_dir)
+    if os.path.isdir(sf_dir) and not complete:
+        print(f"[certify] {sf_dir} exists but is incomplete — rebuilding")
+    if not complete:
         print(f"[certify] building derivative {sf_dir} from sf0.1 ...")
         rc = subprocess.call(
             [

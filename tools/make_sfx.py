@@ -189,6 +189,12 @@ def main() -> None:
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark-graft-sf1"
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     os.makedirs(dst, exist_ok=True)
+    # An interrupted run leaves a partial directory; the marker is written
+    # LAST so downstream tools (tools/certify_sf1.py) can distinguish a
+    # complete derivative from a torso without probing every parquet.
+    marker = os.path.join(dst, "_COMPLETE")
+    if os.path.exists(marker):
+        os.remove(marker)
     con = duckdb.connect()
     # sanity-pin DuckDB's 1-based inclusive list slicing before relying on it
     assert con.sql("SELECT [1,2,3,4][2:] || [1,2,3,4][1:1]").fetchone()[0] == [2, 3, 4, 1]
@@ -210,6 +216,8 @@ def main() -> None:
         rows = con.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
         print(f"{table}: {rows} rows -> {out}")
     con.close()
+    with open(marker, "w") as f:
+        f.write(f"src={src} n={n}\n")
 
 
 if __name__ == "__main__":
