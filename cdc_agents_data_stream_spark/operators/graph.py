@@ -560,3 +560,204 @@ d{i} AS MATERIALIZED (
 )"""
         )
     return ",".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed-lake PageRank: the big-|V| deployment path.
+#
+# `pagerank` above caches the |V|-row adjacency in executor memory and lets
+# Catalyst broadcast the rank table into each round — the right plan while
+# ranks fit a broadcast (|V| up to the tens of millions). At true 100 TB
+# graph scale neither holds: the adjacency doesn't fit memory and a
+# billion-row rank table can't broadcast. The lake answer is a ONE-TIME
+# bucketed layout (`bucketBy(src)` + `bucketBy(node)`, same bucket count):
+# every round then reads the adjacency straight off disk already hash-
+# placed, the rank table lives at the same partitioning round over round,
+# and the only per-round data movement is the |V|-bounded contribution
+# partial-agg shuffle — the same communication floor a vertex-centric
+# engine (Pregel message combine) pays. Round-7 paired A/B at the sf10
+# decade (117M directed edges): for the GATE (single-shot build+run) the
+# cached/broadcast plan wins (35.3 s vs 40.3 s — build dominates and
+# per-round broadcast beats per-round checkpointing at this |V|), so
+# `pagerank` keeps the gate; the bucketed path is for repeated runs over
+# a materialized graph, where per-run cost drops to the rounds alone.
+# ---------------------------------------------------------------------------
+
+
+def materialize_pagerank_graph(
+    nodes: DataFrame,
+    edges: DataFrame,
+    name: str,
+    buckets: int,
+    weight_col: str | None = None,
+    base_path: str | None = None,
+) -> None:
+    """One-time lake layout for repeated PageRank over a graph too large
+    to cache or broadcast: writes ``{name}_adj`` (``src, adj, strength``)
+    bucketed+sorted by ``src`` and ``{name}_nodes`` (``node, strength``
+    — strength NULL for dangling nodes) bucketed+sorted by ``node``,
+    both with ``buckets`` buckets so hash(node) == hash(src) co-locates
+    every loop join in `pagerank_bucketed`. Same caller contract as
+    `pagerank`: directed, pre-deduplicated edges."""
+    spark = edges.sparkSession
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    edges = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        w.alias("w"),
+    )
+    nodes = nodes.select(F.col("node").cast("long").alias("node"))
+    if weight_col is None:
+        adj = (
+            edges.groupBy("src")
+            .agg(F.collect_list("dst").alias("adj"))
+            .withColumn("strength", F.size("adj").cast("long"))
+        )
+    else:
+        adj = (
+            edges.groupBy("src")
+            .agg(F.collect_list(F.struct("dst", "w")).alias("adj"))
+            .withColumn(
+                "strength",
+                F.aggregate(
+                    "adj", F.lit(0).cast("long"), lambda acc, x: acc + x["w"]
+                ),
+            )
+        )
+    nodestr = nodes.join(
+        adj.select(F.col("src").alias("node"), "strength"), "node", "left"
+    )
+    for tbl, df, key in ((f"{name}_adj", adj, "src"), (f"{name}_nodes", nodestr, "node")):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        writer = df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+        if base_path is not None:
+            writer = writer.option("path", f"{base_path}/{tbl}")
+        writer.saveAsTable(tbl)
+
+
+def pagerank_bucketed(
+    spark,
+    name: str,
+    iterations: int = PR_ITERATIONS,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """``(node, rank_ppm)`` over a graph laid out by
+    `materialize_pagerank_graph` — bit-identical to `pagerank` on the
+    same graph (integer-grid update, order-free BIGINT sums).
+
+    Per-round shape (asserted by tests/test_plan_shapes.py): the
+    adjacency is a bucketed SCAN — never shuffled, never required to fit
+    memory; the rank table enters each round already at the bucket
+    partitioning (first round: projection of the bucketed nodes table;
+    later rounds: the previous round's checkpoint, which records the
+    update join's HashPartitioning). The ONLY per-round exchanges are
+    the |V|-bounded contribution partial-agg and the 1-row dangling sum.
+
+    Each round is EAGERLY checkpointed — load-bearing, not cosmetic:
+    ``ranks`` has two consumers per round (the contribution projection
+    and the dangling sum), and on Spark 4.1 neither ReusedExchange nor
+    AQE stage reuse dedups the duplicated subtree (measured: 3 uncut
+    rounds ran 14 distinct ShuffleQueryStages = 2^(k+1)-2 — every prior
+    round's contrib shuffle recomputed once per consumer path,
+    exponential in the round count). With the cut, each round reads only
+    materialized inputs: constant plan size, 2 shuffle stages per round.
+
+    The loop compiles under AQE off so each checkpoint's LogicalRDD
+    records the real HashPartitioning (under AQE the adaptive plan's
+    partitioning is unresolved at checkpoint time and the LogicalRDD
+    records UnknownPartitioning, silently re-inserting every loop
+    exchange), and ``spark.sql.shuffle.partitions`` is pinned to the
+    table's bucket count so the contrib aggregate lands exactly on the
+    bucket partitioning. Both settings are restored on exit."""
+    ed = spark.table(f"{name}_adj")
+    nodestr = spark.table(f"{name}_nodes")
+    buckets = _bucket_count(spark, f"{name}_adj")
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf_prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(buckets))
+    try:
+        n_nodes = nodestr.count()
+        ranks = nodestr.select(
+            "node", "strength", F.lit(PR_INIT_PPM).cast("long").alias("rank_ppm")
+        )
+        for _ in range(iterations):
+            ranks = _pagerank_round(
+                ed, nodestr, ranks, n_nodes, weight_col
+            ).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+        spark.conf.set("spark.sql.shuffle.partitions", shuf_prev)
+    return ranks.select("node", "rank_ppm")
+
+
+def _bucket_count(spark, table: str) -> int:
+    """Bucket count of a saved table, from DESCRIBE EXTENDED."""
+    for row in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+        if row["col_name"] == "Num Buckets":
+            return int(row["data_type"])
+    raise ValueError(f"{table} is not bucketed")
+
+
+def _pagerank_round(ed, nodestr, ranks, n_nodes: int, weight_col):
+    """One synchronous integer-grid update over co-partitioned inputs —
+    see `pagerank_bucketed` for the partitioning contract and why its
+    caller checkpoints each round's output."""
+    # Per-source contribution rate: pure projection over the rank table —
+    # keeps HashPartitioning(node→src) without any exchange.
+    if weight_col is None:
+        contribs = ranks.filter(F.col("strength").isNotNull()).select(
+            F.col("node").alias("src"),
+            F.expr("rank_ppm DIV strength").alias("rate"),
+        )
+    else:
+        # per-edge division needs rank and strength separately; alias
+        # strength so it can't collide with the adjacency table's
+        contribs = ranks.filter(F.col("strength").isNotNull()).select(
+            F.col("node").alias("src"),
+            F.col("rank_ppm"),
+            F.col("strength").alias("st"),
+        )
+    # SHUFFLE_HASH hint: both sides are already co-partitioned, so a
+    # sort-merge join would add two per-round sorts for nothing; a
+    # shuffled-hash join builds on the narrow rank side.
+    joined = ed.join(contribs.hint("shuffle_hash"), "src")
+    if weight_col is None:
+        expanded = joined.select(
+            F.explode("adj").alias("node"), F.col("rate").alias("c")
+        )
+    else:
+        expanded = joined.select(
+            F.explode("adj").alias("e"), "rank_ppm", "st"
+        ).select(
+            F.col("e.dst").alias("node"),
+            F.expr("(rank_ppm * e.w) DIV st").alias("c"),
+        )
+    contrib = expanded.groupBy("node").agg(F.sum("c").alias("contrib"))
+    # Dangling mass: strength IS NULL marks no-out-edge nodes on the rank
+    # table itself — a map-side filtered sum, no anti-join.
+    dangling = ranks.filter(F.col("strength").isNull()).agg(
+        F.coalesce(F.sum("rank_ppm"), F.lit(0)).cast("long").alias("dsum")
+    )
+    # Update join: nodes table (bucketed scan, hash(node, B)) ⋈ contrib
+    # (agg output at B partitions) — exchange-free; its output keeps the
+    # node partitioning, which is exactly what the next round's
+    # contribution projection needs. The 1-row dangling aggregate
+    # broadcasts.
+    return (
+        nodestr.join(contrib.hint("shuffle_hash"), "node", "left")
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            "node",
+            "strength",
+            (
+                F.lit(PR_TELEPORT_PPM)
+                + F.expr(
+                    f"({PR_DAMP_MILLI} * (coalesce(contrib, 0)"
+                    f" + dsum DIV {n_nodes})) DIV 1000"
+                )
+            )
+            .cast("long")
+            .alias("rank_ppm"),
+        )
+    )
