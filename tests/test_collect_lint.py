@@ -29,6 +29,11 @@ ALLOWED = {
         "bloom vocabulary words for the literal-array probe: bounded by the "
         "configured vocabulary cap, not the corpus",
     ),
+    "operators/graph.py": (
+        1,
+        "_bucket_count: DESCRIBE EXTENDED rows for one table — catalog "
+        "metadata (tens of rows), independent of graph size",
+    ),
     "plans/backfill.py": (
         1,
         "small-batch driver fast path: guarded by the small_batch_max_rows "
