@@ -48,16 +48,40 @@ def main(query: str, sf_dir: str = "/root/testdata/sf0.1", top_n: str = "18") ->
     from cdc_agents_data_stream_spark.queries.registry import all_queries
 
     fn = all_queries()[query].fn
+    ui = spark.sparkContext.uiWebUrl
+    app = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))[0]["id"]
+
+    # warm runs: a cold first run is dominated by whole-stage-codegen C2
+    # compilation (a 2.3 s warm query reads 41 s cold), which mis-ranks
+    # every stage; profile the LAST run only, after the JIT settles
+    warm_runs = int(os.environ.get("SPARK_GRAFT_PROFILE_WARMUPS", "3"))
+    for i in range(warm_runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        print(f"# warm{i}: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+    seen = {
+        s["stageId"]
+        for s in json.load(
+            urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages")
+        )
+    }
     t0 = time.perf_counter()
     n = fn(spark, sf_dir).count()
     dt = time.perf_counter() - t0
     print(f"# {query} @ {sf_dir}: {dt:.2f}s, {n} rows", file=sys.stderr)
 
-    ui = spark.sparkContext.uiWebUrl
-    app = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))[0]["id"]
-    stages = json.load(
-        urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages?status=complete")
-    )
+    stages = [
+        s
+        for s in json.load(
+            urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages?status=complete"
+            )
+        )
+        if s["stageId"] not in seen
+    ]
     rows = []
     for s in stages:
         sid = s["stageId"]
