@@ -160,7 +160,9 @@ MAX_CENTROIDS = 256  # ...capped: the centroid set must NOT grow with the
 # broadcast unbounded at 100 TB); 256 ≈ sqrt(65k) — re-tune per corpus
 
 
-def _assign(base: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+def _assign(
+    base: DataFrame, cents: DataFrame, id_col: str, cent_rows: list | None = None
+) -> DataFrame:
     """Nearest-centroid assignment as an Arrow-vectorized numpy pass —
     map-only, zero shuffle: the centroid table is a bounded artifact
     (≤ ``MAX_CENTROIDS`` rows — the audited-collect contract) shipped in
@@ -192,15 +194,19 @@ def _assign(base: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     conversion was 97% of the pass (11.6 s for ~0.3 s of matmul).
     ``mapInArrow`` reads the list values buffer as one flat float64
     array (zero-copy reshape) and passes the input vec/norm arrays
-    straight through to the output batch untouched."""
+    straight through to the output batch untouched.
+
+    ``cent_rows`` (pre-collected ``centroid_id``/``cvec``/``cnorm`` rows)
+    skips the internal collect — callers that assign several row subsets
+    against ONE centroid table (full corpus + code sample + queries)
+    otherwise pay a centroid-derivation job per call."""
     import numpy as np
     import pyarrow as pa
 
+    if cent_rows is None:
+        cent_rows = cents.select("centroid_id", "cvec", "cnorm").collect()
     rows = sorted(
-        (
-            (int(r["centroid_id"]), list(r["cvec"]), float(r["cnorm"]))
-            for r in cents.select("centroid_id", "cvec", "cnorm").collect()
-        ),
+        ((int(r["centroid_id"]), list(r["cvec"]), float(r["cnorm"])) for r in cent_rows),
         key=lambda t: t[0],
     )
     out_schema = f"{id_col} long, cluster long, vec array<double>, norm double"
@@ -341,8 +347,22 @@ def ivf_topk(
     cluster-equi-join between probes and the assigned corpus, which
     replaces the brute-force cross join with a join Catalyst hash-
     partitions on ``cluster``."""
-    cents, assigned = ivf_index(emb, id_col, vec_col, train_iters, train_sample_mod)
-    q = assigned.filter(F.col(id_col) < query_ids_below).select(
+    base = with_norm(emb, vec_col).select(F.col(id_col), "vec", "norm")
+    cents = kmeans_centroids(base, train_iters, id_col, train_sample_mod)
+    # Bounded artifact (≤ MAX_CENTROIDS rows): collect once, reuse as a
+    # literal in the assignment closures and the probe dim table — the
+    # assigned.filter(query) form hid a SECOND full-corpus assignment
+    # pass under the query filter (assignment is per-row, so assigning
+    # just the query rows is bit-identical).
+    cent_rows = cents.select("centroid_id", "cvec", "cnorm").collect()
+    cents_lit = emb.sparkSession.createDataFrame(cent_rows, schema=cents.schema)
+    assigned = _assign(base, cents_lit, id_col, cent_rows=cent_rows)
+    q = _assign(
+        base.filter(F.col(id_col) < query_ids_below),
+        cents_lit,
+        id_col,
+        cent_rows=cent_rows,
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("norm").alias("qnorm"),
@@ -352,7 +372,7 @@ def ivf_topk(
         F.col("qcsim").desc(), F.col("centroid_id").asc()
     )
     probes = (
-        q.crossJoin(F.broadcast(cents))
+        q.crossJoin(F.broadcast(cents_lit))
         .select("query_id", "qvec", "qnorm", "centroid_id", qsim.alias("qcsim"))
         .withColumn("probe_rank", F.row_number().over(wq))
         .filter(F.col("probe_rank") <= nprobe)
@@ -731,6 +751,7 @@ def ivfpq_topk(
     ``pq_train_codebooks``) drop in unchanged.
     """
     sub_len = dim // m
+    spark = emb.sparkSession
     base = with_norm(emb, vec_col).select(F.col(id_col), "vec", "norm")
     cents = base.filter(
         (F.col(id_col) % CENTROID_MOD == 0)
@@ -740,43 +761,59 @@ def ivfpq_topk(
         F.col("vec").alias("cvec"),
         F.col("norm").alias("cnorm"),
     )
-    assigned = _assign(base, cents, id_col)
-    # residual = vec − centroid (exact double subtraction, map-only after
-    # one broadcast join on the cluster id)
-    res = assigned.join(
-        F.broadcast(cents.select(F.col("centroid_id").alias("cluster"), "cvec")),
-        "cluster",
-    ).select(
-        F.col(id_col),
-        "cluster",
-        F.zip_with("vec", "cvec", lambda a, b: a - b).alias("rvec"),
-    )
-    rsub = res.select(
-        F.col(id_col),
-        "cluster",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice("rvec", s * sub_len + 1, sub_len).alias("sv"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("x"),
-    ).select(
-        F.col(id_col), "cluster", F.col("x.s").alias("s"), F.col("x.sv").alias("sv")
-    )
-    # NOTE: materializing rsub (localCheckpoint) to dedupe its two
-    # consumers was A/B-measured at sf0.1: 2.27-2.94 s → 2.26-2.50 s —
-    # within host noise, because at this corpus size the cost is fixed
-    # per-job overhead, not the subtree. Left unmaterialized: at 100 TB
-    # the encode input should be persisted EXPLICITLY by the caller (a
-    # real index build writes the encoded corpus to a table anyway).
-    codes = rsub.filter(
+    # The coarse quantizer is a bounded artifact (≤ MAX_CENTROIDS rows —
+    # the audited-collect contract): collect it ONCE and reuse it as a
+    # literal everywhere (assignment closures + residual/probe dim
+    # tables). Before this the plan re-derived the centroid subtree from
+    # the corpus scan in four places. Doubles round-trip exactly through
+    # collect (the _materialize_quantizer argument).
+    cent_rows = cents.collect()
+    cents_lit = spark.createDataFrame(cent_rows, schema=cents.schema)
+
+    def _residual_subvectors(assigned_part: DataFrame) -> DataFrame:
+        """residual = vec − centroid (exact double subtraction, map-only
+        after one broadcast join on the cluster id), then the m subvector
+        slices — per-row maps, so they commute with any id filter."""
+        res = assigned_part.join(
+            F.broadcast(cents_lit.select(F.col("centroid_id").alias("cluster"), "cvec")),
+            "cluster",
+        ).select(
+            F.col(id_col),
+            "cluster",
+            F.zip_with("vec", "cvec", lambda a, b: a - b).alias("rvec"),
+        )
+        return res.select(
+            F.col(id_col),
+            "cluster",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice("rvec", s * sub_len + 1, sub_len).alias("sv"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("x"),
+        ).select(
+            F.col(id_col), "cluster", F.col("x.s").alias("s"), F.col("x.sv").alias("sv")
+        )
+
+    rsub = _residual_subvectors(_assign(base, cents_lit, id_col, cent_rows=cent_rows))
+    # The codebook sample is id-filtered, and every step from scan to
+    # subvector (norm, assignment, residual, slice) is per-row — so
+    # assign ONLY the ≤ PQ_MAX_CODES·m sample rows instead of deriving
+    # the sample from a full-corpus assignment pass: the collect below
+    # previously ran the whole-corpus mapInArrow encode input just to
+    # keep 64 docs (bit-identical either way, same reason the oracle
+    # filters a CTE).
+    code_sample = base.filter(
         (F.col(id_col) % PQ_CODE_MOD == 0)
         & (F.col(id_col) < PQ_CODE_MOD * PQ_MAX_CODES)
+    )
+    codes = _residual_subvectors(
+        _assign(code_sample, cents_lit, id_col, cent_rows=cent_rows)
     ).select(F.col(id_col).alias("code_id"), "s", F.col("sv").alias("cv"))
     code_rows = codes.collect()
     # cluster rides through the encode as a passthrough column — joining
@@ -784,12 +821,19 @@ def ivfpq_topk(
     enc = _pq_assign_vectorized(
         rsub, code_rows, sub_len, id_col, passthrough=(("cluster", "long"),)
     )
-    codes_lit = emb.sparkSession.createDataFrame(code_rows, schema=codes.schema)
+    codes_lit = spark.createDataFrame(code_rows, schema=codes.schema)
 
     # query side: probe the nprobe nearest centroids, residualize the
     # query against EACH probed centroid, build per-(query, cluster)
-    # distance tables
-    q = assigned.filter(F.col(id_col) < query_ids_below).select(
+    # distance tables. Queries are id-filtered too, so the same per-row
+    # argument applies: assign just the query rows (previously a second
+    # full-corpus assignment pass hid under this filter).
+    q = _assign(
+        base.filter(F.col(id_col) < query_ids_below),
+        cents_lit,
+        id_col,
+        cent_rows=cent_rows,
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("norm").alias("qnorm"),
@@ -799,7 +843,7 @@ def ivfpq_topk(
         F.col("qcsim").desc(), F.col("centroid_id").asc()
     )
     probes = (
-        q.crossJoin(F.broadcast(cents))
+        q.crossJoin(F.broadcast(cents_lit))
         .select(
             "query_id", "qvec", "centroid_id", "cvec", qsim.alias("qcsim")
         )
