@@ -1450,9 +1450,15 @@ def bpe_train_merges(spark, sf_dir, n_merges: int = 5):
     replace (' a b '→' ab ' on the space-joined spelling): for runs like
     'a a a' this merges alternate pairs, which both engines implement
     identically — the convention is pinned, like the engine's other
-    order-sensitive kernels. At 100 TB you would checkpoint the (tiny)
-    vocabulary between rounds instead of re-deriving it; the plan shape
-    per round is unchanged."""
+    order-sensitive kernels.
+
+    The (tiny, distinct-word-bounded) vocabulary is localCheckpoint-ed
+    between rounds — the 100 TB shape the original docstring promised:
+    without the cut, round r's argmax subtree nests every earlier
+    round's, so the 5-round training executed ~15 vocabulary passes and
+    5 corpus scans (a 176-Exchange plan) instead of 1 corpus scan + 5
+    vocabulary aggregations. Values are unchanged (checkpointing only
+    severs lineage); paired warm A/B at sf0.1 in OPTIMIZATION_r07.md."""
     docs = load(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
@@ -1460,7 +1466,9 @@ def bpe_train_merges(spark, sf_dir, n_merges: int = 5):
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("freq"))
     )
-    v = words.select(_bpe_spell(F.col("w")).alias("s"), "freq")
+    # one corpus scan, materialized: every round's pair count and merge
+    # application reads this table, never the corpus
+    v = words.select(_bpe_spell(F.col("w")).alias("s"), "freq").localCheckpoint()
     bests = []
     for r in range(n_merges):
         t = F.split("s", " ")
@@ -1492,6 +1500,8 @@ def bpe_train_merges(spark, sf_dir, n_merges: int = 5):
                 "cnt",
             )
         )
+        if r == n_merges - 1:
+            continue  # the last round's merged vocabulary has no consumer
         v = v.crossJoin(F.broadcast(best.select(F.col("pair").alias("_p")))).select(
             F.trim(
                 F.replace(
@@ -1505,7 +1515,7 @@ def bpe_train_merges(spark, sf_dir, n_merges: int = 5):
                 )
             ).alias("s"),
             "freq",
-        )
+        ).localCheckpoint()
     out = bests[0]
     for b in bests[1:]:
         out = out.unionAll(b)
@@ -1582,7 +1592,11 @@ def bpe_vocab_compression(spark, sf_dir, n_merges: int = 5):
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("freq"))
     )
-    v = words.select(_bpe_spell(F.col("w")).alias("s"), "freq")
+    # one corpus scan + one vocabulary table per round, like
+    # bpe_train_merges: the checkpoint severs the per-round lineage so
+    # the round-r total aggregates a materialized vocabulary instead of
+    # re-deriving rounds 0..r-1 (values unchanged)
+    v = words.select(_bpe_spell(F.col("w")).alias("s"), "freq").localCheckpoint()
     totals = []
 
     def total_of(vdf, rnk):
@@ -1629,7 +1643,7 @@ def bpe_vocab_compression(spark, sf_dir, n_merges: int = 5):
                 )
             ).alias("s"),
             "freq",
-        )
+        ).localCheckpoint()
         totals.append(total_of(v, r + 1))
     out = totals[0]
     for tdf in totals[1:]:
