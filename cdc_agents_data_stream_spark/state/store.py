@@ -59,6 +59,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schemas import CHECKPOINT_DIFFS_SCHEMA, DATA_STREAM_STATE_SCHEMA
 
@@ -150,7 +151,75 @@ class ParquetStateStore:
         with open(self._manifest_file(v)) as fh:
             return json.load(fh)["buckets"]
 
-    def _try_commit(self, v: int, buckets: dict[str, str]) -> bool:
+    def _dir_schemas(self, v: int) -> dict[str, str]:
+        """data-dir name -> Spark ``StructType`` JSON of the columns its
+        writer produced (``{}`` for version 0 and for pre-upgrade
+        manifests, which never recorded schemas). Written at commit time
+        so readers can PIN the read schema instead of paying a
+        mergeSchema footer job over every referenced bucket dir."""
+        if v == 0:
+            return {}
+        with open(self._manifest_file(v)) as fh:
+            return json.load(fh).get("dir_schemas", {})
+
+    @staticmethod
+    def _schema_json(schema) -> str:
+        """Canonical all-nullable JSON for a StructType — nullability is
+        forced TRUE so the recorded schema matches what a merged /
+        null-filled read produces (a dir missing an evolved column reads
+        back null there)."""
+        return T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in schema.fields]
+        ).json()
+
+    def _carry_dir_schemas(
+        self, prev: dict[str, str], buckets: dict[str, str], vname: str, schema_json: str
+    ) -> dict[str, str]:
+        """dir_schemas for a new manifest: the new data dir's schema plus
+        the recorded schema of every dir the new bucket map still
+        references (dropping entries for dirs no manifest points at keeps
+        the manifest O(live dirs))."""
+        live = {rel.split("/", 1)[0] for rel in buckets.values() if rel}
+        out = {d: s for d, s in prev.items() if d in live}
+        out[vname] = schema_json
+        return out
+
+    def _read_parquet(self, v: int, paths: list[str]) -> DataFrame:
+        """Read bucket dirs with a PINNED schema when the manifest
+        recorded every referenced dir's columns: one driver-side schema
+        union instead of a mergeSchema job that opens every footer
+        (measured ~0.25 s per 64-dir read at bench scale). Parquet reads
+        with an explicit schema null-fill missing columns, so evolved
+        stores read identically; any unknown dir (pre-upgrade manifest)
+        or same-name type conflict falls back to mergeSchema."""
+        dir_schemas = self._dir_schemas(v)
+        # sorted => deterministic union column order (data dirs are named
+        # v{version:08d}_..., so sorted order is commit order)
+        dirnames = sorted(
+            {os.path.relpath(p, self.path).split(os.sep, 1)[0] for p in paths}
+        )
+        jsons = [dir_schemas.get(d) for d in dirnames]
+        if all(jsons):
+            fields: dict[str, T.StructField] = {}
+            conflict = False
+            for j in dict.fromkeys(jsons):  # distinct, first-seen order
+                for f in T.StructType.fromJson(json.loads(j)).fields:
+                    prev = fields.get(f.name)
+                    if prev is None:
+                        fields[f.name] = f
+                    elif prev.dataType != f.dataType:
+                        conflict = True
+                        break
+                if conflict:
+                    break
+            if not conflict:
+                pinned = T.StructType(list(fields.values()))
+                return self.spark.read.schema(pinned).parquet(*paths)
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def _try_commit(
+        self, v: int, buckets: dict[str, str], dir_schemas: dict[str, str]
+    ) -> bool:
         """Claim version ``v`` by atomically linking a fully-written
         manifest into place — ``os.link`` of a complete tmp file, so a
         claimed manifest is COMPLETE BY CONSTRUCTION (a writer killed at
@@ -162,7 +231,9 @@ class ParquetStateStore:
         writer already claimed ``v``."""
         mtmp = f"{self._manifest_file(v)}.{uuid.uuid4().hex[:8]}.tmp"
         with open(mtmp, "w") as fh:
-            json.dump({"version": v, "buckets": buckets}, fh)
+            json.dump(
+                {"version": v, "buckets": buckets, "dir_schemas": dir_schemas}, fh
+            )
             fh.flush()
             os.fsync(fh.fileno())
         try:
@@ -319,9 +390,10 @@ class ParquetStateStore:
         paths = self._bucket_paths(v, wanted)
         if not paths:
             return self.spark.createDataFrame([], self.schema)
-        # mergeSchema: bucket dirs written before a schema-evolving
-        # upsert lack its new columns; the merged read nulls them in
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        # bucket dirs written before a schema-evolving upsert lack its new
+        # columns; the pinned-schema (or fallback mergeSchema) read nulls
+        # them in
+        return self._read_parquet(v, paths)
 
     def changes_between(
         self, v_from: int, v_to: int, key: str = "session_id"
@@ -401,9 +473,9 @@ class ParquetStateStore:
         while True:
             old_paths = self._bucket_paths(v, touched) if v else []
             if old_paths:
-                old = self.spark.read.option("mergeSchema", "true").parquet(
-                    *old_paths
-                ).withColumn(_BUCKET_COL, self._bucket_expr(key))
+                old = self._read_parquet(v, old_paths).withColumn(
+                    _BUCKET_COL, self._bucket_expr(key)
+                )
                 # allowMissingColumns = schema evolution on MERGE: updates
                 # may add columns (old rows read back null there) or omit
                 # columns (replaced rows carry null -- LWW replaces the
@@ -426,7 +498,14 @@ class ParquetStateStore:
             vname = os.path.basename(ddir)
             for b in touched:
                 buckets[str(b)] = f"{vname}/{_BUCKET_COL}={b}"
-            if self._try_commit(nv, buckets):
+            # the partition column becomes a directory, not a file column
+            written = T.StructType(
+                [f for f in merged.schema.fields if f.name != _BUCKET_COL]
+            )
+            dir_schemas = self._carry_dir_schemas(
+                self._dir_schemas(v), buckets, vname, self._schema_json(written)
+            )
+            if self._try_commit(nv, buckets, dir_schemas):
                 self._vacuum(nv)
                 return
             shutil.rmtree(ddir, ignore_errors=True)  # lost the claim: discard, re-merge
@@ -448,9 +527,9 @@ class ParquetStateStore:
             old_paths = self._bucket_paths(v, touched) if v else []
             if not old_paths:
                 return  # nothing stored under these keys
-            old = self.spark.read.option("mergeSchema", "true").parquet(
-                *old_paths
-            ).withColumn(_BUCKET_COL, self._bucket_expr(key))
+            old = self._read_parquet(v, old_paths).withColumn(
+                _BUCKET_COL, self._bucket_expr(key)
+            )
             remaining = old.join(F.broadcast(key_df), key, "left_anti")
             nv = v + 1
             ddir = self._new_data_dir(nv)
@@ -464,7 +543,13 @@ class ParquetStateStore:
                 buckets[str(b)] = (
                     rel if os.path.isdir(os.path.join(self.path, rel)) else ""
                 )
-            if self._try_commit(nv, buckets):
+            written = T.StructType(
+                [f for f in remaining.schema.fields if f.name != _BUCKET_COL]
+            )
+            dir_schemas = self._carry_dir_schemas(
+                self._dir_schemas(v), buckets, vname, self._schema_json(written)
+            )
+            if self._try_commit(nv, buckets, dir_schemas):
                 self._vacuum(nv)
                 return
             shutil.rmtree(ddir, ignore_errors=True)
@@ -526,7 +611,15 @@ class ParquetStateStore:
                 )
                 pq.write_table(table, os.path.join(bdir, "part-00000.parquet"))
                 man[str(b)] = f"{vname}/{_BUCKET_COL}={b}"
-            if self._try_commit(nv, man):
+            # the fast path always writes _STATE_PA_SCHEMA, whose Spark
+            # twin is DATA_STREAM_STATE_SCHEMA (module docstring)
+            dir_schemas = self._carry_dir_schemas(
+                self._dir_schemas(v),
+                man,
+                vname,
+                self._schema_json(DATA_STREAM_STATE_SCHEMA),
+            )
+            if self._try_commit(nv, man, dir_schemas):
                 self._vacuum(nv)
                 return
             shutil.rmtree(ddir, ignore_errors=True)  # lost the claim: discard, re-merge

@@ -327,3 +327,51 @@ def test_cdf_tracks_live_pipeline_ticks(spark, tmp_path):
         assert len(feed0) == store.read().count()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_pinned_schema_read_and_pre_upgrade_fallback(spark, tmp_path):
+    """Manifests record each data dir's schema so reads pin an explicit
+    schema (no mergeSchema footer job). The pinned read must (a) be
+    recorded for every live dir, (b) produce the same rows/columns across
+    schema evolution as the mergeSchema path, and (c) fall back cleanly
+    when a manifest predates the upgrade (no dir_schemas key)."""
+    from pyspark.sql import types as T
+
+    store = ParquetStateStore(
+        spark, str(tmp_path / "s"), n_buckets=4, schema="session_id string, a long"
+    )
+    store.upsert(spark.createDataFrame([("k1", 1), ("k2", 2)], "session_id string, a long"))
+    store.upsert(
+        spark.createDataFrame([("k3", 3, 30)], "session_id string, a long, b long")
+    )
+    v = store.current_version()
+    # (a) every live dir has a recorded schema
+    live = {rel.split("/", 1)[0] for rel in store._manifest(v).values() if rel}
+    assert set(store._dir_schemas(v)) >= live
+    for j in store._dir_schemas(v).values():
+        T.StructType.fromJson(json.loads(j))  # valid Spark schema JSON
+    # (b) pinned read: union columns, nulls filled for pre-evolution dirs
+    out = {r.session_id: (r.a, r.b) for r in store.read().collect()}
+    assert out == {"k1": (1, None), "k2": (2, None), "k3": (3, 30)}
+    paths = store._bucket_paths(v)
+    pinned = store._read_parquet(v, paths)
+    merged = spark.read.option("mergeSchema", "true").parquet(*paths)
+    assert sorted(pinned.columns) == sorted(merged.columns)
+    assert {tuple(r) for r in pinned.select(*sorted(pinned.columns)).collect()} == {
+        tuple(r) for r in merged.select(*sorted(merged.columns)).collect()
+    }
+    # (c) strip dir_schemas => pre-upgrade manifest => mergeSchema fallback
+    mf = store._manifest_file(v)
+    doc = json.load(open(mf))
+    doc.pop("dir_schemas")
+    os.unlink(mf)  # _try_commit linked it; replace with the stripped doc
+    with open(mf, "w") as fh:
+        json.dump(doc, fh)
+    assert store._dir_schemas(v) == {}
+    out = {r.session_id: (r.a, r.b) for r in store.read().collect()}
+    assert out == {"k1": (1, None), "k2": (2, None), "k3": (3, 30)}
+    # and the next commit starts recording again for its own dir
+    store.upsert(spark.createDataFrame([("k4", 4, 40)], "session_id string, a long, b long"))
+    nv = store.current_version()
+    vnames = {rel.split("/", 1)[0] for rel in store._manifest(nv).values() if rel}
+    assert set(store._dir_schemas(nv)) & vnames

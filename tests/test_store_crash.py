@@ -85,7 +85,7 @@ def _assert_manifests_complete(path: str) -> None:
         if name.startswith("_manifest_v") and name.endswith(".json"):
             with open(os.path.join(path, name)) as fh:
                 doc = json.load(fh)  # raises on a torn file
-            assert set(doc) == {"version", "buckets"}
+            assert set(doc) == {"version", "buckets", "dir_schemas"}
 
 
 def _run_killed_writer(path: str, kill_after: int) -> bool:
