@@ -297,7 +297,16 @@ def minhash_lsh_pairs(
     cand_docs = candidates.select(
         F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     ).distinct()
-    sh_cand = shingles(df.join(cand_docs, id_col, "left_semi"), text_col, n, id_col)
+    sh_cand = shingles(
+        df.join(cand_docs, id_col, "left_semi"), text_col, n, id_col
+    ).localCheckpoint()
+    # ^ materialized: _pair_jaccard consumes sh_cand FOUR times (sizes is
+    # joined as sz_a and sz_b, plus the a/b sides of the intersection), and
+    # each derivation re-ran the semi-join's full corpus scan — the before
+    # plan showed 4 parquet scans of the corpus in the verify alone. The
+    # checkpoint is candidate-docs × shingles (banding keeps it tiny), so
+    # the verify now scans the corpus once. Measured on dedup_minhash_lsh
+    # at sf0.1: 4 corpus scans -> 1.
     return _pair_jaccard(sh_cand, candidates).filter(F.col("jaccard") >= threshold)
 
 
@@ -652,6 +661,13 @@ def simhash_pairs(
     partitions on the block key; block values spread near-uniformly, and a
     degenerate hot block (e.g. a constant-prefix corpus) is exactly the
     skew AQE's skew-join splitting handles."""
+    # NOTE (round-7 negative A/B): the banded self-join consumes sv on both
+    # sides and the broadcast build blocks ReusedExchange, so the
+    # tokenize→md5→32-sum subtree executes twice. Materializing sv with
+    # localCheckpoint removes the duplicate pass but measured SLOWER
+    # (sf0.1 1.45→1.48 s min, sf1 derivative 4.55→4.85 s min): the
+    # duplicated subtrees run in parallel inside one job while the
+    # checkpoint serializes a barrier + block write. Kept un-materialized.
     sv = simhash_values(df, text_col, id_col, bits)
     n_blocks = max_hamming + 1
     block_bits = bits // n_blocks

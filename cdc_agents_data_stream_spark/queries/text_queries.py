@@ -109,12 +109,29 @@ def training_prep_pipeline(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     keepers = D.exact_dup_groups(docs).select(F.col("keeper_doc_id").alias("doc_id"))
     kept = docs.join(keepers, "doc_id", "left_semi")
-    q = T.quality_score(kept)
+    # Quality columns fused into ONE projection over kept. The previous
+    # composition joined quality_score(kept) back onto a SECOND derivation
+    # of kept on doc_id — a corpus-scale self-join (two extra scans of the
+    # corpus and a full shuffle of every kept row) that computed exactly
+    # these expressions: token_cnt/stop_cnt/quality_ok below are literally
+    # quality_score's formulas (_toks == split(text, ' ') — the stop set and
+    # the 10..2000 ∧ ratio>0.01 gate are shared), so the fused plan is
+    # value-identical while the scan count drops 4 -> 2 and the doc_id
+    # exchange disappears.
     stop_set = F.array(*[F.lit(w) for w in T.STOPWORDS["en"]])
     toks = F.split(F.col("text"), " ")
     stop_cnt = F.size(F.filter(toks, lambda t: F.array_contains(stop_set, t)))
-    enriched = q.join(
-        kept.select("doc_id", "lang", stop_cnt.cast("long").alias("stop_cnt")), "doc_id"
+    token_cnt = F.size(toks)
+    quality_ok = (
+        (token_cnt >= 10)
+        & (token_cnt <= 2000)
+        & (stop_cnt / token_cnt > 0.01)
+    ).cast("int")
+    enriched = kept.select(
+        "lang",
+        token_cnt.cast("long").alias("token_cnt"),
+        stop_cnt.cast("long").alias("stop_cnt"),
+        quality_ok.alias("quality_ok"),
     )
     return (
         enriched.filter(F.col("quality_ok") == 1)
