@@ -357,12 +357,12 @@ def ivf_topk(
     cent_rows = cents.select("centroid_id", "cvec", "cnorm").collect()
     cents_lit = emb.sparkSession.createDataFrame(cent_rows, schema=cents.schema)
     assigned = _assign(base, cents_lit, id_col, cent_rows=cent_rows)
-    q = _assign(
-        base.filter(F.col(id_col) < query_ids_below),
-        cents_lit,
-        id_col,
-        cent_rows=cent_rows,
-    ).select(
+    # The query side needs only (id, vec, norm) — probe selection below
+    # reranks against ALL centroids — so the previous query-side _assign
+    # (whose cluster column this select dropped) was a pure waste of one
+    # Python-boundary pass; Catalyst cannot prune through the opaque
+    # mapInArrow (guide §4).
+    q = base.filter(F.col(id_col) < query_ids_below).select(
         F.col(id_col).alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("norm").alias("qnorm"),
@@ -722,6 +722,45 @@ def pq_adc_topk(
     )
 
 
+def _sample_code_rows(sample_rows, cent_rows, m: int, sub_len: int) -> list[dict]:
+    """Driver-side encode of the BOUNDED codebook sample (≤ PQ_MAX_CODES
+    docs): nearest-centroid assignment, residual, and the m subvector
+    slices as plain numpy over already-collected rows — bit-identical to
+    running the sample through ``_assign`` + the residual projection
+    (same left-fold accumulation order, same first-max/ smallest-id
+    tie-break, same elementwise float64 subtraction), without spending a
+    Python-boundary stage on 64 rows. Returns ``_pq_assign_vectorized``-
+    style rows: one ``{code_id, s, cv}`` dict per (doc, subspace)."""
+    import numpy as np
+
+    if not sample_rows or not cent_rows:
+        return []
+    crows = sorted(
+        ((int(r["centroid_id"]), list(r["cvec"]), float(r["cnorm"])) for r in cent_rows),
+        key=lambda t: t[0],
+    )
+    C = np.array([t[1] for t in crows], dtype=np.float64)
+    cn = np.array([t[2] for t in crows], dtype=np.float64)
+    dim = C.shape[1]
+    out: list[dict] = []
+    for r in sample_rows:
+        v = np.array(list(r["vec"]), dtype=np.float64)
+        acc = np.zeros(len(crows), dtype=np.float64)
+        for j in range(dim):  # left-fold order, exactly _assign's loop
+            acc += v[j] * C[:, j]
+        k = int(np.argmax(acc / (float(r["norm"]) * cn)))  # first max
+        rvec = v - C[k]
+        for s in range(m):
+            out.append(
+                {
+                    "code_id": int(r[0]),
+                    "s": s,
+                    "cv": [float(x) for x in rvec[s * sub_len : (s + 1) * sub_len]],
+                }
+            )
+    return out
+
+
 def ivfpq_topk(
     emb: DataFrame,
     query_ids_below: int = 5,
@@ -801,39 +840,39 @@ def ivfpq_topk(
         )
 
     rsub = _residual_subvectors(_assign(base, cents_lit, id_col, cent_rows=cent_rows))
-    # The codebook sample is id-filtered, and every step from scan to
-    # subvector (norm, assignment, residual, slice) is per-row — so
-    # assign ONLY the ≤ PQ_MAX_CODES·m sample rows instead of deriving
-    # the sample from a full-corpus assignment pass: the collect below
-    # previously ran the whole-corpus mapInArrow encode input just to
-    # keep 64 docs (bit-identical either way, same reason the oracle
-    # filters a CTE).
-    code_sample = base.filter(
+    # The codebook sample is a BOUNDED artifact (≤ PQ_MAX_CODES docs), so
+    # its assign→residual→slice chain runs on the DRIVER in numpy against
+    # the already-collected centroid rows — the same audited-collect class
+    # as cent_rows. This removes an entire Python-boundary stage: at the
+    # bench SF every mapInArrow stage costs ~0.3 s/task of fixed python
+    # overhead across the 32 scan splits (stage-profiled), and that stage
+    # existed to encode 64 docs. The math is _assign's left-fold +
+    # first-max argmax and zip_with's elementwise float64 subtraction,
+    # replicated operation-for-operation (value identity asserted by the
+    # oracle gates and the old-vs-new equivalence A/B).
+    sample_rows = base.filter(
         (F.col(id_col) % PQ_CODE_MOD == 0)
         & (F.col(id_col) < PQ_CODE_MOD * PQ_MAX_CODES)
-    )
-    codes = _residual_subvectors(
-        _assign(code_sample, cents_lit, id_col, cent_rows=cent_rows)
-    ).select(F.col(id_col).alias("code_id"), "s", F.col("sv").alias("cv"))
-    code_rows = codes.collect()
+    ).collect()
+    code_rows = _sample_code_rows(sample_rows, cent_rows, m, sub_len)
+    codes_schema = "code_id long, s int, cv array<double>"
     # cluster rides through the encode as a passthrough column — joining
     # it back on vec_id afterwards would be a corpus-sized shuffle
     enc = _pq_assign_vectorized(
         rsub, code_rows, sub_len, id_col, passthrough=(("cluster", "long"),)
     )
-    codes_lit = spark.createDataFrame(code_rows, schema=codes.schema)
+    codes_lit = spark.createDataFrame(code_rows, schema=codes_schema)
 
     # query side: probe the nprobe nearest centroids, residualize the
     # query against EACH probed centroid, build per-(query, cluster)
-    # distance tables. Queries are id-filtered too, so the same per-row
-    # argument applies: assign just the query rows (previously a second
-    # full-corpus assignment pass hid under this filter).
-    q = _assign(
-        base.filter(F.col(id_col) < query_ids_below),
-        cents_lit,
-        id_col,
-        cent_rows=cent_rows,
-    ).select(
+    # distance tables. The query rows need only (id, vec, norm) — probe
+    # selection reranks against ALL centroids below — so no nearest-
+    # centroid assignment runs here at all: the previous _assign's
+    # cluster column was dropped by this very select, burning a whole
+    # Python-boundary pass (full-corpus in the r6 form, query-sliced in
+    # the first r7 form) for nothing Catalyst could eliminate (the
+    # mapInArrow is opaque to column pruning, guide §4).
+    q = base.filter(F.col(id_col) < query_ids_below).select(
         F.col(id_col).alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("norm").alias("qnorm"),
