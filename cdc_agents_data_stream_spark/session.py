@@ -66,6 +66,15 @@ def get_spark(app_name: str = "cdc-agents-data-stream-spark", master: str | None
         # there; object-store checkpoints (no atomic rename) should unset
         # SPARK_GRAFT_CKPT_MANAGER to fall back to the default manager.
     )
+    # Shuffle/spill codec (guide §2.3): parameterised for measurement and
+    # for cluster deployments (zstd trades CPU for ratio — the win is
+    # network-bound shuffles, which local[N] does not have). Default is
+    # Spark's own (lz4): the sf1-decade sweep of the shuffle-heaviest
+    # queries (tools/ab_codec.py) measured lz4 vs zstd within noise
+    # locally, so the bench keeps the comparable default.
+    io_codec = os.environ.get("SPARK_GRAFT_IO_CODEC")
+    if io_codec:
+        builder = builder.config("spark.io.compression.codec", io_codec)
     ckpt_manager = os.environ.get(
         "SPARK_GRAFT_CKPT_MANAGER",
         "org.apache.spark.sql.execution.streaming.checkpointing."
