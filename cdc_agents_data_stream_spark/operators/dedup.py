@@ -111,8 +111,28 @@ def _normalize_id(df: DataFrame, id_col: str) -> DataFrame:
 def _gram_array(text_col: str, n: int):
     """Distinct word n-gram set of a text column, as an array expression —
     the single gram definition shared by the exploded shingle index and
-    the array-intersect verify (so both compute the SAME Jaccard)."""
-    toks = F.split(F.col(text_col), " ")
+    the array-intersect verify (so both compute the SAME Jaccard).
+
+    PERFORMANCE HAZARD: this inline form re-evaluates ``split(text)`` PER
+    TRANSFORM ELEMENT — higher-order functions run interpreted
+    (CodegenFallback), and every lambda call re-walks the closure's
+    expression tree, so the slice's split child executes once per gram:
+    O(tokens²) per document (a 2k-token doc measured 12× slower than the
+    hoisted form; a 400k-token doc turns minutes into hours). Callers on
+    data-scale rows must materialize the token array as a REAL column
+    (projection alias) and use ``_gram_array_of`` — a bound column
+    reference is O(1) per element. Kept only for bounded-row expression
+    contexts and as the readable statement of the shared gram definition."""
+    return _gram_array_of(F.split(F.col(text_col), " "), n)
+
+
+def _gram_array_of(toks, n: int):
+    """`_gram_array` over an existing token-array column expression.
+
+    Pass a materialized column (``withColumn``/select alias), not an
+    inline ``split`` — see the hazard note on ``_gram_array``. The
+    projection holding the alias survives CollapseProject because the
+    array is referenced more than once and splitting is non-cheap."""
     # guard: Spark's sequence(1, x) DESCENDS when x < 1, so short docs need
     # an explicit empty-gram branch
     grams = F.when(
@@ -136,9 +156,17 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3, id_col: str = "d
     of shuffling the much larger exploded shingle stream. The partition
     count is EXPLICIT: a bare ``repartition(col)`` is an AQE-coalescible
     exchange, and on a small scan AQE merges it back to ~1 partition,
-    silently serializing the kernel again (measured 8s -> 2s at sf0.1)."""
+    silently serializing the kernel again (measured 8s -> 2s at sf0.1).
+
+    The token array is materialized as its own projection AFTER the
+    exchange (the shuffle carries raw text bytes, not the wider array)
+    so the gram transform's slice reads a bound column — the inline-split
+    form re-runs split() per gram (O(tokens²)/doc, `_gram_array` note)."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-    return df.select(F.col(id_col), F.explode(_gram_array(text_col, n)).alias("shingle"))
+    toked = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    return toked.select(
+        F.col(id_col), F.explode(_gram_array_of(F.col("__toks"), n)).alias("shingle")
+    )
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -476,11 +504,11 @@ def minhash_lsh_incremental(
         # pure projection (|A∩B| / (|A|+|B|-|A∩B|), identical to the
         # index form because _gram_array is the shared gram definition).
         ga = df_new.select(
-            F.col(id_col).alias("doc_a"), _gram_array(text_col, n).alias("g_a")
-        )
+            F.col(id_col).alias("doc_a"), F.split(F.col(text_col), " ").alias("__toks")
+        ).select("doc_a", _gram_array_of(F.col("__toks"), n).alias("g_a"))
         gb = df_hist.select(
-            F.col(id_col).alias("doc_b"), _gram_array(text_col, n).alias("g_b")
-        )
+            F.col(id_col).alias("doc_b"), F.split(F.col(text_col), " ").alias("__toks")
+        ).select("doc_b", _gram_array_of(F.col("__toks"), n).alias("g_b"))
         inter = F.size(F.array_intersect("g_a", "g_b"))
         return (
             candidates.join(ga, "doc_a")
@@ -817,8 +845,12 @@ def dup_spans(
     df = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
-    toks = F.split(F.col(text_col), " ")
-    grams = df.select(
+    # token array materialized post-exchange so the positional gram
+    # transform slices a bound column: an inline split re-runs per gram
+    # under the interpreted HOF path — O(tokens²)/doc (`_gram_array` note)
+    toked = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    toks = F.col("__toks")
+    grams = toked.select(
         F.col(id_col),
         F.explode(
             F.when(

@@ -293,8 +293,13 @@ def bpe_merge_pair_counts(
     doc, then a count keyed by the pair with map-side partial aggregation;
     the global top-k is a single ordered limit over the (small) distinct
     pair set. Ties break lexicographically so the ranking is
-    engine-deterministic."""
-    toks = _toks(text_col)
+    engine-deterministic.
+
+    The token array is hoisted into its own projection before the indexed
+    pair transform: an inline split referenced from the lambda re-runs per
+    element under the interpreted HOF path — O(tokens²) per document (see
+    operators/dedup._gram_array)."""
+    toks = F.col("__toks")
     pairs = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -306,7 +311,8 @@ def bpe_merge_pair_counts(
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     counted = (
-        df.select(F.explode(pairs).alias("p"))
+        df.select(_toks(text_col).alias("__toks"))
+        .select(F.explode(pairs).alias("p"))
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))

@@ -1488,9 +1488,14 @@ def bpe_train_merges(spark, sf_dir, n_merges: int = 5):
     v = words.select(_bpe_spell(F.col("w")).alias("s"), "freq").localCheckpoint()
     bests = []
     for r in range(n_merges):
-        t = F.split("s", " ")
+        # spelling tokenized into a REAL column before the pair transform:
+        # an inline split in the lambda closure re-evaluates per element
+        # under the interpreted HOF path (O(symbols²) per word — see
+        # operators/dedup._gram_array)
+        t = F.col("_t")
         pairs = (
-            v.filter(F.size(t) >= 2)
+            v.withColumn("_t", F.split("s", " "))
+            .filter(F.size(t) >= 2)
             .select(
                 F.explode(
                     F.transform(
@@ -1626,9 +1631,11 @@ def bpe_vocab_compression(spark, sf_dir, n_merges: int = 5):
 
     totals.append(total_of(v, 0))
     for r in range(n_merges):
-        t = F.split("s", " ")
+        # hoisted token-array column — same hazard note as bpe_train_merges
+        t = F.col("_t")
         pairs = (
-            v.filter(F.size(t) >= 2)
+            v.withColumn("_t", F.split("s", " "))
+            .filter(F.size(t) >= 2)
             .select(
                 F.explode(
                     F.transform(

@@ -99,8 +99,12 @@ def incremental_aggcap(
         .select(F.col("n.doc_id").alias("doc_a"), F.col("h.doc_id").alias("doc_b"))
         .distinct()
     )
-    ga = df_new.select(F.col("doc_id").alias("doc_a"), D._gram_array("text", n).alias("g_a"))
-    gb = df_hist.select(F.col("doc_id").alias("doc_b"), D._gram_array("text", n).alias("g_b"))
+    ga = df_new.select(
+        F.col("doc_id").alias("doc_a"), F.split(F.col("text"), " ").alias("__toks")
+    ).select("doc_a", D._gram_array_of(F.col("__toks"), n).alias("g_a"))
+    gb = df_hist.select(
+        F.col("doc_id").alias("doc_b"), F.split(F.col("text"), " ").alias("__toks")
+    ).select("doc_b", D._gram_array_of(F.col("__toks"), n).alias("g_b"))
     inter = F.size(F.array_intersect("g_a", "g_b"))
     return (
         candidates.join(ga, "doc_a")
