@@ -133,6 +133,13 @@ def _gram_array_of(toks, n: int):
     inline ``split`` — see the hazard note on ``_gram_array``. The
     projection holding the alias survives CollapseProject because the
     array is referenced more than once and splitting is non-cheap."""
+    if n == 1:
+        # 1-grams ARE the tokens: concat_ws over a 1-element slice is the
+        # element itself (split output is never null), so the indexed
+        # transform reduces to the distinct token set — same values, no
+        # per-element lambda at all (the entity-resolution path runs n=1
+        # over the whole catalog)
+        return F.array_distinct(toks)
     # guard: Spark's sequence(1, x) DESCENDS when x < 1, so short docs need
     # an explicit empty-gram branch
     grams = F.when(
