@@ -210,11 +210,39 @@ def _loadavg() -> float:
         return -1.0
 
 
+def _cpu_jiffies() -> tuple[float, float] | None:
+    """(steal_jiffies, monotonic_now) from /proc/stat, or None.
+
+    loadavg only sees THIS VM's runnable threads; on a shared hypervisor
+    the dominant noise source is CPU steal (cycles the host gave to other
+    guests), which inflates every query uniformly while load_start reads
+    quiet. Sampling the steal counter around the run makes that
+    adjudicable from the artifact itself."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return float(parts[8]), time.monotonic()
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(start: tuple[float, float] | None) -> float:
+    """% of total machine CPU capacity stolen since ``start`` (USER_HZ=100)."""
+    end = _cpu_jiffies()
+    if start is None or end is None:
+        return -1.0
+    dt = end[1] - start[1]
+    if dt <= 0:
+        return -1.0
+    return round((end[0] - start[0]) / 100.0 / (dt * (os.cpu_count() or 1)) * 100.0, 3)
+
+
 def main() -> None:
     from cdc_agents_data_stream_spark.queries.registry import all_queries
     from cdc_agents_data_stream_spark.session import get_spark
 
     load_start = _loadavg()
+    jiffies_start = _cpu_jiffies()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
@@ -310,6 +338,10 @@ def main() -> None:
         "load_end": _loadavg(),
         "cpus": os.cpu_count(),
         "spread": round(med_total / min_total, 3) if min_total else -1.0,
+        # % of machine CPU capacity the hypervisor gave other guests over
+        # the whole run — the contention loadavg cannot see (~0 on a quiet
+        # host; a few % inflates every query uniformly)
+        "steal_pct": _steal_pct(jiffies_start),
     }
     print(
         json.dumps(
