@@ -189,7 +189,32 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 def _pair_jaccard(sh: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard over a shingle index; optionally restricted to
-    candidate (doc_a, doc_b) pairs."""
+    candidate (doc_a, doc_b) pairs.
+
+    When ``candidates`` already carries ``sz_a``/``sz_b`` (the size-carry
+    form: per-doc set sizes computed as a free extra aggregate in
+    ``minhash_signatures(with_size=True)`` and ridden through the band
+    self-join), the sizes aggregation + two joins are skipped entirely —
+    the shingle input's only remaining consumers are the two intersection
+    sides."""
+    if candidates is not None and "sz_a" in candidates.columns:
+        a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b_sh = sh.select(F.col("doc_id").alias("b_doc"), F.col("shingle").alias("b_shingle"))
+        return (
+            candidates.join(a_sh, "doc_a")
+            .join(b_sh, (F.col("doc_b") == F.col("b_doc")) & (F.col("shingle") == F.col("b_shingle")))
+            # sz_a/sz_b are functions of doc_a/doc_b — grouping on them
+            # keeps the groups identical and the sizes available for free
+            .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+            .agg(F.count("*").alias("inter"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+                ).alias("jaccard"),
+            )
+        )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     if candidates is None:
         # full inverted-index self-join: O(sum per-shingle count^2) — only
@@ -253,7 +278,7 @@ def ngram_jaccard_pairs(
     return minhash_lsh_pairs(df, threshold, n, text_col, id_col)
 
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
+def minhash_signatures(sh: DataFrame, with_size: bool = False) -> DataFrame:
     """(doc_id, sig_0..sig_31): all 32 minhashes in ONE wide aggregation.
 
     One shuffle keyed by doc_id, 32 ``min`` aggregates evaluated over the
@@ -262,20 +287,35 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     tall layout that multiplied the shingle stream 32× through the shuffle
     and needed a second shuffle to re-assemble bands; at sf0.1 the wide plan
     cut the LSH query ~3×, and at 100 TB the shuffled bytes are ~32× lower.
+
+    ``with_size=True`` adds ``sz`` = the per-doc distinct-shingle count as
+    a 33rd aggregate on the SAME shuffle (``shingles`` emits the distinct
+    gram set, so ``count(*)`` here equals the Jaccard denominator's set
+    size). The verify stage then reads both pair sizes off the candidate
+    row itself instead of re-deriving a sizes aggregation from the shingle
+    sliver and joining it twice — two fewer consumers of the sliver, two
+    fewer joins, at the cost of one int column riding the band explode.
     """
     h0 = (_text_md5_int(F.col("shingle")) % MERSENNE_P).alias("h0")
-    return sh.select("doc_id", h0).groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(HASH_A[i]) * F.col("h0") + F.lit(HASH_B[i])) % MERSENNE_P).alias(f"sig_{i}")
-            for i in range(N_HASHES)
-        ]
-    )
+    aggs = [
+        F.min((F.lit(HASH_A[i]) * F.col("h0") + F.lit(HASH_B[i])) % MERSENNE_P).alias(f"sig_{i}")
+        for i in range(N_HASHES)
+    ]
+    if with_size:
+        aggs.append(F.count("*").alias("sz"))
+    return sh.select("doc_id", h0).groupBy("doc_id").agg(*aggs)
 
 
 def minhash_band_buckets(sigs: DataFrame) -> DataFrame:
     """(doc_id, band, bucket): md5 over each band's ordered signature slice,
     derived from the wide signature row by pure projection (no shuffle);
-    the explode only multiplies by n_bands (8), after aggregation."""
+    the explode only multiplies by n_bands (8), after aggregation.
+
+    Non-signature extras on the input (e.g. the ``sz`` column from
+    ``minhash_signatures(with_size=True)``) are carried through unchanged,
+    so candidate pairs built from the bucket self-join can read per-doc
+    metadata without another join."""
+    carry = [c for c in sigs.columns if c != "doc_id" and not c.startswith("sig_")]
     n_bands = N_HASHES // BAND_SIZE
     bands = F.array(
         *[
@@ -294,8 +334,8 @@ def minhash_band_buckets(sigs: DataFrame) -> DataFrame:
             for band in range(n_bands)
         ]
     )
-    return sigs.select("doc_id", F.explode(bands).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    return sigs.select("doc_id", *carry, F.explode(bands).alias("bb")).select(
+        "doc_id", *carry, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
 
@@ -306,7 +346,7 @@ def minhash_lsh_pairs(
     verify (so no false positives; banding controls false negatives)."""
     df, id_col = _normalize_id(df, id_col), "doc_id"
     sh = shingles(df, text_col, n, id_col)
-    buckets = minhash_band_buckets(minhash_signatures(sh))
+    buckets = minhash_band_buckets(minhash_signatures(sh, with_size=True))
     a = buckets.alias("a")
     b = buckets.alias("b")
     candidates = (
@@ -316,7 +356,15 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            # size-carry: both Jaccard denominators ride the candidate row
+            # (minhash_signatures(with_size=True)), so the verify needs no
+            # sizes aggregation or joins — see _pair_jaccard
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
         .distinct()
         # both the verify join AND the cand_docs semi-join consume this tiny
         # set; without materialization the whole shingle->signature->bucket->
@@ -335,13 +383,13 @@ def minhash_lsh_pairs(
     sh_cand = shingles(
         df.join(cand_docs, id_col, "left_semi"), text_col, n, id_col
     ).localCheckpoint()
-    # ^ materialized: _pair_jaccard consumes sh_cand FOUR times (sizes is
-    # joined as sz_a and sz_b, plus the a/b sides of the intersection), and
-    # each derivation re-ran the semi-join's full corpus scan — the before
-    # plan showed 4 parquet scans of the corpus in the verify alone. The
-    # checkpoint is candidate-docs × shingles (banding keeps it tiny), so
-    # the verify now scans the corpus once. Measured on dedup_minhash_lsh
-    # at sf0.1: 4 corpus scans -> 1.
+    # ^ materialized: with the size-carry the verify's remaining consumers
+    # of sh_cand are the two intersection sides (r7's four consumers —
+    # sizes as sz_a AND sz_b plus both intersection sides — are down to
+    # two: the sizes now ride the candidate rows), and each non-pinned
+    # consumer re-runs the semi-join's full corpus scan. The checkpoint is
+    # candidate-docs × shingles (banding keeps it tiny), so the verify
+    # scans the corpus once instead of twice.
     return _pair_jaccard(sh_cand, candidates).filter(F.col("jaccard") >= threshold)
 
 
@@ -431,8 +479,12 @@ def minhash_lsh_incremental(
         # signature build is their only consumer, so no pin is needed
         sh_hist = shingles(df_hist, text_col, n, id_col)
         sh_new = shingles(df_new, text_col, n, id_col)
-    bh = minhash_band_buckets(minhash_signatures(sh_hist))
-    bn = minhash_band_buckets(minhash_signatures(sh_new))
+    # index verify: carry each doc's set size on its bucket rows so the
+    # pair list is born with both Jaccard denominators (see _pair_jaccard);
+    # the array verify computes sizes from the gram arrays it already joins
+    with_size = verify == "index"
+    bh = minhash_band_buckets(minhash_signatures(sh_hist, with_size=with_size))
+    bn = minhash_band_buckets(minhash_signatures(sh_new, with_size=with_size))
     if max_bucket is not None:
         # One windowed count per side, partitioned on the SAME
         # (band, bucket) key as the probe join, so the window's exchange
@@ -497,12 +549,13 @@ def minhash_lsh_incremental(
         join_cond = (F.col("n.band") == F.col("h.band")) & (
             F.col("n.bucket") == F.col("h.bucket")
         )
+    pair_cols = [F.col("n.doc_id").alias("doc_a"), F.col("h.doc_id").alias("doc_b")]
+    if with_size:
+        pair_cols += [F.col("n.sz").alias("sz_a"), F.col("h.sz").alias("sz_b")]
     candidates = (
         bn.alias("n")
         .join(bh.alias("h"), join_cond)
-        .select(
-            F.col("n.doc_id").alias("doc_a"), F.col("h.doc_id").alias("doc_b")
-        )
+        .select(*pair_cols)
         .distinct()
     )
     if verify == "array":
