@@ -20,11 +20,13 @@ from __future__ import annotations
 
 import json
 import time
-from typing import Any, Iterable
+from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.pandas.types import to_arrow_schema
+from pyspark.sql.types import StructType
 
 from ..operators.latest import ide_latest_blobs_per_task, latest_blobs_per_task
 from ..operators.merge import transition
@@ -113,6 +115,45 @@ def make_transition_fn(source: str, ctx_providers=None, now_ms: int | None = Non
     return fn
 
 
+def make_transition_rows_fn(source: str, ctx_providers=None, now_ms: int | None = None):
+    """Dict-native sibling of ``make_transition_fn`` for the Arrow path:
+    takes ``(session_id, rows)`` where ``rows`` is a list of plain dicts
+    (Arrow nulls arrive as ``None``), returns ONE output dict. Same
+    semantics — ``transition`` itself consumes and produces plain dicts,
+    so no DataFrame needs to exist on either side of it."""
+    batch_ms = now_ms if now_ms is not None else int(time.time() * 1000)
+    state_fields = DATA_STREAM_STATE_SCHEMA.fieldNames()
+
+    def fn(session_id: str, rows: list[dict[str, Any]]) -> dict[str, Any]:
+        first = rows[0]
+        prior = None
+        if first.get("sequence_number") is not None:
+            raw = {
+                c: (first[c] if isinstance(first.get(c), str) else None)
+                for c in state_fields
+            }
+            raw["session_id"] = session_id
+            raw["sequence_number"] = int(first["sequence_number"])
+            prior = state_row_to_doc(raw)
+        items = [
+            {
+                "task_id": r["task_id"],
+                "content": r["content"],
+                "timestamp": int(r["ts_millis"]),
+                "thread_id": session_id,
+                "checkpoint_id": r["checkpoint_id"],
+            }
+            for r in rows
+            if r["task_id"] is not None
+        ]
+        doc, diff = transition(prior, session_id, items, source=source, ctx_providers=ctx_providers)
+        out = doc_to_state_row(doc, batch_ms)
+        out["batch_diff"] = json.dumps(diff) if diff is not None else None
+        return out
+
+    return fn
+
+
 def _run_transition(
     latest: DataFrame,
     state_df: DataFrame,
@@ -129,30 +170,46 @@ def _run_transition(
     Grouping shape: sessions are small and numerous, so instead of
     ``groupBy().applyInPandas`` (one Python call + DataFrame build per
     group — measured 3.3× slower at 15 k groups), rows are hash-
-    repartitioned by session and each PARTITION runs one pandas groupby —
-    same shuffle, whole-group-per-call guarantee preserved (a key's rows
-    all land in its partition), ~N_sessions/N_partitions fewer Arrow round
-    trips. The partition must fit in worker memory — the same sizing
-    constraint the shuffle already imposes. No explicit partition count:
-    the hash exchange starts at ``spark.sql.shuffle.partitions`` (size
-    that to the cluster) and AQE coalesces it when the batch is small —
-    coalescing merges whole hash partitions, so a key's rows still land
-    together."""
+    repartitioned by session and each PARTITION processes its groups in
+    one Python call — same shuffle, whole-group-per-call guarantee
+    preserved (a key's rows all land in its partition),
+    ~N_sessions/N_partitions fewer Arrow round trips. The partition must
+    fit in worker memory — the same sizing constraint the shuffle already
+    imposes. No explicit partition count: the hash exchange starts at
+    ``spark.sql.shuffle.partitions`` (size that to the cluster) and AQE
+    coalesces it when the batch is small — coalescing merges whole hash
+    partitions, so a key's rows still land together.
+
+    Python boundary shape (guide §4): ``mapInArrow`` + ``to_pylist`` —
+    the transition kernel consumes and produces plain dicts, so pandas
+    Block construction on both sides of it was pure overhead. The
+    previous ``mapInPandas`` form (pd.concat + groupby + ONE single-row
+    DataFrame per session) measured ~16 s of executor CPU for 2000
+    sessions; the dict path cuts the per-session cost to the transition
+    kernel itself plus C-speed Arrow<->pylist conversion."""
     if broadcast_state:
         state_df = F.broadcast(state_df)
     enriched = latest.withColumnRenamed("thread_id", "session_id").join(
         state_df, "session_id", "left"
     )
-    fn = make_transition_fn(source, ctx_providers, now_ms)
+    fn = make_transition_rows_fn(source, ctx_providers, now_ms)
+    out_schema = to_arrow_schema(StructType.fromDDL(_TRANSITION_OUTPUT))
 
-    def per_partition(batches: Iterable[pd.DataFrame]):
-        pdfs = [p for p in batches if len(p)]
-        if not pdfs:
-            return
-        for sid, g in pd.concat(pdfs, ignore_index=True).groupby("session_id", sort=False):
-            yield fn((sid,), g)
+    def per_partition(batches):
+        import pyarrow as pa
 
-    return enriched.repartition("session_id").mapInPandas(
+        # a session's rows all live in this partition (hash repartition),
+        # so one dict-of-lists grouping pass per partition is exact
+        groups: dict[str, list[dict[str, Any]]] = {}
+        for batch in batches:
+            for row in batch.to_pylist():
+                groups.setdefault(row["session_id"], []).append(row)
+        out_rows = [fn(sid, rows) for sid, rows in groups.items()]
+        # chunked emission bounds the Arrow batch size for huge partitions
+        for i in range(0, len(out_rows), 1024):
+            yield pa.RecordBatch.from_pylist(out_rows[i : i + 1024], schema=out_schema)
+
+    return enriched.repartition("session_id").mapInArrow(
         per_partition, schema=_TRANSITION_OUTPUT
     )
 

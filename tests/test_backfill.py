@@ -116,6 +116,56 @@ def test_backfill_large_result_uses_distributed_merge(spark, paths):
     assert out["small"]["diff_keys"] == out["large"]["diff_keys"]
 
 
+def test_transition_rows_fn_matches_pandas_fn():
+    """The Arrow path's dict-native group transition must produce exactly
+    the row the pandas ``make_transition_fn`` produces — for a fresh
+    session (all-None state columns), a session with prior state, and
+    rows with a None task_id (the noise rows the filter must drop)."""
+    import pandas as pd
+
+    from cdc_agents_data_stream_spark.operators.merge import new_state
+    from cdc_agents_data_stream_spark.plans.backfill import (
+        doc_to_state_row,
+        make_transition_fn,
+        make_transition_rows_fn,
+    )
+    from cdc_agents_data_stream_spark.schemas import DATA_STREAM_STATE_SCHEMA
+
+    state_cols = DATA_STREAM_STATE_SCHEMA.fieldNames()
+    now = 1_700_000_000_000
+
+    prior_doc = new_state("s-1")
+    prior_doc["sequence_number"] = 3
+    prior_doc["cdc_content"] = {"t1": [{"content": "old", "timestamp": 5,
+                                        "thread_id": "s-1", "checkpoint_id": "cp0",
+                                        "task_id": "t1"}]}
+    prior_row = doc_to_state_row(prior_doc, now - 1000)
+
+    def mk_rows(session_id, with_prior):
+        base = {c: (prior_row[c] if with_prior else None) for c in state_cols}
+        base.pop("updated_ts_millis", None)
+        rows = []
+        for i, task in enumerate(["t1", "t2", None]):
+            r = dict(base)
+            r.update(
+                session_id=session_id,
+                task_id=task,
+                content=f"c-{i}" if task else None,
+                ts_millis=100 + i,
+                checkpoint_id=f"cp-{i}" if task else None,
+            )
+            rows.append(r)
+        return rows
+
+    fn_pd = make_transition_fn("cdc", None, now)
+    fn_rows = make_transition_rows_fn("cdc", None, now)
+    for sid, with_prior in (("s-0", False), ("s-1", True)):
+        rows = mk_rows(sid, with_prior)
+        out_pd = fn_pd((sid,), pd.DataFrame(rows)).iloc[0].to_dict()
+        out_rows = fn_rows(sid, rows)
+        assert out_pd == out_rows, f"mismatch for {sid}: {out_pd} vs {out_rows}"
+
+
 def test_diff_content_shape(spark, paths):
     cps_df, writes_df = _write_tables(spark, paths, n_threads=1, n_ticks=2, repeat_tick=None)
     store = ParquetStateStore(spark, str(paths / "state"))
