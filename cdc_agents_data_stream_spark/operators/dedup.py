@@ -843,6 +843,7 @@ def bloom_build(
         )
     )
     packed = [0] * (m_bits // 64)
+    # bounded: ≤ m_bits/64 rows (one per 64-bit filter word), corpus-independent
     for r in words.collect():
         packed[r["w"]] = r["word"]
     return packed

@@ -693,6 +693,7 @@ def pagerank_bucketed(
 
 def _bucket_count(spark, table: str) -> int:
     """Bucket count of a saved table, from DESCRIBE EXTENDED."""
+    # bounded: catalog metadata rows for one table (tens), graph-size-independent
     for row in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
         if row["col_name"] == "Num Buckets":
             return int(row["data_type"])

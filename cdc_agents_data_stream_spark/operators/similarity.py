@@ -61,6 +61,8 @@ def _materialize_quantizer(df: DataFrame) -> DataFrame:
     broadcast the values. Doubles round-trip exactly through collect, so the
     oracle-visible values are unchanged (and they're 6-decimal-rounded
     anyway). Measured 3.7 s → ~2 s on ``ann_pq_trained`` at sf0.1."""
+    # bounded: trained codebook = k codes × m subspaces (PQ_MAX_CODES-capped),
+    # never corpus rows
     return df.sparkSession.createDataFrame(df.collect(), schema=df.schema)
 
 
@@ -204,6 +206,7 @@ def _assign(
     import pyarrow as pa
 
     if cent_rows is None:
+        # bounded: ≤ MAX_CENTROIDS rows (capped constant), never corpus rows
         cent_rows = cents.select("centroid_id", "cvec", "cnorm").collect()
     rows = sorted(
         ((int(r["centroid_id"]), list(r["cvec"]), float(r["cnorm"])) for r in cent_rows),
@@ -349,7 +352,7 @@ def ivf_topk(
     partitions on ``cluster``."""
     base = with_norm(emb, vec_col).select(F.col(id_col), "vec", "norm")
     cents = kmeans_centroids(base, train_iters, id_col, train_sample_mod)
-    # Bounded artifact (≤ MAX_CENTROIDS rows): collect once, reuse as a
+    # bounded: ≤ MAX_CENTROIDS rows — collect once, reuse as a
     # literal in the assignment closures and the probe dim table — the
     # assigned.filter(query) form hid a SECOND full-corpus assignment
     # pass under the query filter (assignment is per-row, so assigning
@@ -626,7 +629,8 @@ def pq_train_codebooks(
         & (F.col(id_col) < PQ_CODE_MOD * PQ_MAX_CODES)
     ).select(F.col(id_col).alias("code_id"), "s", F.col("sv").alias("cv"))
     for _ in range(iters):
-        # Each Lloyd iteration: collect the (bounded-small) codebook, then
+        # Each Lloyd iteration: collect the codebook (bounded: ≤ PQ_MAX_CODES
+        # codes × m subspaces, never corpus rows), then
         # one vectorized map-only assignment pass over the corpus — see
         # _pq_assign_vectorized for why this beats the broadcast-join form.
         assigned = _pq_assign_vectorized(
@@ -674,6 +678,7 @@ def pq_index(
     down."""
     sub = pq_subvectors(emb, m, dim, id_col, vec_col)
     trained = pq_train_codebooks(sub, train_iters, id_col, dim // m)
+    # bounded: trained codebook = k codes × m subspaces (PQ_MAX_CODES-capped)
     rows = trained.collect()
     codes = emb.sparkSession.createDataFrame(rows, schema=trained.schema)
     assigned = _pq_assign_vectorized(sub, rows, dim // m, id_col)
@@ -800,8 +805,8 @@ def ivfpq_topk(
         F.col("vec").alias("cvec"),
         F.col("norm").alias("cnorm"),
     )
-    # The coarse quantizer is a bounded artifact (≤ MAX_CENTROIDS rows —
-    # the audited-collect contract): collect it ONCE and reuse it as a
+    # bounded: coarse quantizer ≤ MAX_CENTROIDS rows (the audited-collect
+    # contract) — collect it ONCE and reuse it as a
     # literal everywhere (assignment closures + residual/probe dim
     # tables). Before this the plan re-derived the centroid subtree from
     # the corpus scan in four places. Doubles round-trip exactly through
@@ -850,6 +855,7 @@ def ivfpq_topk(
     # first-max argmax and zip_with's elementwise float64 subtraction,
     # replicated operation-for-operation (value identity asserted by the
     # oracle gates and the old-vs-new equivalence A/B).
+    # bounded: ≤ PQ_MAX_CODES rows by the id-mod cap in the filter below
     sample_rows = base.filter(
         (F.col(id_col) % PQ_CODE_MOD == 0)
         & (F.col(id_col) < PQ_CODE_MOD * PQ_MAX_CODES)

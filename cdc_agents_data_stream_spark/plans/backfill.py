@@ -260,6 +260,7 @@ def apply_transition_batch(
     try:
         n = updated.count()  # materialize before the store swap reads/overwrites
         if n <= small_result_max_rows:
+            # bounded: guarded by n <= small_result_max_rows (counted above)
             rows = [r.asDict() for r in updated.collect()]
             if diff_log is not None:
                 diff_rows = []

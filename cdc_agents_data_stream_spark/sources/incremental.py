@@ -96,6 +96,7 @@ class IncrementalReader:
         ts, last_id = self.committed_offset()
         ts_c, id_c = F.col(self.ts_col), F.col(self.id_col)
         batch = table.filter((ts_c > ts) | ((ts_c == ts) & (id_c > last_id)))
+        # bounded: single-row MAX(offset) bookmark aggregate
         row = batch.agg(
             F.max_by(F.struct(ts_c.alias("ts"), id_c.alias("id")), F.struct(ts_c, id_c)).alias("o")
         ).collect()[0]["o"]

@@ -384,6 +384,7 @@ class ParquetStateStore:
             )
         wanted = None
         if keys is not None:
+            # bounded: distinct bucket ids ≤ n_buckets (64)
             wanted = {
                 r[0] for r in keys.select(self._bucket_expr(key)).distinct().collect()
             }
@@ -466,6 +467,7 @@ class ParquetStateStore:
         only the touched-bucket read + write, the update side is the same
         DataFrame)."""
         updates_b = updates.withColumn(_BUCKET_COL, self._bucket_expr(key))
+        # bounded: distinct bucket ids ≤ n_buckets (64)
         touched = {r[0] for r in updates_b.select(_BUCKET_COL).distinct().collect()}
         if not touched:
             return
@@ -519,6 +521,7 @@ class ParquetStateStore:
         stale pre-delete directory."""
         key_df = keys.select(key).distinct()
         keys_b = key_df.withColumn(_BUCKET_COL, self._bucket_expr(key))
+        # bounded: distinct bucket ids ≤ n_buckets (64)
         touched = {r[0] for r in keys_b.select(_BUCKET_COL).distinct().collect()}
         if not touched:
             return

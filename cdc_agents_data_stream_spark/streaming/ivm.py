@@ -47,6 +47,7 @@ class ContinuousRollup:
 
     def _last_batch_id(self) -> int:
         keys = self.spark.createDataFrame([(_META_KEY,)], "rollup_key string")
+        # bounded: single meta-key row (rollup_key == _META_KEY)
         rows = (
             self.store.read(keys=keys, key="rollup_key")
             .filter(F.col("rollup_key") == _META_KEY)

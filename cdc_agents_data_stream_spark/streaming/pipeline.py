@@ -308,7 +308,8 @@ def run_foreachbatch_pipeline(
             _process_large(batch_df)
             return
         # fallback: one probe job doubles as the emptiness check and the
-        # fast-path collect; a large batch reads at most threshold+1 rows
+        # fast-path collect; bounded: limit(small_batch_max_rows + 1) caps
+        # the read regardless of batch size
         probe = batch_df.limit(small_batch_max_rows + 1).collect()
         if not probe:
             return

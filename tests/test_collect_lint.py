@@ -64,15 +64,36 @@ ALLOWED = {
 
 _CALL = re.compile(r"\.collect\(\)")
 
+# Every call site must carry a machine-checkable bound annotation: a
+# `bounded:` comment on the same line or within the ANNOTATION_WINDOW
+# lines above it, stating the row bound the way MAX_CENTROIDS /
+# PQ_MAX_CODES sites do (e.g. "# bounded: ≤ MAX_CENTROIDS rows").
+ANNOTATION_WINDOW = 6
+_BOUND = re.compile(r"bounded:")
+
 
 def test_engine_collect_sites_are_audited():
     found: dict[str, int] = {}
+    unannotated: list[str] = []
     for d in ENGINE_DIRS:
         for f in sorted((ROOT / d).glob("**/*.py")):
-            n = len(_CALL.findall(f.read_text()))
+            lines = f.read_text().splitlines()
+            rel = str(f.relative_to(ROOT))
+            n = 0
+            for i, line in enumerate(lines):
+                if not _CALL.search(line):
+                    continue
+                n += 1
+                window = lines[max(0, i - ANNOTATION_WINDOW) : i + 1]
+                if not any(_BOUND.search(w) for w in window):
+                    unannotated.append(f"{rel}:{i + 1}")
             if n:
-                found[str(f.relative_to(ROOT))] = n
+                found[rel] = n
     assert found == {k: v[0] for k, v in ALLOWED.items()}, (
         f"collect() call sites changed: found {found}; audit any new site "
         f"for boundedness and record it in ALLOWED with its justification"
+    )
+    assert not unannotated, (
+        f"collect() sites missing a 'bounded:' annotation within "
+        f"{ANNOTATION_WINDOW} lines: {unannotated}"
     )
